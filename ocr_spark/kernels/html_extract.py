@@ -1,0 +1,348 @@
+"""HTML main-content extraction — the rebuild's "detect" stage (D8).
+
+Semantics parity (reference citations, behavior only — new implementation):
+- prepare_html regex boilerplate strip (remove head/script/style
+  [/table/aside/form/nav], first header, last footer, <li><a> link items,
+  unwrap div/span, drop self-closing tags, space before closing tags):
+  /root/reference/utils/text/parsers/html_parser.py:56-110,161-180
+- paragraph extraction over p/ul/ol/h1-h5[/table] in document order with
+  nested-tag decomposition, section (h1-h5) stack tracking, whitespace
+  collapse, table parsing with constant-column dedup, list parsing:
+  html_parser.py:118-159,183-227
+- title extraction: html_parser.py:52-54
+
+The reference uses BeautifulSoup/lxml; this implementation is a from-scratch
+stdlib ``html.parser`` DOM walk (no third-party parser in the sandbox), with
+identical outputs pinned by golden tests on the synthesized pages corpus.
+
+Additionally (BASELINE.json north_star): per-paragraph text-density and
+link-density are computed so boilerplate can be classified analytically —
+exposed as span metadata, not applied to the golden text path.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser as _StdHTMLParser
+
+_TITLE_RE = re.compile(r"\<title\>(.*?)\<\/title\>", re.DOTALL)
+_WHITESPACE_RE = re.compile(r"\s+")
+_LINK_RE = re.compile(r'<a [^>]*?href\=([^>\s]+)[^>]*?>(.*?)</a>', re.DOTALL)
+_LINK_ITEM_RE = re.compile(r"<li\b[^>]*?>\s*<a\b[^>]*?>.*?</a>\s*</li>", re.DOTALL)
+_DIV_SPAN_RE = re.compile(r"</?(?:div|span)[^>]*?>")
+_SELF_CLOSING_RE = re.compile(r"<[^>]+?/>")
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+_TARGET_TAGS = ("p", "ul", "ol", "h1", "h2", "h3", "h4", "h5")
+
+
+def extract_title(html: str):
+    match = _TITLE_RE.search(html)
+    return match.group(1).strip() if match is not None else None
+
+
+def _remove_tags(html: str, tags, mode: str = "all") -> str:
+    pattern = r"<({})\b[^>]*>.*?</\1>".format("|".join(tags))
+    flags = re.DOTALL | re.IGNORECASE
+    if mode == "all":
+        return re.sub(pattern, "", html, flags=flags)
+    if mode == "first":
+        return re.sub(pattern, "", html, count=1, flags=flags)
+    # last
+    matches = list(re.finditer(pattern, html, flags=flags))
+    if matches:
+        return html[: matches[-1].start()] + html[matches[-1].end() :]
+    return html
+
+
+def prepare_html(
+    html: str,
+    *,
+    skip_header: bool = True,
+    skip_footer: bool = True,
+    skip_aside: bool = True,
+    skip_nav: bool = True,
+    skip_table: bool = False,
+    skip_form: bool = True,
+    skip_link_item: bool = True,
+    origin: str | None = None,
+    simplify: bool = True,
+    links: dict | None = None,
+):
+    """Strip boilerplate; returns (title, cleaned_html) (html_parser.py:56-93).
+
+    ``links`` is a per-document link-registry dict (the reference keeps a
+    module-global one at html_parser.py:20; per-call keeps us deterministic
+    and executor-safe)."""
+    tags = ["head", "script", "style"]
+    if skip_table:
+        tags.append("table")
+    if skip_aside:
+        tags.append("aside")
+    if skip_form:
+        tags.append("form")
+    if skip_nav:
+        tags.append("nav")
+
+    title = extract_title(html)
+    html = _remove_tags(html, tags)
+    if skip_header:
+        html = _remove_tags(html, ["header"], mode="first")
+    if skip_footer:
+        html = _remove_tags(html, ["footer"], mode="last")
+    if skip_link_item:
+        html = _LINK_ITEM_RE.sub("", html)
+    if simplify:
+        html = _DIV_SPAN_RE.sub("", html)
+        html = _SELF_CLOSING_RE.sub("", html)
+
+    if origin:
+        if links is None:
+            links = {}
+        html = re.sub(r"\[\d+\]", "", html)
+        html = _LINK_RE.sub(lambda m: _add_link_ref(m, origin, links), html)
+
+    html = html.replace("</", " </")
+    return title, html
+
+
+def _add_link_ref(match, origin, links):
+    link = match.group(1).strip('"')
+    if not link.startswith("http"):
+        link = origin + link
+    if link not in links:
+        links[link] = len(links) + 1
+    text = match.group(2)
+    if "<" not in text:
+        return "<p>{} [{}]</p>".format(text, links[link])
+    if "</h" in text:
+        return text.replace("</h", " [{}] </h".format(links[link]), 1)
+    if "</p" in text:
+        return text.replace("</p", " [{}] </p".format(links[link]), 1)
+    return text + " [{}] ".format(links[link])
+
+
+class _Node:
+    __slots__ = ("name", "attrs", "children", "parent")
+
+    def __init__(self, name, attrs=None, parent=None):
+        self.name = name
+        self.attrs = dict(attrs or {})
+        self.children = []  # _Node or str
+        self.parent = parent
+
+
+class _TreeBuilder(_StdHTMLParser):
+    """Minimal forgiving DOM builder over stdlib HTMLParser."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("[document]")
+        self._stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, attrs, parent=self._stack[-1])
+        self._stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self._stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self._stack[-1].children.append(_Node(tag, attrs, parent=self._stack[-1]))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].name == tag:
+                del self._stack[i:]
+                return
+        # unmatched closing tag: ignored (forgiving parse)
+
+    def handle_data(self, data):
+        if data:
+            self._stack[-1].children.append(data)
+
+
+def parse_dom(html: str) -> _Node:
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def _iter_nodes(node):
+    """Document-order traversal of element nodes."""
+    for child in node.children:
+        if isinstance(child, _Node):
+            yield child
+            yield from _iter_nodes(child)
+
+
+def _find_all(node, names):
+    names = set(names)
+    return [n for n in _iter_nodes(node) if n.name in names]
+
+
+def _raw_text(node) -> str:
+    parts = []
+    for child in node.children:
+        if isinstance(child, str):
+            parts.append(child)
+        else:
+            parts.append(_raw_text(child))
+    return "".join(parts)
+
+
+def collapse_whitespace(text: str) -> str:
+    return _WHITESPACE_RE.sub(" ", text)
+
+
+def _extract_text(node) -> str:
+    """get_text().strip() + whitespace collapse; falls back to joining
+    ``title`` attributes of descendants (html_parser.py:221-227)."""
+    text = _raw_text(node).strip()
+    if text:
+        return collapse_whitespace(text)
+    return " ".join(
+        n.attrs["title"] for n in _iter_nodes(node) if n.attrs.get("title")
+    )
+
+
+def _link_char_count(node) -> int:
+    total = 0
+    for n in _iter_nodes(node):
+        if n.name == "a":
+            total += len(collapse_whitespace(_raw_text(n).strip()))
+    return total
+
+
+def _parse_table(node):
+    """thead/th else first-row td headers; constant columns dropped
+    (html_parser.py:183-207)."""
+    header = next((n for n in _iter_nodes(node) if n.name == "thead"), None)
+    if header is not None:
+        columns = [_raw_text(t).strip() for t in _find_all(header, ["th"])]
+        tbody = next((n for n in _iter_nodes(node) if n.name == "tbody"), None)
+        body_tags = _find_all(tbody if tbody is not None else node, ["tr"])
+    else:
+        row_tags = _find_all(node, ["tr"])
+        if not row_tags:
+            return []
+        columns = [_raw_text(t).strip() for t in _find_all(row_tags[0], ["td"])]
+        body_tags = row_tags[1:]
+
+    rows = []
+    for row_tag in body_tags:
+        rows.append(
+            {col: _extract_text(t) for col, t in zip(columns, _find_all(row_tag, ["td"]))}
+        )
+
+    if len(rows) > 1:
+        for col in columns:
+            ref = rows[0].get(col, None)
+            if all(row.get(col, None) == ref for row in rows[1:]):
+                for row in rows:
+                    row.pop(col, None)
+    return rows
+
+
+def _parse_list(node):
+    items = [_extract_text(t) for t in _find_all(node, ["li"])]
+    return [it for it in items if it]
+
+
+def _parse_title_stack(node, titles):
+    level = int(node.name[1]) - 1
+    titles = titles[:level]
+    if len(titles) != level:
+        titles.extend([""] * (level - len(titles)))
+    titles.append(_extract_text(node))
+    return titles
+
+
+def extract_paragraphs(html: str, *, title: str = "html", skip_table: bool = False):
+    """Walk target tags in document order, skipping tags nested inside an
+    already-consumed one (html_parser.py:118-159 decompose semantics)."""
+    tags = list(_TARGET_TAGS)
+    if not skip_table:
+        tags.append("table")
+
+    root = parse_dom(html)
+    targets = _find_all(root, tags)
+    consumed: set[int] = set()
+
+    titles: list[str] = []
+    parsed = []
+    for tag in targets:
+        anc = tag.parent
+        nested = False
+        while anc is not None:
+            if id(anc) in consumed:
+                nested = True
+                break
+            anc = anc.parent
+        if nested:
+            continue
+
+        raw_len = len(collapse_whitespace(_raw_text(tag).strip()))
+        link_len = _link_char_count(tag)
+        density = {
+            "text_len": raw_len,
+            "link_density": (link_len / raw_len) if raw_len else 0.0,
+        }
+
+        if tag.name == "table":
+            rows = _parse_table(tag)
+            if rows and rows[0]:
+                parsed.append({"type": "table", "section": list(titles), "rows": rows, **density})
+        elif tag.name in ("ul", "ol"):
+            items = _parse_list(tag)
+            if items:
+                parsed.append({"type": "list", "section": list(titles), "items": items, **density})
+        elif tag.name[0] == "h" and tag.name[1].isdigit():
+            titles = _parse_title_stack(tag, titles)
+        else:
+            text = _extract_text(tag)
+            if text:
+                parsed.append({"type": "text", "section": list(titles), "text": text, **density})
+
+        consumed.add(id(tag))
+
+    if title:
+        for para in parsed:
+            para["title"] = title
+    return parsed
+
+
+def render_paragraph(para: dict) -> str:
+    """Deterministic text rendering of one paragraph (the golden contract)."""
+    if para["type"] == "text" or para["type"] == "code":
+        return para["text"]
+    if para["type"] == "list":
+        return "\n".join("- " + item for item in para["items"])
+    if para["type"] == "table":
+        return "\n".join(
+            " | ".join(f"{col}: {val}" for col, val in row.items()) for row in para["rows"]
+        )
+    raise ValueError(f"unknown paragraph type: {para['type']}")
+
+
+def render_document(paragraphs) -> str:
+    """Document text = double-newline join of rendered paragraphs in order."""
+    return "\n\n".join(render_paragraph(p) for p in paragraphs)
+
+
+def extract_page(html_bytes: bytes, *, origin: str | None = None, max_link_density: float | None = None, **opts):
+    """Full detect stage over one page: bytes -> (title, paragraphs, text).
+
+    ``max_link_density`` optionally drops high-link-density paragraphs (the
+    north_star boilerplate classifier); None keeps the pure structural-strip
+    golden semantics.
+    """
+    html = html_bytes.decode("utf-8", errors="replace")
+    title, cleaned = prepare_html(html, origin=origin, **opts)
+    paragraphs = extract_paragraphs(cleaned, title=title or "html")
+    if max_link_density is not None:
+        paragraphs = [p for p in paragraphs if p["link_density"] <= max_link_density]
+    return title, paragraphs, render_document(paragraphs)

@@ -1,0 +1,75 @@
+"""Tests for CTC decode semantics (FIXTURES.md §3 contract).
+
+The reference contract (/root/reference/utils/text/ctc_decoder.py:14-36):
+blank index 0, greedy + beam strategies, scores length-normalized.
+"""
+
+import numpy as np
+
+from ocr_spark.kernels.ctc import (
+    collapse_repeats_drop_blank,
+    ctc_beam_decode,
+    ctc_greedy_decode_batch,
+    decode_tokens,
+    make_vocab,
+    synth_logits_for_text,
+)
+
+VOCAB = make_vocab()
+
+
+def test_collapse():
+    assert collapse_repeats_drop_blank(np.array([1, 1, 0, 1, 2, 2, 0, 0, 3])) == [1, 1, 2, 3]
+    assert collapse_repeats_drop_blank(np.array([0, 0, 0])) == []
+
+
+def test_greedy_roundtrip():
+    texts = ["hello world", "spark ocr", "a", ""]
+    logit_list = [synth_logits_for_text(t, VOCAB) for t in texts]
+    t_max = max(l.shape[0] for l in logit_list)
+    batch = np.stack(
+        [np.pad(l, ((0, t_max - l.shape[0]), (0, 0))) for l in logit_list]
+    )
+    lengths = np.array([l.shape[0] for l in logit_list])
+    tokens, scores = ctc_greedy_decode_batch(batch, lengths)
+    decoded = [decode_tokens(t, VOCAB) for t in tokens]
+    assert decoded == texts
+    assert np.all(scores <= 0)  # log-prob scores, length-normalized
+
+
+def test_beam_matches_greedy_on_clear_logits():
+    text = "reading order"
+    logits = synth_logits_for_text(text, VOCAB)
+    (tokens, score), = ctc_beam_decode(logits, beam_width=10, top_paths=1)
+    assert decode_tokens(tokens, VOCAB) == text
+
+
+def test_beam_beats_greedy_on_ambiguous():
+    # classic case: best path is blank-blank ("") but the summed probability
+    # of 'a' over paths {a-, -a, aa} is higher -> beam must return 'a'
+    p_blank, p_a = 0.6, 0.4
+    logits = np.log(np.array([[p_blank, p_a], [p_blank, p_a]], dtype=np.float64))
+    greedy_tokens, _ = ctc_greedy_decode_batch(logits[None])
+    assert greedy_tokens[0] == []
+    (tokens, score), = ctc_beam_decode(logits, beam_width=4, top_paths=1)
+    assert tokens == [1]
+    # P('a') = 0.4*0.4 + 0.4*0.6 + 0.6*0.4 = 0.64
+    np.testing.assert_allclose(np.exp(score * 2), 0.64, atol=1e-9)
+
+
+def test_scores_length_normalized():
+    text = "abc abc"
+    logits = synth_logits_for_text(text, VOCAB)
+    _, scores = ctc_greedy_decode_batch(logits[None])
+    # sum/T in [-inf, 0]; doubling margin increases (less negative) score
+    sharp = synth_logits_for_text(text, VOCAB, margin=16.0)
+    _, scores2 = ctc_greedy_decode_batch(sharp[None])
+    assert scores2[0] > scores[0]
+
+
+def test_top_paths():
+    logits = synth_logits_for_text("ab", VOCAB, margin=2.0)
+    results = ctc_beam_decode(logits, beam_width=10, top_paths=3)
+    assert len(results) == 3
+    assert results[0][1] >= results[1][1] >= results[2][1]
+    assert decode_tokens(results[0][0], VOCAB) == "ab"

@@ -1,0 +1,112 @@
+"""Tests for the HTML main-content extraction kernel (detect stage, D8).
+
+Semantics under test mirror /root/reference/utils/text/parsers/html_parser.py:
+boilerplate strip (head/script/style/nav/aside/form, first header, last
+footer, <li><a> items), paragraph extraction over p/ul/ol/h1-h5/table,
+section tracking, whitespace collapse, table constant-column dedup.
+"""
+
+from ocr_spark.kernels.html_extract import (
+    extract_page,
+    extract_paragraphs,
+    extract_title,
+    prepare_html,
+)
+
+PAGE = """<!DOCTYPE html>
+<html>
+<head><title>My  Page</title><script>var x = 1;</script>
+<style>p { color: red }</style></head>
+<body>
+<header><h1>Site Banner</h1><p>slogan text here</p></header>
+<nav><ul><li><a href="/a">Home</a></li><li><a href="/b">About</a></li></ul></nav>
+<div class="main">
+  <h1>Main   Title</h1>
+  <p>First paragraph with
+     some    wrapped text.</p>
+  <h2>Section A</h2>
+  <p>Second <b>bold</b> paragraph.</p>
+  <ul><li>item one</li><li>item two</li><li><a href="/x">link item</a></li></ul>
+  <table>
+    <tr><td>name</td><td>value</td><td>const</td></tr>
+    <tr><td>a</td><td>1</td><td>same</td></tr>
+    <tr><td>b</td><td>2</td><td>same</td></tr>
+  </table>
+</div>
+<aside><p>advert advert</p></aside>
+<form><p>subscribe now</p></form>
+<footer><p>copyright 2026</p></footer>
+</body></html>"""
+
+
+def test_title():
+    assert extract_title(PAGE) == "My  Page"
+
+
+def test_prepare_strips_boilerplate():
+    title, cleaned = prepare_html(PAGE)
+    assert title == "My  Page"
+    for gone in ("var x = 1", "color: red", "Site Banner", "Home", "About",
+                 "advert", "subscribe", "copyright"):
+        assert gone not in cleaned
+    assert "First paragraph" in cleaned
+    # div/span unwrapped
+    assert "<div" not in cleaned
+
+
+def test_extract_paragraphs_structure():
+    title, cleaned = prepare_html(PAGE)
+    paras = extract_paragraphs(cleaned, title=title)
+    kinds = [p["type"] for p in paras]
+    assert kinds == ["text", "text", "list", "table"]
+
+    # whitespace collapse (html_parser.py:221-227)
+    assert paras[0]["text"] == "First paragraph with some wrapped text."
+    assert paras[0]["section"] == ["Main Title"]
+    # nested inline tags contribute text with the ' </' spacing rule
+    assert paras[1]["text"] == "Second bold paragraph."
+    assert paras[1]["section"] == ["Main Title", "Section A"]
+    # <li><a> removed, plain items kept
+    assert paras[2]["items"] == ["item one", "item two"]
+    # constant column dropped (html_parser.py:201-206)
+    assert paras[3]["rows"] == [{"name": "a", "value": "1"}, {"name": "b", "value": "2"}]
+    assert all(p["title"] == "My  Page" for p in paras)
+
+
+def test_extract_page_end_to_end():
+    title, paras, text = extract_page(PAGE.encode("utf-8"))
+    assert title == "My  Page"
+    assert text.startswith("First paragraph with some wrapped text.")
+    assert "item one" in text and "copyright" not in text
+
+
+def test_section_stack_reset():
+    html = "<h1>A</h1><h2>B</h2><p>x y</p><h1>C</h1><p>z w</p>"
+    paras = extract_paragraphs(html)
+    assert paras[0]["section"] == ["A", "B"]
+    assert paras[1]["section"] == ["C"]
+
+
+def test_nested_table_paragraph_consumed_once():
+    html = "<table><tr><td>h</td></tr><tr><td><p>inner text</p></td></tr></table><p>after it</p>"
+    paras = extract_paragraphs(html)
+    # the table consumes its inner <p> (decompose semantics html_parser.py:135-154)
+    assert [p["type"] for p in paras] == ["table", "text"]
+    assert paras[1]["text"] == "after it"
+
+
+def test_link_density_classifier():
+    html = '<p><a href="/x">all link text</a></p><p>real content sentence here</p>'
+    paras = extract_paragraphs(html)
+    assert paras[0]["link_density"] > 0.9
+    assert paras[1]["link_density"] == 0.0
+    # north_star boilerplate gate drops the linkful paragraph
+    _, kept, text = extract_page(html.encode(), max_link_density=0.5)
+    assert len(kept) == 1 and text == "real content sentence here"
+
+
+def test_malformed_html_is_forgiving():
+    html = "<p>unclosed first<p>second one</p><li>stray</li>"
+    paras = extract_paragraphs(html)
+    texts = [p.get("text", "") for p in paras]
+    assert any("second one" in t for t in texts)
