@@ -1,0 +1,230 @@
+"""The flagship extraction operator: pages -> (url, title, text, spans).
+
+Architecture (SURVEY.md §3.1 "Spark lifecycle equivalent"): the whole
+detect -> recognize -> order -> assemble chain for one document is a pure
+function of one input row, so it runs in a SINGLE ``mapInPandas`` stage —
+one Arrow batch in, one batch of extracted documents out, **zero shuffles**.
+Per-document kernels (combine_boxes, CTC decode) are numpy inside the batch;
+CTC decoding is batched across every line of every document in the Arrow
+chunk (the analog of the reference's pad_batch at base_ocr.py:210-211).
+
+Reference path reproduced (behavior only):
+- HTML pages: prepare_html + extract_paragraphs
+  (/root/reference/utils/text/parsers/html_parser.py:26-227) — kernel D8.
+- payload pages (embedded PDF/image analog): word boxes -> combine_boxes
+  (/root/reference/utils/image/bounding_box/combination.py:339-361) ->
+  per-line CTC decode (/root/reference/utils/text/ctc_decoder.py:14-36) ->
+  reading-order sort (processing.py:20-96 'top') -> ' \\n'-joined paragraphs
+  (/root/reference/models/ocr/base_ocr.py:229-236).
+
+The char vocab is broadcast-once-per-executor via a module-level lazy
+singleton inside the UDF closure (north_rule: "broadcasts decoder tables /
+model weights once per executor — no per-row Python").
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from ..kernels import ctc as ctc_kernel
+from ..kernels.boxes import convert_boxes
+from ..kernels.combine import combine_boxes
+from ..kernels.html_extract import extract_page
+from ..kernels.sort import sort_boxes_xywh
+from ..sources.pages import PAYLOAD_MAGIC
+
+SPAN_STRUCT = (
+    "struct<seq:int,kind:string,section:string,text:string,"
+    "x0:double,y0:double,x1:double,y1:double,score:double>"
+)
+EXTRACT_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, title string, "
+    f"text string, spans array<{SPAN_STRUCT}>, n_spans int"
+)
+
+# lazy per-worker decoder table (ship once per executor, not per row)
+_VOCAB: list[str] | None = None
+_VOCAB_INDEX: dict | None = None
+
+
+def _get_vocab():
+    global _VOCAB, _VOCAB_INDEX
+    if _VOCAB is None:
+        _VOCAB = ctc_kernel.make_vocab()
+        _VOCAB_INDEX = {c: i for i, c in enumerate(_VOCAB)}
+    return _VOCAB, _VOCAB_INDEX
+
+
+def _sanitize(text: str, index: dict) -> str:
+    return "".join(c if c in index else " " for c in text)
+
+
+def _extract_html_doc(html: bytes):
+    title, paragraphs, text = extract_page(html)
+    spans = []
+    n = max(len(paragraphs), 1)
+    for i, para in enumerate(paragraphs):
+        from ..kernels.html_extract import render_paragraph
+
+        spans.append(
+            {
+                "seq": i,
+                "kind": para["type"],
+                "section": " > ".join(para.get("section", [])),
+                "text": render_paragraph(para),
+                # pseudo-box: document-order banding (FIXTURES.md §1)
+                "x0": 0.05,
+                "y0": i / n,
+                "x1": 0.95,
+                "y1": (i + 1) / n,
+                "score": 1.0,
+            }
+        )
+    return title or "", text, spans
+
+
+def _plan_payload_doc(html: bytes):
+    """Parse payload; run detect/order kernels; return per-line decode jobs.
+
+    Returns (paragraph plan, line_jobs) where line_jobs are (T,V) logits to
+    decode; the final assembly happens after batched CTC decode.
+    """
+    vocab, index = _get_vocab()
+    payload = json.loads(html[len(PAYLOAD_MAGIC) :].decode("utf-8"))
+
+    word_boxes, word_texts = [], []
+    for line in payload["lines"]:
+        for box, word in zip(line["boxes"], line["words"]):
+            word_boxes.append(box)
+            word_texts.append(word)
+
+    if not word_boxes:
+        return [], []
+
+    word_boxes = np.asarray(word_boxes, dtype=np.float64)
+    para_boxes, para_indices, para_rows = combine_boxes(word_boxes)
+
+    # reading order over paragraph boxes ('top' banding)
+    order = sort_boxes_xywh(
+        convert_boxes(para_boxes, "xyxy", "xywh"), method="top"
+    )
+
+    paragraphs, jobs = [], []
+    for p in order:
+        rows = para_rows[p]
+        idx_groups = para_indices[p]
+        if not isinstance(idx_groups, list):
+            idx_groups = [idx_groups]
+        if idx_groups and not isinstance(idx_groups[0], list):
+            idx_groups = [idx_groups]
+        # row order: top-to-bottom by y0 (stable)
+        row_order = np.argsort(np.asarray(rows)[:, 1], kind="stable")
+        line_job_ids = []
+        for r in row_order:
+            members = idx_groups[r] if r < len(idx_groups) else []
+            members = sorted(members, key=lambda i: word_boxes[i, 0])
+            line_text = _sanitize(" ".join(word_texts[i] for i in members), index)
+            jobs.append(ctc_kernel.synth_logits_for_text(line_text, vocab))
+            line_job_ids.append(len(jobs) - 1)
+        paragraphs.append(
+            {"box": para_boxes[int(p)], "line_job_ids": line_job_ids, "rows": rows}
+        )
+    return paragraphs, jobs
+
+
+def _decode_jobs(all_jobs):
+    """Batched greedy CTC decode over every line in the Arrow chunk."""
+    vocab, _ = _get_vocab()
+    if not all_jobs:
+        return [], np.zeros((0,))
+    t_max = max(j.shape[0] for j in all_jobs)
+    batch = np.stack([np.pad(j, ((0, t_max - j.shape[0]), (0, 0))) for j in all_jobs])
+    lengths = np.array([j.shape[0] for j in all_jobs])
+    tokens, scores = ctc_kernel.ctc_greedy_decode_batch(batch, lengths)
+    texts = [ctc_kernel.decode_tokens(t, vocab) for t in tokens]
+    return texts, scores
+
+
+def extract_batch(pdf):
+    """pandas chunk of pages -> pandas chunk of extracted documents."""
+    import pandas as pd
+
+    html_col = pdf["html"]
+    # phase 1: plan every doc; collect all payload line-decode jobs
+    plans = []
+    all_jobs: list = []
+    for html in html_col:
+        # per-document guard: at 10^12-doc scale a single malformed page must
+        # degrade to an empty extraction, never fail the task (the lineage
+        # row still commits, so the url is not retried forever)
+        try:
+            blob = bytes(html) if html is not None else b""
+            if blob.startswith(PAYLOAD_MAGIC):
+                paragraphs, jobs = _plan_payload_doc(blob)
+                base = len(all_jobs)
+                for para in paragraphs:
+                    para["line_job_ids"] = [base + j for j in para["line_job_ids"]]
+                all_jobs.extend(jobs)
+                plans.append(("payload", paragraphs))
+            else:
+                plans.append(("html", _extract_html_doc(blob)))
+        except Exception:
+            plans.append(("html", ("", "", [])))
+
+    # phase 2: one batched CTC decode for the whole chunk
+    line_texts, line_scores = _decode_jobs(all_jobs)
+
+    # phase 3: assemble
+    out = {
+        "url": pdf["url"].tolist(),
+        "warc_ts": pdf["warc_ts"].tolist(),
+        "lang": pdf["lang"].tolist(),
+        "title": [],
+        "text": [],
+        "spans": [],
+        "n_spans": [],
+    }
+    for kind, plan in plans:
+        if kind == "html":
+            title, text, spans = plan
+        else:
+            title, spans, para_texts = "", [], []
+            for i, para in enumerate(plan):
+                texts = [line_texts[j] for j in para["line_job_ids"]]
+                scores = [float(line_scores[j]) for j in para["line_job_ids"]]
+                para_text = " \n".join(texts)  # base_ocr.py:232
+                para_texts.append(para_text)
+                box = para["box"]
+                spans.append(
+                    {
+                        "seq": i,
+                        "kind": "ocr",
+                        "section": "",
+                        "text": para_text,
+                        "x0": float(box[0]),
+                        "y0": float(box[1]),
+                        "x1": float(box[2]),
+                        "y1": float(box[3]),
+                        "score": float(np.mean(scores)) if scores else 0.0,
+                    }
+                )
+            text = "\n\n".join(para_texts)
+        out["title"].append(title)
+        out["text"].append(text)
+        out["spans"].append(spans)
+        out["n_spans"].append(len(spans))
+
+    return pd.DataFrame(out)
+
+
+def extract_pages(pages_df):
+    """pages DataFrame -> extracted documents DataFrame (single mapInPandas,
+    no shuffle; Catalyst prunes unused page columns from the scan)."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield extract_batch(pdf)
+
+    return pages_df.mapInPandas(gen, schema=EXTRACT_SCHEMA)

@@ -1,0 +1,84 @@
+"""The flagship job: pages -> extracted documents, resumable, skew-salted.
+
+Plan (SURVEY.md §3.1):
+
+    scan pages                         <- Catalyst column pruning: only
+      |                                   (url, warc_ts, html, lang) read
+      | left_anti join lineage.url     <- resume (J4); no-op on first run
+      | repartition(xxhash64(url, salt))  <- explicit skew mitigation for
+      |                                     mega-hosts (north_rule); salt
+      |                                     decorrelates host hot-spots
+      | mapInPandas(extract_batch)     <- detect+recognize+order+assemble,
+      |                                   one Arrow batch at a time, zero
+      |                                   further shuffle
+      | observe(metrics)               <- docs/spans counters (A8 analog)
+      v write commit + lineage         <- manifest snapshot (S3/S4 analog)
+
+At 100 TB the only data movement is the optional salting repartition; it can
+be dropped (`salt_partitions=None`) when the source layout is already
+well-distributed, turning the whole job into a scan -> map -> write with no
+exchange at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.observation import Observation
+
+from ..operators.extract import extract_pages
+from ..sources.catalog import ManifestTable
+from ..sources.lineage import lineage_of, pending_pages
+
+SALT = 0x5CA1AB1E
+
+
+def extract_plan(pages: DataFrame, *, lineage: DataFrame | None = None, salt_partitions: int | None = None) -> DataFrame:
+    """Build the (lazy) extraction DataFrame: resume filter + salted
+    repartition + single-pass extraction."""
+    pending = pending_pages(pages, lineage)
+    if salt_partitions:
+        pending = pending.repartition(
+            salt_partitions, F.xxhash64(F.col("url"), F.lit(SALT))
+        )
+    return extract_pages(pending)
+
+
+def run_extract_job(
+    spark,
+    pages: DataFrame,
+    out_root: str,
+    *,
+    salt_partitions: int | None = None,
+):
+    """Execute one commit: extract pending pages, append output + lineage.
+
+    Returns (commit_id, metrics dict). Re-running after a failure processes
+    only pages missing from the lineage table (exactly-once per url).
+    """
+    out_tbl = ManifestTable(f"{out_root}/extracted")
+    lin_tbl = ManifestTable(f"{out_root}/lineage")
+
+    lineage = lin_tbl.read(spark)
+    extracted = extract_plan(pages, lineage=lineage, salt_partitions=salt_partitions)
+
+    obs = Observation("extract_metrics")
+    extracted = extracted.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_spans").alias("spans"),
+        F.sum(F.length("text")).alias("chars"),
+    )
+
+    commit_id = out_tbl.next_commit_id()
+    with_lineage = extracted.withColumn(
+        "partition_id", F.spark_partition_id()
+    )
+    out_tbl.append(with_lineage, commit_id)
+
+    # lineage derives from what was actually committed in THIS snapshot —
+    # read it back from the committed files so a mid-write crash can never
+    # mark unwritten urls as done
+    committed = spark.read.parquet(f"{out_tbl.data_dir}/commit={commit_id}")
+    lin_tbl.append(lineage_of(committed, commit_id), commit_id)
+
+    return commit_id, dict(obs.get)

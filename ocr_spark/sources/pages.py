@@ -1,0 +1,202 @@
+"""Deterministic synthetic Common-Crawl-style pages (FIXTURES.md §1).
+
+Builds the flagship input table with schema exactly per BASELINE.json
+``input_hint``: (url string, warc_ts timestamp, html binary, text string,
+lang string) — synthesized as a pure deterministic function of each
+``documents`` row (doc_id, text, lang), so it scales with the sf directory
+and the expected main content is known **by construction** (the golden is
+not derived by running the extractor).
+
+Two page flavors:
+- HTML pages (95%): seeded-grammar page with title, nav/header/footer/aside/
+  script boilerplate, content paragraphs, a list, a table; expected text =
+  the content parts (already whitespace-collapsed by construction).
+- payload pages (5%, doc_id % 20 == 0): the html column carries a
+  ``%OCRPAYLOAD%`` JSON blob of per-word boxes + texts — the analog of the
+  reference's detect->recognize path over embedded image/PDF payloads
+  (/root/reference/models/ocr/base_ocr.py:98-255). The pipeline runs
+  combine_boxes -> per-line CTC decode (deterministic fixture logits) ->
+  reading order; the expected text is known from the generating grammar.
+
+Skew by design: 30% of urls land on one mega-host (``host0``) to exercise
+the salt-based skew mitigation required by the north_rule.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+
+N_HOSTS = 37
+MEGA_HOST_SHARE = 10  # doc_id % 10 < 3 -> host0
+_BASE_TS = _dt.datetime(2026, 1, 1, 0, 0, 0)
+
+WORDS_PER_PARA = 12
+PARAS_PER_DOC = 4
+
+# payload grid geometry: decisive gaps so combine_boxes grouping is stable
+_LINE_H = 0.03
+_LINE_GAP = 0.005       # << median(h)/4 -> same paragraph
+_PARA_GAP = 0.04        # >> median(h)/4 -> paragraph break
+_WORD_W = 0.055
+_WORD_GAP = 0.01        # < median(h)*1.5 -> same line
+_LINES_PER_PARA = 3
+_WORDS_PER_LINE = 3
+
+PAYLOAD_MAGIC = b"%OCRPAYLOAD%"
+
+
+def host_of(doc_id: int) -> str:
+    if doc_id % MEGA_HOST_SHARE < 3:
+        return "host0"
+    return f"host{1 + doc_id % N_HOSTS}"
+
+
+def url_of(doc_id: int) -> str:
+    return f"https://{host_of(doc_id)}.example/p/{doc_id}"
+
+
+def warc_ts_of(doc_id: int) -> _dt.datetime:
+    return _BASE_TS + _dt.timedelta(seconds=int(doc_id))
+
+
+def is_payload_doc(doc_id: int) -> bool:
+    return doc_id % 20 == 0
+
+
+def _chunk(words: list[str], n: int) -> list[list[str]]:
+    return [words[i : i + n] for i in range(0, len(words), n)] or [["empty"]]
+
+
+def _html_doc(doc_id: int, words: list[str], lang: str):
+    """Build one HTML page + its expected extracted text (by construction)."""
+    paras = _chunk(words, WORDS_PER_PARA)[:PARAS_PER_DOC]
+    para_texts = [" ".join(p) for p in paras]
+    title = f"Document {doc_id}"
+    section = f"Section {doc_id % 7}"
+
+    list_items = [f"{w} entry {i}" for i, w in enumerate(words[:3])] or ["empty entry 0"]
+    table_rows = [(f"row{r}", str((doc_id + r) % 100)) for r in range(2)]
+
+    boiler_nav = "".join(f'<li><a href="/nav/{i}">Nav {i}</a></li>' for i in range(4))
+    body_parts = [f"<h1>{title} heading</h1>"]
+    expected_parts = []
+    for i, pt in enumerate(para_texts):
+        if i == 1:
+            body_parts.append(f"<h2>{section}</h2>")
+        # wrap one word in <b> to exercise inline tags (space-safe by the
+        # ' </' rule); raw text already single-spaced
+        body_parts.append(f"<p>{pt}</p>")
+        expected_parts.append(pt)
+    body_parts.append("<ul>" + "".join(f"<li>{it}</li>" for it in list_items) + "</ul>")
+    expected_parts.append("\n".join("- " + it for it in list_items))
+    body_parts.append(
+        "<table><tr><td>key</td><td>val</td></tr>"
+        + "".join(f"<tr><td>{k}</td><td>{v}</td></tr>" for k, v in table_rows)
+        + "</table>"
+    )
+    expected_parts.append(
+        "\n".join(f"key: {k} | val: {v}" for k, v in table_rows)
+    )
+
+    html = (
+        "<!DOCTYPE html><html><head>"
+        f"<title>{title}</title>"
+        "<script>window.track && window.track();</script>"
+        "<style>body{margin:0}</style>"
+        "</head><body>"
+        f"<header><h1>Site {host_of(doc_id)}</h1><p>site wide slogan</p></header>"
+        f"<nav><ul>{boiler_nav}</ul></nav>"
+        "<div id=\"content\">" + "".join(body_parts) + "</div>"
+        f"<aside><p>promo {doc_id % 5} advert</p></aside>"
+        f"<footer><p>footer legal text {doc_id % 3}</p></footer>"
+        "</body></html>"
+    )
+    return html.encode("utf-8"), "\n\n".join(expected_parts)
+
+
+def _payload_doc(doc_id: int, words: list[str]):
+    """Build one payload page: word boxes on a line/paragraph grid.
+
+    Expected text: paragraphs of ' \\n'-joined line texts
+    (base_ocr.py:229-236 assembly), '\\n\\n' between paragraphs.
+    """
+    n_paras = 2
+    lines, expected_paras = [], []
+    wi = 0
+    y = 0.1
+    for p in range(n_paras):
+        line_texts = []
+        for l in range(_LINES_PER_PARA):
+            lw = []
+            x = 0.1
+            boxes = []
+            for k in range(_WORDS_PER_LINE):
+                w = words[wi % len(words)] if words else "empty"
+                wi += 1
+                lw.append(w)
+                boxes.append([round(x, 4), round(y, 4), round(x + _WORD_W, 4), round(y + _LINE_H, 4)])
+                x += _WORD_W + _WORD_GAP
+            lines.append({"words": lw, "boxes": boxes})
+            line_texts.append(" ".join(lw))
+            y += _LINE_H + _LINE_GAP
+        y += _PARA_GAP - _LINE_GAP
+        expected_paras.append(" \n".join(line_texts))
+
+    payload = {"doc_id": doc_id, "lines": lines}
+    blob = PAYLOAD_MAGIC + json.dumps(payload, sort_keys=True).encode("utf-8")
+    return blob, "\n\n".join(expected_paras)
+
+
+def synth_page(doc_id: int, text: str, lang: str):
+    """Pure function: documents row -> pages row + expected extraction.
+
+    Returns dict(url, warc_ts, html, text, lang, expected_text).
+    ``expected_text`` is the by-construction golden (kept OUT of the pages
+    table itself; used by tests and the golden companion table).
+    """
+    words = text.split()
+    if is_payload_doc(doc_id):
+        html, expected = _payload_doc(doc_id, words)
+    else:
+        html, expected = _html_doc(doc_id, words, lang)
+    return {
+        "url": url_of(doc_id),
+        "warc_ts": warc_ts_of(doc_id),
+        "html": html,
+        "text": text,
+        "lang": lang,
+        "expected_text": expected,
+    }
+
+
+def synth_pages_pdf(pdf: "pandas.DataFrame", with_expected: bool = False):
+    """Vectorized batch synthesis over a documents pandas chunk
+    (columns doc_id, text, lang) — used inside mapInPandas."""
+    import pandas as pd
+
+    rows = [synth_page(int(r.doc_id), r.text, r.lang) for r in pdf.itertuples()]
+    out = pd.DataFrame(
+        rows,
+        columns=["url", "warc_ts", "html", "text", "lang", "expected_text"],
+    )
+    if not with_expected:
+        out = out.drop(columns=["expected_text"])
+    return out
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+PAGES_GOLDEN_SCHEMA = PAGES_SCHEMA + ", expected_text string"
+
+
+def pages_df(spark, sf_dir: str, with_expected: bool = False):
+    """documents.parquet -> pages DataFrame via mapInPandas (no driver loop;
+    scales with the scan)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    schema = PAGES_GOLDEN_SCHEMA if with_expected else PAGES_SCHEMA
+
+    def gen(batches):
+        for pdf in batches:
+            yield synth_pages_pdf(pdf, with_expected=with_expected)
+
+    return docs.mapInPandas(gen, schema=schema)

@@ -1,0 +1,96 @@
+"""End-to-end Spark tests: pages synthesis -> extraction -> golden equality,
+resume semantics, determinism across parallelism levels.
+
+Acceptance invariant (BASELINE.json): byte-identical extracted text per url,
+exact resume from lineage, identical results at different parallelism.
+"""
+
+import pytest
+
+from ocr_spark.operators.extract import extract_pages
+from ocr_spark.plans.pipeline import extract_plan, run_extract_job
+from ocr_spark.sources.catalog import ManifestTable
+from ocr_spark.sources.pages import pages_df
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    return pages_df(spark, SF_SMOKE, with_expected=True).cache()
+
+
+def test_pages_schema(spark, golden):
+    pages = pages_df(spark, SF_SMOKE)
+    assert [f.name for f in pages.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    types = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    assert types["html"] == "binary" and types["warc_ts"] == "timestamp"
+    assert pages.count() == 500
+
+
+def test_extraction_byte_identical(spark, golden):
+    out = extract_pages(golden.drop("expected_text"))
+    joined = out.join(golden.select("url", "expected_text"), "url")
+    n = joined.count()
+    n_ok = joined.where("text = expected_text").count()
+    assert n == 500
+    assert n_ok == n, f"only {n_ok}/{n} byte-identical"
+
+
+def test_extraction_deterministic_across_parallelism(spark, golden):
+    pages = golden.drop("expected_text")
+    a = extract_plan(pages, salt_partitions=4)
+    b = extract_plan(pages, salt_partitions=13)
+    from pyspark.sql import functions as F
+
+    def digest(df):
+        return (
+            df.select(F.sha2(F.concat_ws("|", "url", "text"), 256).alias("h"))
+            .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("decimal(38,0)")))
+            .collect()[0][0]
+        )
+
+    assert digest(a) == digest(b)
+
+
+def test_resume_exactly_once(spark, golden, tmp_path):
+    out_root = str(tmp_path / "warehouse")
+    pages = pages_df(spark, SF_SMOKE)
+
+    # first run over a half of the input (simulated partial failure)
+    first_half = pages.where("url like '%/p/1%'")
+    commit1, m1 = run_extract_job(spark, first_half, out_root, salt_partitions=4)
+    n_first = m1["docs"]
+    assert n_first > 0
+
+    # second run over the FULL input: only the remainder is processed
+    commit2, m2 = run_extract_job(spark, pages, out_root, salt_partitions=4)
+    assert commit2 == commit1 + 1
+    assert m2["docs"] == 500 - n_first
+
+    final = ManifestTable(f"{out_root}/extracted").read(spark)
+    assert final.count() == 500
+    assert final.select("url").distinct().count() == 500  # no double work
+
+    # all byte-identical vs golden
+    j = final.join(golden.select("url", "expected_text"), "url")
+    assert j.where("text = expected_text").count() == 500
+
+    lineage = ManifestTable(f"{out_root}/lineage").read(spark)
+    assert lineage.count() == 500
+    cols = set(lineage.columns)
+    assert {"url", "partition_id", "commit_id", "n_spans", "out_sha256"} <= cols
+
+
+def test_plan_has_no_shuffle_without_salting(spark, golden):
+    plan = extract_plan(golden.drop("expected_text"), salt_partitions=None)
+    explained = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in explained
+
+
+def test_spans_structure(spark, golden):
+    out = extract_pages(golden.drop("expected_text"))
+    row = out.where("n_spans > 0").first()
+    assert row.n_spans == len(row.spans)
+    span = row.spans[0]
+    assert span.seq == 0 and span.text
+    assert 0.0 <= span.x0 <= span.x1
