@@ -1,0 +1,522 @@
+"""Driver contract: queries() + oracle_sql() + entry() (__spark_entry__.py).
+
+One entry per implemented operator family from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis).
+Every SQL-expressible query has a DuckDB oracle with IDENTICAL column names
+and explicitly-matched numeric semantics:
+
+- double sums go through decimal(18,2) so both engines sum exactly;
+- floor()/round() are explicit (Spark int-cast truncates, DuckDB rounds);
+- float arrays are cast to double before cosine;
+- every computed column is aliased the same on both sides.
+
+Non-SQL-expressible ops (extraction pipeline, minhash/simhash with
+xxhash64, grouped numpy kernels, multimodal stubs) are rows-only checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .operators import dedup as dedup_ops
+from .operators import similarity as sim_ops
+from .operators import text_analysis as ta
+from .operators.boxes_ops import (
+    combine_boxes_grouped,
+    nms_grouped,
+    reading_order_grouped,
+)
+from .operators.extract import extract_pages
+from .operators.multimodal import blob_metadata
+from .operators.recognize import ctc_roundtrip
+from .sources.pages import pages_df
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# SQL-checkable queries (operator -> SURVEY.md §2 id in the comment)
+# --------------------------------------------------------------------------
+
+def q_size_filter(spark, sf):  # P3 SizeFilter analog: range predicates
+    li = _t(spark, sf, "lineitem")
+    return li.where(
+        (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20) & (F.col("l_discount") >= 0.02)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+def q_region_filter(spark, sf):  # P4 RegionFilter analog: center-in-region
+    p = _t(spark, sf, "part")
+    return p.where(
+        (F.col("p_size") >= 15) & (F.col("p_size") <= 35)
+        & (F.col("p_retailprice") >= 920) & (F.col("p_retailprice") <= 980)
+    ).select("p_partkey", "p_name", "p_size", "p_retailprice")
+
+
+def q_union_agg(spark, sf):  # A1 compute_union: min/max per group
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+
+
+def q_median_threshold(spark, sf):  # A4 adaptive median threshold (exact)
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def q_window_topk(spark, sf):  # T1/T2 score-sort + top-k per group
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_anti_join(spark, sf):  # J4 predicted-cache resume anti-join
+    # customers with no event activity — the "pending work" shape of the
+    # lineage resume join (pages ⟕anti lineage on url)
+    c = _t(spark, sf, "customer")
+    ev = _t(spark, sf, "events")
+    return c.join(
+        ev.select(F.col("user_id").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_order_weight(spark, sf):  # W10 order-weight window sort
+    e = _t(spark, sf, "events")
+    weight = (
+        F.when(F.col("event_type") == "error", 0)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(2)
+    )
+    w = Window.partitionBy("user_id").orderBy(weight, F.asc("event_id"))
+    return (
+        e.withColumn("weight", weight)
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= 5)
+        .select("user_id", "event_id", "weight", "pos")
+    )
+
+
+def q_clean_text(spark, sf):  # F4 cleaners: collapse/lower/trim
+    d = _t(spark, sf, "documents")
+    cleaned = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id", cleaned.alias("cleaned"), F.length(cleaned).alias("n_chars_clean")
+    )
+
+
+def q_levenshtein(spark, sf):  # F1 normalized edit distance (builtin case)
+    c = _t(spark, sf, "customer")
+    target = "Customer#000000042"
+    lev = F.levenshtein(F.col("c_name"), F.lit(target))
+    return c.select(
+        "c_custkey",
+        lev.cast("int").alias("lev"),
+        F.round(lev / F.lit(len(target)), 6).alias("lev_norm"),
+    )
+
+
+def q_group_concat(spark, sf):  # A5 ordered group concat
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("doc_ids"),
+    )
+
+
+def q_dedup_exact(spark, sf):  # dedup: exact (hash-groupBy)
+    return dedup_ops.exact_duplicates(_t(spark, sf, "documents"))
+
+
+def q_fingerprint(spark, sf):  # fingerprinting (md5 of normalized text)
+    return ta.fingerprint(_t(spark, sf, "documents"))
+
+
+def q_token_count(spark, sf):  # token counting
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        ta.token_count(F.col("text")).cast("int").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def q_quality(spark, sf):  # quality scoring
+    return ta.quality_features(_t(spark, sf, "documents"))
+
+
+def q_langid(spark, sf):  # language-ID heuristic
+    return ta.langid(_t(spark, sf, "documents"))
+
+
+def q_jaccard_pairs(spark, sf):  # near-dup: word-set Jaccard (relational)
+    return dedup_ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+def q_ann_topk(spark, sf):  # similarity: brute-force cosine top-k
+    e = _t(spark, sf, "embeddings")
+    return sim_ops.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+def q_cube_agg(spark, sf):  # grouping-sets coverage (SURVEY.md §2.4 note)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+            "sum_price",
+        )
+    )
+
+
+def q_distinct_agg(spark, sf):  # distinct aggregation
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def q_events_hourly(spark, sf):  # event-time bucket aggregation
+    e = _t(spark, sf, "events")
+    bucket = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("long")
+    return e.groupBy(bucket.alias("hour_epoch"), F.col("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_ctc_roundtrip(spark, sf):  # R5/R6 CTC decode (fixture logits)
+    return ctc_roundtrip(_t(spark, sf, "part")).select("p_partkey", "decoded")
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible kernels / pipeline)
+# --------------------------------------------------------------------------
+
+def q_flagship_extract(spark, sf):
+    return extract_pages(pages_df(spark, sf)).select(
+        "url", "lang", "title", "n_spans", F.length("text").alias("n_chars")
+    )
+
+
+def q_minhash_pairs(spark, sf):
+    return dedup_ops.minhash_lsh_pairs(_t(spark, sf, "documents"))
+
+
+def q_simhash_pairs(spark, sf):
+    return dedup_ops.simhash_near_pairs(_t(spark, sf, "documents"))
+
+
+def q_lsh_ann(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return sim_ops.lsh_bucket_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+def _synth_boxes(spark, sf):
+    """Deterministic word-box table derived from lineitem (structured grid
+    so the combine kernels have real lines/paragraphs to find)."""
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        F.concat(F.lit("doc"), F.col("l_orderkey")).alias("url"),
+        F.col("l_linenumber").cast("int").alias("box_id"),
+        (0.05 + (F.col("l_linenumber") % 4) * 0.12).alias("x0"),
+        (0.1 + (F.col("l_partkey") % 6) * 0.06).alias("y0"),
+        (0.05 + (F.col("l_linenumber") % 4) * 0.12 + 0.1).alias("x1"),
+        (0.1 + (F.col("l_partkey") % 6) * 0.06 + 0.03).alias("y1"),
+        (F.col("l_quantity") / 50.0).alias("score"),
+    )
+
+
+def q_combine_boxes(spark, sf):
+    return combine_boxes_grouped(_synth_boxes(spark, sf))
+
+
+def q_nms_boxes(spark, sf):
+    return nms_grouped(_synth_boxes(spark, sf), method="lanms", nms_threshold=0.3, merge_threshold=0.3)
+
+
+def q_reading_order(spark, sf):
+    return reading_order_grouped(_synth_boxes(spark, sf))
+
+
+def q_multimodal_meta(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("blob_id"), F.col("text").cast("binary").alias("blob")
+    )
+    return blob_metadata(d)
+
+
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "size_filter": q_size_filter,
+    "region_filter": q_region_filter,
+    "union_agg": q_union_agg,
+    "median_threshold": q_median_threshold,
+    "window_topk": q_window_topk,
+    "anti_join": q_anti_join,
+    "order_weight": q_order_weight,
+    "clean_text": q_clean_text,
+    "levenshtein": q_levenshtein,
+    "group_concat": q_group_concat,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint": q_fingerprint,
+    "token_count": q_token_count,
+    "quality": q_quality,
+    "langid": q_langid,
+    "jaccard_pairs": q_jaccard_pairs,
+    "ann_topk": q_ann_topk,
+    "cube_agg": q_cube_agg,
+    "distinct_agg": q_distinct_agg,
+    "events_hourly": q_events_hourly,
+    "ctc_roundtrip": q_ctc_roundtrip,
+    # rows-only
+    "flagship_extract": q_flagship_extract,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "lsh_ann": q_lsh_ann,
+    "combine_boxes": q_combine_boxes,
+    "nms_boxes": q_nms_boxes,
+    "reading_order": q_reading_order,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+
+_LANG_HITS = {
+    lang: " + ".join(
+        f"(CASE WHEN ' ' || text || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END)"
+        for w in words
+    )
+    for lang, words in ta.LANG_MARKERS.items()
+}
+
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+ORACLE_SQL: dict[str, str] = {
+    "size_filter": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_discount >= 0.02
+    """,
+    "region_filter": """
+        SELECT p_partkey, p_name, p_size, p_retailprice
+        FROM part
+        WHERE p_size >= 15 AND p_size <= 35
+          AND p_retailprice >= 920 AND p_retailprice <= 980
+    """,
+    "union_agg": """
+        SELECT o_custkey, min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    """,
+    "median_threshold": """
+        SELECT l_returnflag, round(median(l_quantity), 4) AS median_qty,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "window_topk": """
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+    """,
+    "order_weight": """
+        SELECT user_id, event_id, weight, pos FROM (
+            SELECT user_id, event_id,
+                   CASE WHEN event_type = 'error' THEN 0
+                        WHEN event_type = 'click' THEN 1 ELSE 2 END AS weight,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CASE WHEN event_type = 'error' THEN 0
+                                     WHEN event_type = 'click' THEN 1 ELSE 2 END,
+                                event_id) AS pos
+            FROM events
+        ) WHERE pos <= 5
+    """,
+    "clean_text": f"""
+        SELECT doc_id, {_NORM_TEXT} AS cleaned,
+               CAST(length({_NORM_TEXT}) AS INT) AS n_chars_clean
+        FROM documents
+    """,
+    "levenshtein": """
+        SELECT c_custkey,
+               CAST(levenshtein(c_name, 'Customer#000000042') AS INT) AS lev,
+               round(levenshtein(c_name, 'Customer#000000042') / 18.0, 6) AS lev_norm
+        FROM customer
+    """,
+    "group_concat": """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        FROM documents GROUP BY lang
+    """,
+    "dedup_exact": f"""
+        SELECT md5({_NORM_TEXT}) AS fp,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS canonical_doc_id
+        FROM documents GROUP BY 1
+    """,
+    "fingerprint": f"""
+        SELECT doc_id, md5({_NORM_TEXT}) AS fp,
+               CAST(length({_NORM_TEXT}) AS INT) AS n_chars_norm
+        FROM documents
+    """,
+    "token_count": """
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars
+        FROM documents
+    """,
+    "quality": """
+        WITH f AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+                   length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+                   length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_spaces
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_chars AS INT) AS n_chars,
+               CAST(n_tokens AS INT) AS n_tokens,
+               round((n_chars - n_spaces) * 1.0 / n_tokens, 4) AS avg_token_len,
+               round(n_digits * 1.0 / n_chars, 4) AS digit_ratio,
+               round(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+               round((CASE WHEN n_tokens >= 5
+                            AND (n_chars - n_spaces) * 1.0 / n_tokens >= 2
+                            AND (n_chars - n_spaces) * 1.0 / n_tokens <= 12
+                           THEN 1.0 ELSE 0.0 END)
+                     * (1.0 - n_digits * 1.0 / n_chars), 4) AS quality_score
+        FROM f
+    """,
+    "langid": f"""
+        SELECT doc_id,
+               CASE WHEN ({_LANG_HITS['en']}) = greatest({_LANG_HITS['en']}, {_LANG_HITS['fr']}, {_LANG_HITS['de']}, {_LANG_HITS['es']})
+                         AND greatest({_LANG_HITS['en']}, {_LANG_HITS['fr']}, {_LANG_HITS['de']}, {_LANG_HITS['es']}) > 0 THEN 'en'
+                    WHEN ({_LANG_HITS['fr']}) = greatest({_LANG_HITS['en']}, {_LANG_HITS['fr']}, {_LANG_HITS['de']}, {_LANG_HITS['es']})
+                         AND greatest({_LANG_HITS['en']}, {_LANG_HITS['fr']}, {_LANG_HITS['de']}, {_LANG_HITS['es']}) > 0 THEN 'fr'
+                    WHEN ({_LANG_HITS['de']}) = greatest({_LANG_HITS['en']}, {_LANG_HITS['fr']}, {_LANG_HITS['de']}, {_LANG_HITS['es']})
+                         AND greatest({_LANG_HITS['en']}, {_LANG_HITS['fr']}, {_LANG_HITS['de']}, {_LANG_HITS['es']}) > 0 THEN 'de'
+                    WHEN ({_LANG_HITS['es']}) = greatest({_LANG_HITS['en']}, {_LANG_HITS['fr']}, {_LANG_HITS['de']}, {_LANG_HITS['es']})
+                         AND greatest({_LANG_HITS['en']}, {_LANG_HITS['fr']}, {_LANG_HITS['de']}, {_LANG_HITS['es']}) > 0 THEN 'es'
+                    ELSE 'und' END AS pred_lang,
+               CAST({_LANG_HITS['en']} AS INT) AS hits_en,
+               CAST({_LANG_HITS['fr']} AS INT) AS hits_fr,
+               CAST({_LANG_HITS['de']} AS INT) AS hits_de,
+               CAST({_LANG_HITS['es']} AS INT) AS hits_es
+        FROM documents
+    """,
+    "jaccard_pairs": """
+        WITH words AS (
+            SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS word
+            FROM documents
+        ), words_ne AS (
+            SELECT doc_id, word FROM words WHERE word <> ''
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_words FROM words_ne GROUP BY doc_id
+        ), bucketed AS (
+            SELECT w.doc_id, w.word, CAST(floor(length(d.text) / 64) AS INT) AS bucket
+            FROM words_ne w JOIN documents d USING (doc_id)
+        ), shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM bucketed a JOIN bucketed b
+              ON a.word = b.word AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(shared * 1.0 / (sa.n_words + sb.n_words - shared), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(shared * 1.0 / (sa.n_words + sb.n_words - shared), 6) >= 0.5
+    """,
+    "ann_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])), 4) AS sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, sim, rank FROM (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    "cube_agg": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "distinct_agg": """
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "events_hourly": """
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(avg(value), 4) AS avg_value,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "ctc_roundtrip": """
+        SELECT p_partkey, lower(p_name) AS decoded FROM part
+    """,
+}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: synthesize pages from sf0.001 documents, run the full
+    detect -> recognize -> order -> assemble extraction, return
+    (url, warc_ts, lang, title, text, spans, n_spans)."""
+    return extract_pages(pages_df(spark, "/root/testdata/sf0.001"))

@@ -1,0 +1,97 @@
+"""Text-analysis operators over the documents table — all native Column
+expressions (JVM-side, whole-stage codegen; no Python in the hot path).
+
+These are the training-data-pipeline operations a 100 TB corpus needs
+(driver brief): language-ID (stopword heuristic), quality scoring
+(length/token/digit ratios), token counting, document fingerprinting.
+Reference analogs: text cleaners (/root/reference/utils/text/cleaners.py:83-269)
+and the emission filter's quality gates
+(/root/reference/models/ocr/base_ocr.py:679-725).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword markers; deterministic and SQL-expressible in
+# any engine (the DuckDB oracle uses the same LIKE predicates)
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "los", "que"),
+}
+
+
+def _hits(col: Column, words) -> Column:
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    out = F.lit(0)
+    for w in words:
+        out = out + F.when(padded.contains(f" {w} "), 1).otherwise(0)
+    return out
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: _hits(text, words) for lang, words in LANG_MARKERS.items()}
+
+
+def predicted_lang(text: Column) -> Column:
+    """argmax over marker hits, ties -> 'und'; pure CASE/greatest chain."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = None
+    # CASE ordering = first lang reaching the max wins (same CASE in the
+    # DuckDB oracle)
+    for lang in LANG_MARKERS:  # insertion order
+        cond = (scores[lang] == best) & (best > 0)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), " "))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """length / token / digit / punctuation ratios + a composite score."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_digits = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    n_spaces = n_chars - F.length(F.regexp_replace(t, r" ", ""))
+    avg_tok = (n_chars - n_spaces) / n_tokens
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(avg_tok, 4).alias("avg_token_len"),
+        F.round(n_digits / n_chars, 4).alias("digit_ratio"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(
+            F.when((n_tokens >= 5) & (avg_tok >= 2) & (avg_tok <= 12), 1.0).otherwise(0.0)
+            * (1.0 - n_digits / n_chars),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercased collapsed text —
+    the exact-dedup key (reference analog: predicted-map key by filename,
+    base_detector.py:170-207)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("fp"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    scores = lang_scores(F.col(text_col))
+    return df.select(
+        "doc_id",
+        predicted_lang(F.col(text_col)).alias("pred_lang"),
+        *[scores[lang].cast("int").alias(f"hits_{lang}") for lang in LANG_MARKERS],
+    )

@@ -1,0 +1,54 @@
+"""Driver-contract tests: entry smoke, queries/oracle alignment, and the
+no-per-row-Python guarantee (BASELINE.md)."""
+
+import re
+from pathlib import Path
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMOKE
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_oracle_keys_subset_of_queries():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    # every oracle-checked query is present and callable
+    assert all(callable(fn) for fn in q.values())
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    names = [f.name for f in df.schema.fields]
+    assert names == ["url", "warc_ts", "lang", "title", "text", "spans", "n_spans"]
+    assert df.count() == 500
+    assert df.where("n_spans > 0").count() == 500
+
+
+@pytest.mark.parametrize("name", ["size_filter", "union_agg", "ctc_roundtrip", "ann_topk"])
+def test_query_runs_at_smoke_scale(spark, name):
+    df = entry_mod.queries()[name](spark, SF_SMOKE)
+    assert df.count() >= 0  # materializes without error
+
+
+def test_no_per_row_python_udf():
+    """input_hint: vectorized pandas/Arrow UDFs only — no row-wise udf()."""
+    offenders = []
+    for py in (REPO / "ocr_spark").rglob("*.py"):
+        src = py.read_text()
+        # match `udf(` calls that are not pandas_udf / mapInPandas etc.
+        for m in re.finditer(r"(?<![a-zA-Z_.])udf\s*\(", src):
+            start = max(0, m.start() - 7)
+            if src[start : m.start()].endswith("pandas_"):
+                continue
+            offenders.append(f"{py.name}:{src[:m.start()].count(chr(10)) + 1}")
+    assert not offenders, f"row-wise udf() found: {offenders}"
+
+
+def test_kernels_do_not_import_spark():
+    for py in (REPO / "ocr_spark" / "kernels").rglob("*.py"):
+        src = py.read_text()
+        assert "pyspark" not in src, f"{py} imports pyspark"
