@@ -1,0 +1,118 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "docs_per_sec": ..., ...}
+
+The flagship number is extraction throughput (docs/sec) over the pages
+table synthesized at the benchmark scale — the BASELINE.json metric.
+Run with SPARK_GRAFT_CPUS=8 and =32 for the N-vs-4N scaling-efficiency
+evidence (recorded in BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocr_spark.contract import QUERIES  # noqa: E402
+from ocr_spark.operators.extract import extract_pages  # noqa: E402
+from ocr_spark.plans.session import get_spark  # noqa: E402
+from ocr_spark.sources.pages import pages_df  # noqa: E402
+
+BENCH_QUERIES = [
+    "dedup_exact",
+    "jaccard_pairs",
+    "minhash_pairs",
+    "simhash_pairs",
+    "ann_topk",
+    "lsh_ann",
+    "cube_agg",
+    "events_hourly",
+    "window_topk",
+    "ctc_roundtrip",
+    "combine_boxes",
+    "langid",
+    "quality",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("ocr_spark_bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/Arrow warmup (not timed)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+
+    # headline: flagship extraction throughput over a pages table read from
+    # parquet — the production data path (scan -> single mapInPandas ->
+    # sink). The corpus is replicated to a fixed size so the measurement is
+    # CPU-bound and identical at every cpu count (the N-vs-4N comparison).
+    # The synthesized pages parquet is materialized once and reused
+    # (measured separately as pages_synth); chaining the synthesis python
+    # stage into the extraction would serialize the pipeline — see
+    # BENCH/BASELINE.md "chained mapInPandas" note.
+    bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    replicate = max(1, bench_docs // base)
+    pages_path = f"/tmp/ocr_spark_bench/pages_sf{sf}_n{base * replicate}"
+    if not os.path.exists(pages_path + "/_SUCCESS"):
+        t0 = time.time()
+        pages_df(spark, sf_dir, replicate=replicate, partitions=cpus * 3).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+        timings["pages_synth"] = round(time.time() - t0, 3)
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()  # warm the scan metadata
+    extract_pages(pages).count()  # full warm pass: spin up ALL python workers
+
+    def timed(fn):
+        # best-of-2: wall timings on a shared box are noisy; min is the
+        # closest to the true cost
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    n_out = extract_pages(pages).count()
+    timings["flagship_extract"] = timed(lambda: extract_pages(pages).count())
+    t_extract = timings["flagship_extract"]
+
+    # extraction + parquet write (the full scan -> extract -> sink job)
+    timings["flagship_extract_write"] = timed(
+        lambda: extract_pages(pages).write.mode("overwrite").parquet("/tmp/ocr_spark_bench/out")
+    )
+
+    for name in BENCH_QUERIES:
+        timings[name] = timed(lambda: QUERIES[name](spark, sf_dir).count())
+
+    total = round(sum(v for k, v in timings.items() if k != "pages_synth"), 3)
+    result = {
+        "metric": "extraction+ops wall time (flagship docs/sec in docs_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "n_extracted": n_out,
+        "docs_per_sec": round(n_out / t_extract, 1) if t_extract else None,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

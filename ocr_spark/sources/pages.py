@@ -189,10 +189,38 @@ PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang st
 PAGES_GOLDEN_SCHEMA = PAGES_SCHEMA + ", expected_text string"
 
 
-def pages_df(spark, sf_dir: str, with_expected: bool = False):
-    """documents.parquet -> pages DataFrame via mapInPandas (no driver loop;
-    scales with the scan)."""
+def pages_df(
+    spark,
+    sf_dir: str,
+    with_expected: bool = False,
+    *,
+    replicate: int = 1,
+    partitions: int | None = None,
+):
+    """documents.parquet -> pages DataFrame via mapInPandas.
+
+    The local sf dirs are single parquet files (one scan split), so the
+    small pre-synthesis documents relation is repartitioned to
+    ``partitions`` (default: the session's shuffle parallelism) — this
+    shuffles only (doc_id, text, lang), never the synthesized HTML. On a
+    real crawl the input is already thousands of files and this repartition
+    is unnecessary.
+
+    ``replicate`` scales the corpus: each source doc becomes ``replicate``
+    docs with distinct doc_ids (deterministic), used for CPU-bound
+    throughput/scaling measurements.
+    """
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        docs = docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") * replicate + F.col("rep")).alias("doc_id"), "text", "lang"
+        )
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = docs.repartition(partitions, "doc_id")
     schema = PAGES_GOLDEN_SCHEMA if with_expected else PAGES_SCHEMA
 
     def gen(batches):

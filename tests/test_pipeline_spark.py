@@ -81,8 +81,13 @@ def test_resume_exactly_once(spark, golden, tmp_path):
     assert {"url", "partition_id", "commit_id", "n_spans", "out_sha256"} <= cols
 
 
-def test_plan_has_no_shuffle_without_salting(spark, golden):
-    plan = extract_plan(golden.drop("expected_text"), salt_partitions=None)
+def test_plan_has_no_shuffle_without_salting(spark, golden, tmp_path):
+    # production shape: pages come from storage (a scan, not the synthesis
+    # python stage) -> the extraction plan must be exchange-free
+    path = str(tmp_path / "pages")
+    golden.drop("expected_text").write.parquet(path)
+    pages = spark.read.parquet(path)
+    plan = extract_plan(pages, salt_partitions=None)
     explained = plan._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in explained
 
