@@ -218,6 +218,49 @@ def q_ctc_roundtrip(spark, sf):  # R5/R6 CTC decode (fixture logits)
     return ctc_roundtrip(_t(spark, sf, "part")).select("p_partkey", "decoded")
 
 
+def q_emission_filter(spark, sf):  # P6/X3 near-duplicate emission gate
+    # relational form of _filter_text_results (base_ocr.py:679-725): basic
+    # gates (non-empty, multi-word, has letters) + reject when normalized
+    # edit distance vs the previously-emitted text (lag) is < 0.2
+    d = _t(spark, sf, "documents")
+    t = F.trim(F.col("text"))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    prev = F.lag(t).over(w)
+    base_ok = (F.length(t) > 0) & t.contains(" ") & t.rlike("[a-zA-Z]")
+    near_dup = F.when(
+        prev.isNotNull(), (F.levenshtein(t, prev) / F.length(prev)) < 0.2
+    ).otherwise(F.lit(False))
+    return d.select(
+        "doc_id",
+        "lang",
+        base_ok.alias("base_ok"),
+        near_dup.alias("near_dup"),
+        (base_ok & ~near_dup).alias("emit"),
+    )
+
+
+def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
+    b = _synth_boxes(spark, sf)
+    corner = Window.partitionBy("url").orderBy(
+        (F.col("x0") + F.col("y0")).asc(), F.col("box_id").asc()
+    )
+    area = Window.partitionBy("url").orderBy(
+        ((F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))).desc(),
+        F.col("box_id").asc(),
+    )
+    center = Window.partitionBy("url").orderBy(
+        ((F.col("x0") + F.col("x1")) / 2 + (F.col("y0") + F.col("y1")) / 2).asc(),
+        F.col("box_id").asc(),
+    )
+    return b.select(
+        "url",
+        "box_id",
+        F.row_number().over(corner).alias("corner_rank"),
+        F.row_number().over(area).alias("area_rank"),
+        F.row_number().over(center).alias("center_rank"),
+    )
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible kernels / pipeline)
 # --------------------------------------------------------------------------
@@ -247,11 +290,18 @@ def _synth_boxes(spark, sf):
     li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") % 50 == 0)
     return li.select(
         F.concat(F.lit("doc"), F.col("l_orderkey")).alias("url"),
-        F.col("l_linenumber").cast("int").alias("box_id"),
-        (0.05 + (F.col("l_linenumber") % 4) * 0.12).alias("x0"),
-        (0.1 + (F.col("l_partkey") % 6) * 0.06).alias("y0"),
-        (0.05 + (F.col("l_linenumber") % 4) * 0.12 + 0.1).alias("x1"),
-        (0.1 + (F.col("l_partkey") % 6) * 0.06 + 0.03).alias("y1"),
+        # composite id: (linenumber, partkey) pairs can repeat in the data,
+        # and rank tie-breaks need a unique key on both engines
+        (F.col("l_linenumber") * 100000 + F.col("l_partkey") * 10 + F.col("l_suppkey"))
+        .cast("int")
+        .alias("box_id"),
+        # integer-valued pixel boxes: every coordinate, sum and product is an
+        # exact double, so rank comparisons can never hinge on last-ulp
+        # differences between engines (ties are exact -> box_id tie-break)
+        ((10 + (F.col("l_linenumber") % 4) * 25).cast("double")).alias("x0"),
+        ((20 + (F.col("l_partkey") % 6) * 12).cast("double")).alias("y0"),
+        ((10 + (F.col("l_linenumber") % 4) * 25 + 8 + F.col("l_suppkey") % 5).cast("double")).alias("x1"),
+        ((20 + (F.col("l_partkey") % 6) * 12 + 3 + F.col("l_partkey") % 7).cast("double")).alias("y1"),
         (F.col("l_quantity") / 50.0).alias("score"),
     )
 
@@ -273,6 +323,30 @@ def q_multimodal_meta(spark, sf):
         F.col("doc_id").alias("blob_id"), F.col("text").cast("binary").alias("blob")
     )
     return blob_metadata(d)
+
+
+def q_detect_maps(spark, sf):  # D2-D6: EAST map decode + LANMS
+    from .operators.detect_maps import detect_from_maps, synth_maps_df
+
+    return detect_from_maps(synth_maps_df(spark, sf))
+
+
+def q_split_text(spark, sf):  # F7 recursive chunking via mapInPandas
+    from .kernels.textproc import split_text
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for i, chunk in enumerate(split_text(text, 80, tokenizer=str.split)):
+                    rows.append({"doc_id": int(doc_id), "chunk_id": i, "chunk": chunk})
+            yield pd.DataFrame(rows, columns=["doc_id", "chunk_id", "chunk"])
+
+    return d.mapInPandas(gen, schema="doc_id long, chunk_id int, chunk string")
 
 
 # --------------------------------------------------------------------------
@@ -299,6 +373,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg": q_distinct_agg,
     "events_hourly": q_events_hourly,
     "ctc_roundtrip": q_ctc_roundtrip,
+    "emission_filter": q_emission_filter,
+    "sort_boxes_sql": q_sort_boxes_sql,
     # rows-only
     "flagship_extract": q_flagship_extract,
     "minhash_pairs": q_minhash_pairs,
@@ -308,6 +384,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nms_boxes": q_nms_boxes,
     "reading_order": q_reading_order,
     "multimodal_meta": q_multimodal_meta,
+    "detect_maps": q_detect_maps,
+    "split_text": q_split_text,
 }
 
 
@@ -511,6 +589,41 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "ctc_roundtrip": """
         SELECT p_partkey, lower(p_name) AS decoded FROM part
+    """,
+    "emission_filter": """
+        WITH d AS (
+            SELECT doc_id, lang, trim(text) AS t,
+                   lag(trim(text)) OVER (PARTITION BY lang ORDER BY doc_id) AS prev
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               (length(t) > 0 AND t LIKE '% %' AND regexp_matches(t, '[a-zA-Z]')) AS base_ok,
+               coalesce(
+                   CASE WHEN prev IS NOT NULL
+                        THEN (levenshtein(t, prev) * 1.0 / length(prev)) < 0.2
+                        ELSE FALSE END, FALSE) AS near_dup,
+               ((length(t) > 0 AND t LIKE '% %' AND regexp_matches(t, '[a-zA-Z]'))
+                AND NOT coalesce(
+                    CASE WHEN prev IS NOT NULL
+                         THEN (levenshtein(t, prev) * 1.0 / length(prev)) < 0.2
+                         ELSE FALSE END, FALSE)) AS emit
+        FROM d
+    """,
+    "sort_boxes_sql": """
+        WITH b AS (
+            SELECT 'doc' || CAST(l_orderkey AS VARCHAR) AS url,
+                   CAST(l_linenumber * 100000 + l_partkey * 10 + l_suppkey AS INT) AS box_id,
+                   CAST(10 + (l_linenumber % 4) * 25 AS DOUBLE) AS x0,
+                   CAST(20 + (l_partkey % 6) * 12 AS DOUBLE) AS y0,
+                   CAST(10 + (l_linenumber % 4) * 25 + 8 + l_suppkey % 5 AS DOUBLE) AS x1,
+                   CAST(20 + (l_partkey % 6) * 12 + 3 + l_partkey % 7 AS DOUBLE) AS y1
+            FROM lineitem WHERE l_orderkey % 50 = 0
+        )
+        SELECT url, box_id,
+               row_number() OVER (PARTITION BY url ORDER BY x0 + y0 ASC, box_id) AS corner_rank,
+               row_number() OVER (PARTITION BY url ORDER BY (x1 - x0) * (y1 - y0) DESC, box_id) AS area_rank,
+               row_number() OVER (PARTITION BY url ORDER BY (x0 + x1) / 2 + (y0 + y1) / 2 ASC, box_id) AS center_rank
+        FROM b
     """,
 }
 

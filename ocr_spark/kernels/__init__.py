@@ -6,4 +6,4 @@ implementations are new and vectorized for Arrow-batch execution inside
 ``mapInPandas`` / ``applyInPandas``.
 """
 
-from . import boxes, combine, nms, sort, ctc, html_extract, pdf_layout, textproc
+from . import boxes, combine, ctc, east_decode, html_extract, nms, pdf_layout, sort, textproc

@@ -154,6 +154,126 @@ def split_sentences(text: str, eos_pattern=EOS_CHARS, strip_sents: bool = False)
     return sentences
 
 
+# -------------------------------------------------------------- chunking
+
+_SENT_SPLIT_PATTERN = (r",(?!\d)", ": ", r"\(.*\)")
+
+
+def merge_texts(texts, max_length, max_overlap=0, max_overlap_len=0.2, *, tokens=None, tokenizer=None):
+    """Greedy merge of text parts into <= max_length chunks with optional
+    start-overlap windows (text_processing.py:148-226).
+
+    Returns (chunks, chunk_tokens, merged_indices)."""
+    if isinstance(max_overlap_len, float):
+        max_overlap_len = int(max_overlap_len * max_length)
+    if tokenizer is None:
+        tokenizer = list
+    if tokens is None:
+        tokens = [tokenizer(txt) for txt in texts]
+
+    texts = [txt.strip(" ") for txt in texts]
+
+    merged_texts, merged_tokens, merged_indices = [[texts[0]]], [[tokens[0]]], [[0]]
+    merged_len = len(tokens[0])
+    for i, (text, tok) in enumerate(zip(texts[1:], tokens[1:]), start=1):
+        if merged_len + len(tok) <= max_length:
+            merged_texts[-1].append(text)
+            merged_tokens[-1].append(tok)
+            merged_indices[-1].append(i)
+            merged_len += len(tok)
+        else:
+            merged_texts.append([text])
+            merged_tokens.append([tok])
+            merged_indices.append([i])
+            merged_len = len(tok)
+
+            if max_overlap > 0 and len(tok) < max_length:
+                _max_overlap_len = min(max_overlap_len, max_length - len(tok))
+                overlap_len = 0
+                for j in range(1, 1 + min(max_overlap, len(merged_texts[-2]))):
+                    if overlap_len + len(merged_tokens[-2][-j]) > _max_overlap_len:
+                        break
+                    merged_texts[-1].insert(0, merged_texts[-2][-j])
+                    merged_tokens[-1].insert(0, merged_tokens[-2][-j])
+                    merged_indices[-1].insert(0, merged_indices[-2][-j])
+                    overlap_len += len(merged_tokens[-2][-j])
+                    merged_len += len(merged_tokens[-2][-j])
+
+    result_texts = [" ".join(t) for t in merged_texts]
+    result_tokens = []
+    for list_tokens in merged_tokens:
+        result_tokens.append([])
+        for toks in list_tokens:
+            result_tokens[-1].extend(toks)
+    return result_texts, result_tokens, merged_indices
+
+
+def split_text(
+    text,
+    max_length,
+    *,
+    tokens=None,
+    tokenizer=None,
+    eos_pattern=EOS_CHARS,
+    sent_pattern=_SENT_SPLIT_PATTERN,
+    tolerance=0,
+    sent_tolerance=0,
+    merge=True,
+    err_mode="skip",
+    return_tokens=False,
+):
+    """Recursive max-length chunking: paragraphs -> sentences ->
+    sub-sentences -> words (text_processing.py:34-145)."""
+    if tokenizer is None:
+        tokenizer = list
+    if isinstance(tolerance, float):
+        tolerance = int(tolerance * max_length)
+    if isinstance(sent_tolerance, float):
+        sent_tolerance = int(sent_tolerance * max_length)
+    max_text_length = max_length + tolerance
+    max_sent_length = max_length + sent_tolerance
+
+    if tokens is None:
+        tokens = tokenizer(text)
+    if len(tokens) <= max_text_length:
+        return [text] if not return_tokens else ([text], [tokens])
+
+    splitted = split_sentences(text, eos_pattern)
+    sent_tokens = [tokenizer(sent) for sent in splitted]
+
+    result_text, result_tokens = [splitted[0]], [sent_tokens[0]]
+    for split, tok in zip(splitted[1:], sent_tokens[1:]):
+        if len(tok) <= max_sent_length:
+            result_text.append(split)
+            result_tokens.append(tok)
+        elif sent_pattern:
+            sub_text, sub_tok = split_text(
+                split,
+                max_sent_length,
+                tokens=tok,
+                tokenizer=tokenizer,
+                eos_pattern=sent_pattern,
+                sent_pattern=" " if sent_pattern != " " else None,
+                err_mode=err_mode,
+                return_tokens=True,
+            )
+            result_text.extend(sub_text)
+            result_tokens.extend(sub_tok)
+        elif err_mode == "error":
+            raise RuntimeError(f"It was not possible to split `{split}`")
+        elif err_mode in ("ignore", "skip"):
+            continue
+        elif err_mode == "keep":
+            result_text.append(split)
+            result_tokens.append(tok)
+
+    if merge:
+        result_text, result_tokens, _ = merge_texts(
+            result_text, max_text_length, tokens=result_tokens, tokenizer=tokenizer
+        )
+    return result_text if not return_tokens else (result_text, result_tokens)
+
+
 # ---------------------------------------------------------------- distances
 
 
