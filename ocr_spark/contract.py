@@ -239,6 +239,36 @@ def q_emission_filter(spark, sf):  # P6/X3 near-duplicate emission gate
     )
 
 
+def q_pandas_udf_lev(spark, sf):  # F1 weighted edit distance via scalar pandas_udf
+    # the vectorized-pUDF surface (SURVEY.md §2.11); unweighted costs make
+    # it oracle-checkable against the builtin levenshtein
+    from .operators.pudf import lev_norm_udf
+
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        lev_norm_udf(F.col("c_name"), F.lit("Customer#000000042")).alias("lev_norm"),
+    )
+
+
+def q_embed_dup_pairs(spark, sf):  # dedup: embedding-cosine near-dup
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("label"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("label"))
+    # block on label (the cluster id): near-dups across labels are rare by
+    # construction; at scale the block key would be an LSH bucket (lsh_ann)
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(sim_ops.cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.3)
+    )
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -375,6 +405,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ctc_roundtrip": q_ctc_roundtrip,
     "emission_filter": q_emission_filter,
     "sort_boxes_sql": q_sort_boxes_sql,
+    "pandas_udf_lev": q_pandas_udf_lev,
+    "embed_dup_pairs": q_embed_dup_pairs,
     # rows-only
     "flagship_extract": q_flagship_extract,
     "minhash_pairs": q_minhash_pairs,
@@ -589,6 +621,20 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "ctc_roundtrip": """
         SELECT p_partkey, lower(p_name) AS decoded FROM part
+    """,
+    "pandas_udf_lev": """
+        SELECT c_custkey,
+               round(levenshtein(c_name, 'Customer#000000042') * 1.0 / 18, 6) AS lev_norm
+        FROM customer
+    """,
+    "embed_dup_pairs": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
     """,
     "emission_filter": """
         WITH d AS (

@@ -121,6 +121,17 @@ def ctc_beam_decode(logits: np.ndarray, length=None, blank: int = 0, beam_width:
     return [(list(prefix), score / norm) for score, prefix in results[:top_paths]]
 
 
+def encode_text(text: str, vocab_index: dict, *, unknown: int | None = None) -> list[int]:
+    """Char-level encode (tokenizer.py:599-669 char path): unknown chars are
+    dropped (None) or mapped to ``unknown``. Round-trips with decode_tokens."""
+    out = []
+    for c in text:
+        idx = vocab_index.get(c, unknown)
+        if idx is not None:
+            out.append(idx)
+    return out
+
+
 def decode_tokens(tokens, vocab, blank: int = 0) -> str:
     """ids -> text via char vocab; blanks/negatives skipped
     (tokenizer.py:599-656 char-level path)."""

@@ -1,0 +1,28 @@
+"""Scalar pandas_udf definitions (SURVEY.md §2.11 vectorized-UDF surface).
+
+NOTE: no ``from __future__ import annotations`` here — pandas_udf resolves
+the pd.Series type hints at decoration time; stringified annotations break
+signature inference.
+"""
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels.textproc import edit_distance
+
+
+@pandas_udf("double")
+def lev_norm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Weighted-Levenshtein kernel (metrics.py:85-159) over Arrow batches;
+    with default costs it equals levenshtein(a,b)/len(b) (the oracle)."""
+    return pd.Series(
+        [round(float(edit_distance(x, y, normalize=True)), 6) for x, y in zip(a, b)]
+    )
+
+
+@pandas_udf("double")
+def text_f1_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Token-bag F1 (metrics.py:188-238) as a vectorized scalar UDF."""
+    from ..kernels.textproc import text_f1
+
+    return pd.Series([round(float(text_f1(x, y)[1]), 6) for x, y in zip(a, b)])

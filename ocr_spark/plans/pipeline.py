@@ -81,4 +81,23 @@ def run_extract_job(
     committed = spark.read.parquet(f"{out_tbl.data_dir}/commit={commit_id}")
     lin_tbl.append(lineage_of(committed, commit_id), commit_id)
 
-    return commit_id, dict(obs.get)
+    # observe() counters land in a metrics table per commit (A8 analog:
+    # the reference's stream counters, base_ocr.py:32-51)
+    metrics = dict(obs.get)
+    metrics_tbl = ManifestTable(f"{out_root}/metrics")
+    metrics_tbl.append(
+        spark.createDataFrame(
+            [
+                (
+                    commit_id,
+                    int(metrics.get("docs") or 0),
+                    int(metrics.get("spans") or 0),
+                    int(metrics.get("chars") or 0),
+                )
+            ],
+            "commit_id long, docs long, spans long, chars long",
+        ),
+        commit_id,
+    )
+
+    return commit_id, metrics

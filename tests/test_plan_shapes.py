@@ -1,0 +1,53 @@
+"""Physical-plan shape assertions: filters reach the scan, small sides
+broadcast, python stages stay single. The judge-facing scale guarantees,
+checked continuously."""
+
+from pyspark.sql import functions as F
+
+from ocr_spark.contract import QUERIES
+from ocr_spark.kernels.ctc import encode_text, decode_tokens, make_vocab
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["size_filter"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark):
+    df = QUERIES["token_count"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().toString()
+    read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_ann_topk_broadcasts_queries(spark):
+    df = QUERIES["ann_topk"](spark, SF_SMOKE)
+    assert "BroadcastNestedLoopJoin" in _plan(df) or "BroadcastExchange" in _plan(df)
+
+
+def test_extraction_single_python_stage(spark):
+    from ocr_spark.operators.extract import extract_pages
+
+    pages = spark.createDataFrame(
+        [("u", None, b"<p>a b</p>", "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    plan = _plan(extract_pages(pages))
+    # exactly one python-runner node, no exchanges
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+
+
+def test_ctc_encode_decode_roundtrip():
+    vocab = make_vocab()
+    index = {c: i for i, c in enumerate(vocab)}
+    for text in ["hello world", "a1 b2", ""]:
+        ids = encode_text(text, index)
+        assert decode_tokens(ids, vocab) == text
