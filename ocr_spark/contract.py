@@ -167,7 +167,7 @@ def q_langid(spark, sf):  # language-ID heuristic
     return ta.langid(_t(spark, sf, "documents"))
 
 
-def q_jaccard_pairs(spark, sf):  # near-dup: word-set Jaccard (relational)
+def q_jaccard_pairs(spark, sf):  # near-dup: 3-gram-shingle Jaccard (exact, prefix-filtered)
     return dedup_ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
@@ -553,29 +553,27 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
     "jaccard_pairs": """
-        WITH words AS (
-            SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS word
-            FROM documents
-        ), words_ne AS (
-            SELECT doc_id, word FROM words WHERE word <> ''
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        ), sh0 AS (
+            SELECT doc_id, list_aggregate(t[i:i+2], 'string_agg', ' ') AS sh
+            FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        ), sh AS (
+            SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
         ), sizes AS (
-            SELECT doc_id, count(*) AS n_words FROM words_ne GROUP BY doc_id
-        ), bucketed AS (
-            SELECT w.doc_id, w.word, CAST(floor(length(d.text) / 64) AS INT) AS bucket
-            FROM words_ne w JOIN documents d USING (doc_id)
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
         ), shared AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(count(*) AS BIGINT) AS shared
-            FROM bucketed a JOIN bucketed b
-              ON a.word = b.word AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
-               round(shared * 1.0 / (sa.n_words + sb.n_words - shared), 6) AS jaccard
+               round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
         FROM shared
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(shared * 1.0 / (sa.n_words + sb.n_words - shared), 6) >= 0.5
+        WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 6) >= 0.5
     """,
     "ann_topk": """
         WITH q AS (

@@ -1,16 +1,36 @@
 """Deduplication operators over the documents table.
 
 Training-data-pipeline staples at 100 TB (driver brief): exact dedup
-(hash-groupBy), n-gram/word-set Jaccard near-dup (relational, blocked),
-MinHash+LSH (shingle -> minhash -> band -> bucket join), SimHash.
+(hash-groupBy), n-gram-shingle Jaccard near-dup (exact, prefix-filtered),
+MinHash+LSH (shingle -> minhash -> band -> bucket join), SimHash with
+multi-band Hamming blocking.
 
-Scale notes:
-- exact dedup is a single hash aggregation with map-side partial agg.
-- the Jaccard pair join is BLOCKED (same length bucket) so the self-join
-  never goes quadratic in the corpus; at 100 TB the block key would also
-  include a minhash band — that composition is exactly `minhash_lsh_pairs`.
-- minhash/simhash use xxhash64 (JVM-side, codegen); the only shuffle is the
-  groupBy on band buckets, keyed evenly by construction.
+All near-dup operators share one set representation: distinct word
+``shingle``-grams per document (`shingle_sets`). Word *unigrams* are
+useless for near-dup at web scale (tiny vocab => every doc pair shares
+words => quadratic candidate sets); 3-gram shingles are high-cardinality
+and bimodal — near-dups score ~1, unrelated docs ~0.
+
+Implementation note: everything stays in exploded (doc_id, shingle)
+posting form with groupBy aggregations rather than per-row array columns
+with higher-order functions — HOF lambdas (`transform`/`aggregate`) are
+interpreted expressions outside whole-stage codegen and measured ~2x
+slower here, while the posting form keeps every aggregate inside codegen
+with map-side partial agg and gets its parallelism from the shuffle.
+
+Shuffle inventory (the 100 TB story):
+- candidate generation is the only joint-key shuffle: an equi-join on
+  band/bucket/prefix-element keys that are hash-distributed by
+  construction (no hot keys);
+- `ngram_jaccard_pairs` is an EXACT set-similarity join made linear-ish by
+  *prefix filtering* (AllPairs/PPJoin, Bayardo et al. WWW'07): two sets
+  with Jaccard >= t must share at least one element among each one's
+  (n - ceil(t*n) + 1) globally-rarest elements; candidates come from a
+  join on those prefix elements only, then are verified exactly — results
+  are identical to the naive all-pairs formulation (the DuckDB oracle runs
+  the naive form; value hashes must match);
+- the `sizes` join sides are (doc_id, int) projections — tiny relative to
+  the corpus, broadcastable at moderate scale, plain equi-joins beyond.
 """
 
 from __future__ import annotations
@@ -32,46 +52,39 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def _word_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, word) distinct pairs — the relational word-set encoding."""
-    return (
-        docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
-        .where(F.col("word") != "")
-        .distinct()
-    )
+def shingle_sets(docs: DataFrame, *, shingle: int = 3) -> DataFrame:
+    """(doc_id, sh) distinct word-``shingle``-gram postings.
 
-
-def ngram_jaccard_pairs(
-    docs: DataFrame, *, threshold: float = 0.5, block_bucket: int = 64
-) -> DataFrame:
-    """Word-set Jaccard near-dup pairs, fully relational (oracle-checkable).
-
-    Blocking: candidate pairs must share a word AND sit in the same
-    n_chars//block_bucket length bucket — |len(a)-len(b)| large implies low
-    Jaccard, so the block loses no pairs above a sane threshold while
-    keeping the join linear-ish. Output: (doc_a, doc_b, jaccard).
+    Tokenization is a plain single-space split of trim(text) so the DuckDB
+    oracle (string_split) sees byte-identical tokens. Docs with fewer than
+    ``shingle`` tokens produce no rows (they can never pair).
     """
-    words = _word_sets(docs)
-    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
-    bucket = docs.select(
-        "doc_id", (F.length("text") / block_bucket).cast("int").alias("bucket")
-    )
-    w = words.join(bucket, "doc_id")
+    toks = F.split(F.trim(F.col("text")), " ")
+    shingles = F.when(
+        F.size(toks) >= shingle,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - shingle),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(shingles).alias("sh")).distinct()
 
-    a = w.select(
-        F.col("doc_id").alias("doc_a"), F.col("word"), F.col("bucket")
-    )
-    b = w.select(
-        F.col("doc_id").alias("doc_b"), F.col("word"), F.col("bucket")
-    )
+
+def _verify_pairs(
+    cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate (doc_a, doc_b) pairs given the shingle
+    postings: count shared elements per pair, join sizes, filter >= t."""
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     shared = (
-        a.join(b, ["word", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
         shared.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -86,6 +99,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    shingle: int = 3,
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """EXACT n-gram-shingle Jaccard near-dup pairs: every (doc_a, doc_b,
+    jaccard) with doc_a < doc_b and Jaccard >= threshold.
+
+    prefix_filter=True (default) applies AllPairs prefix filtering: order
+    shingles globally by (document frequency, shingle); a doc of n shingles
+    only indexes its first (n - ceil(t*n) + 1) rarest ones; any pair with
+    Jaccard >= t must collide on a prefix element, so the candidate join
+    touches a small fraction of the postings while losing nothing.  A
+    size-ratio prune (t*na <= nb <= na/t, implied by Jaccard >= t) drops
+    impossible candidates before verification.
+
+    The DuckDB oracle runs the naive all-pairs form — identical output.
+    """
+    sh = shingle_sets(docs, shingle=shingle)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
+
+    if prefix_filter:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            sh.join(dfreq, "sh")
+            .withColumn(
+                "rk",
+                F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh")),
+            )
+            .join(sizes, "doc_id")
+        )
+        # prefix length: n - ceil(t*n) + 1
+        index = ranked.where(
+            F.col("rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        ).select("doc_id", "sh", "n")
+    else:
+        index = sh.join(sizes, "doc_id")
+
+    a = index.select(F.col("doc_id").alias("doc_a"), "sh", F.col("n").alias("na"))
+    b = index.select(F.col("doc_id").alias("doc_b"), "sh", F.col("n").alias("nb"))
+    cand = (
+        a.join(b, "sh")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # size-ratio prune, implied by Jaccard >= t: t*na <= nb <= na/t
+            & (F.col("nb") >= F.lit(threshold) * F.col("na"))
+            & (F.col("nb") <= F.col("na") / F.lit(threshold))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_pairs(cand, sh, sizes, threshold)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
@@ -94,46 +163,37 @@ def minhash_lsh_pairs(
     shingle: int = 3,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash + LSH candidate pairs, verified with exact word-set Jaccard.
+    """MinHash + LSH candidate pairs, verified with exact shingle Jaccard.
 
     shingle (word n-gram) -> per-seed min(xxhash64) signature -> band hash ->
-    same-bucket candidates -> exact verify. The band groupBy is the only big
-    shuffle; buckets are hash-distributed so no hot keys.
+    same-bucket candidates -> exact verify against the SAME shingle sets the
+    signature was built from. The band groupBy is the only big shuffle;
+    buckets are hash-distributed so no hot keys.
     Not SQL-portable (xxhash64 is Spark-specific) -> rows-only oracle.
     """
     rows_per_band = num_hashes // bands
-    tokens = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), " ").alias("toks")
-    )
-    shingles = tokens.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - shingle),
-                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, shingle)),
-            )
-        ).alias("sh"),
-    ).distinct()
+    sh = shingle_sets(docs, shingle=shingle)
 
-    mins = shingles.groupBy("doc_id").agg(
+    mins = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"h{seed}")
             for seed in range(num_hashes)
         ]
     )
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = mins.select("doc_id", *band_cols)
-
-    bucketed = banded.select(
+    bucketed = mins.select(
         "doc_id",
         F.explode(
             F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("sig"))
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("sig"),
+                )
                 for b in range(bands)
             ])
         ).alias("bk"),
@@ -146,43 +206,27 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-
-    # exact verify of candidates only
-    words = _word_sets(docs)
-    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
-    wa = words.select(F.col("doc_id").alias("doc_a"), "word")
-    wb = words.select(F.col("doc_id").alias("doc_b"), "word")
-    shared = (
-        cand.join(wa, "doc_a").join(wb, ["doc_b", "word"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb"))
-    return (
-        shared.join(sa, "doc_a").join(sb, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= jaccard_threshold)
-    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
+    return _verify_pairs(cand, sh, sizes, jaccard_threshold)
 
 
-def simhash(docs: DataFrame, *, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word hashes: sign-sum of per-bit contributions.
+def simhash(docs: DataFrame, *, bits: int = 64, shingle: int = 3) -> DataFrame:
+    """64-bit SimHash over shingle hashes: sign-sum of per-bit contributions.
 
-    Pure Column algebra: explode words -> xxhash64 -> per-bit +1/-1 -> sum ->
-    sign bits reassembled. Not SQL-portable -> rows-only oracle.
+    Pure Column algebra: shingle postings -> xxhash64 -> per-bit +1/-1 ->
+    sum -> sign bits reassembled; every aggregate is codegen'd with
+    map-side partial agg. Shingles (not unigrams) so signatures of
+    unrelated docs are far apart. Not SQL-portable -> rows-only oracle.
     """
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
-    ).where(F.col("word") != "")
-    h = words.select("doc_id", F.xxhash64("word").alias("h"))
+    h = shingle_sets(docs, shingle=shingle).select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    )
     bit_sums = h.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"b{b}")
             for b in range(bits)
         ]
@@ -199,15 +243,44 @@ def simhash(docs: DataFrame, *, bits: int = 64) -> DataFrame:
     return bit_sums.select("doc_id", acc.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """SimHash near-dup candidates: block on the top ``prefix_bits`` of the
-    signature, verify Hamming distance via bit_count(xor)."""
-    sig = simhash(docs)
-    blocked = sig.select("doc_id", "simhash", F.shiftright("simhash", 64 - prefix_bits).alias("blk"))
-    a = blocked.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "blk")
-    b = blocked.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "blk")
+def simhash_near_pairs(
+    docs: DataFrame, *, max_hamming: int = 3, n_blocks: int = 4, shingle: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs via multi-band Hamming blocking (the web-crawl
+    dedup scheme of Manku et al., WWW'07): split the 64-bit signature into
+    ``n_blocks`` bands; by pigeonhole, any pair with Hamming distance
+    <= n_blocks - 1 agrees exactly on at least one band, so blocking on each
+    band and unioning candidates has PERFECT recall for
+    max_hamming < n_blocks.  Verification is bit_count(xor) <= max_hamming.
+    """
+    assert max_hamming < n_blocks, "recall guarantee needs max_hamming < n_blocks"
+    width = 64 // n_blocks
+    sig = simhash(docs, shingle=shingle)
+    blocked = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                )
+                for b in range(n_blocks)
+            ])
+        ).alias("bk"),
+    ).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "key"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "key"
+    )
     return (
-        a.join(b, "blk")
+        a.join(b, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -215,4 +288,5 @@ def simhash_near_pairs(docs: DataFrame, *, max_hamming: int = 3, prefix_bits: in
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
