@@ -295,6 +295,29 @@ def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
 # rows-only queries (non-SQL-expressible kernels / pipeline)
 # --------------------------------------------------------------------------
 
+def q_revenue_topk(spark, sf):  # broadcast dim join + SMJ fact join + agg + top-k
+    """TPC-H Q3-flavored: the canonical big-join shape at 100 TB — the
+    filtered customer dim is broadcast (no shuffle of the fact side for it),
+    orders⋈lineitem shuffles on the join key, aggregation is partial+final,
+    top-k is a global sort-limit. Revenue sums go through decimal(18,4) so
+    both engines add exactly."""
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderpriority", "revenue")
+    )
+
+
 def q_flagship_extract(spark, sf):
     return extract_pages(pages_df(spark, sf)).select(
         "url", "lang", "title", "n_spans", F.length("text").alias("n_chars")
@@ -307,6 +330,11 @@ def q_minhash_pairs(spark, sf):
 
 def q_simhash_pairs(spark, sf):
     return dedup_ops.simhash_near_pairs(_t(spark, sf, "documents"))
+
+
+def q_ivf_ann(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return sim_ops.ivf_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
 def q_lsh_ann(spark, sf):
@@ -407,11 +435,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sort_boxes_sql": q_sort_boxes_sql,
     "pandas_udf_lev": q_pandas_udf_lev,
     "embed_dup_pairs": q_embed_dup_pairs,
+    "revenue_topk": q_revenue_topk,
     # rows-only
     "flagship_extract": q_flagship_extract,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "combine_boxes": q_combine_boxes,
     "nms_boxes": q_nms_boxes,
     "reading_order": q_reading_order,
@@ -592,6 +622,17 @@ ORACLE_SQL: dict[str, str] = {
                                       ORDER BY sim DESC, vec_id) AS rank
             FROM scored
         ) WHERE rank <= 5
+    """,
+    "revenue_topk": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
     """,
     "cube_agg": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -121,3 +121,162 @@ def run_demo(spark, texts, *, checkpoint_dir: str):
     )
     q.awaitTermination(120)
     return spark.sql("select * from dedup_demo order by frame_id").collect()
+
+
+# ---------------------------------------------------------------------------
+# X2: RepetitionFilter — a box must be seen in >= n_repeat consecutive frames
+# at the same place (IoU >= iou_threshold) before it is emitted; a waiting
+# box unseen for `max_unseen` consecutive frames is evicted; an emitted box
+# is remembered and never re-emitted while it stays on screen (IoA vs memory
+# suppression, X4). Reference behavior:
+# /root/reference/utils/image/bounding_box/filters.py:88-188.
+
+
+class RepetitionGate:
+    """Pure-python/numpy form of the repetition state machine (unit-testable
+    without Spark; the streaming wiring serializes this state per key)."""
+
+    def __init__(self, *, n_repeat=2, iou_threshold=0.5, max_unseen=3, ioa_threshold=0.9):
+        self.n_repeat = n_repeat
+        self.iou_threshold = iou_threshold
+        self.max_unseen = max_unseen
+        self.ioa_threshold = ioa_threshold
+        self.waiting = []  # [box(4 floats), count, unseen]
+        self.memory = []   # emitted boxes
+
+    @staticmethod
+    def _iou(a, b):
+        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+        inter = ix * iy
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+        return inter / ua if ua > 0 else 0.0
+
+    @staticmethod
+    def _ioa(a, b):
+        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+        area = (a[2] - a[0]) * (a[3] - a[1])
+        return (ix * iy) / area if area > 0 else 0.0
+
+    def step(self, boxes):
+        """One frame: returns the list of boxes newly confirmed this frame."""
+        emitted = []
+        matched = [False] * len(self.waiting)
+        for box in boxes:
+            # X4: suppress anything already emitted and still in place
+            if any(self._ioa(box, m) >= self.ioa_threshold for m in self.memory):
+                continue
+            best, best_iou = None, self.iou_threshold
+            for i, (wbox, _cnt, _uns) in enumerate(self.waiting):
+                if matched[i]:
+                    continue
+                iou = self._iou(box, wbox)
+                if iou >= best_iou:
+                    best, best_iou = i, iou
+            if best is None:
+                self.waiting.append([list(box), 1, 0])
+                matched.append(True)
+            else:
+                w = self.waiting[best]
+                w[0], w[1], w[2] = list(box), w[1] + 1, 0
+                matched[best] = True
+                if w[1] >= self.n_repeat:
+                    emitted.append(list(box))
+                    self.memory.append(list(box))
+        survivors = []
+        for i, w in enumerate(self.waiting):
+            if w[0] in emitted:
+                continue  # promoted to memory
+            if not matched[i]:
+                w[2] += 1
+                if w[2] >= self.max_unseen:
+                    continue  # evicted
+            survivors.append(w)
+        self.waiting = survivors
+        return emitted
+
+
+REP_OUT_SCHEMA = (
+    "stream_id string, frame_id long, x0 double, y0 double, x1 double, y1 double"
+)
+REP_STATE_SCHEMA = (
+    "waiting array<double>, counts array<int>, unseen array<int>, memory array<double>"
+)
+
+
+def repetition_filter_stateful(frames_df, *, n_repeat=2, iou_threshold=0.5, max_unseen=3):
+    """Streaming X2: input rows (stream_id string, frame_id long,
+    boxes array<array<double>>); output one row per newly-confirmed box.
+    State per stream key = the RepetitionGate fields, flattened to Spark
+    state-store-friendly arrays (no binary pickles: resumable and
+    inspectable across checkpoints)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        gate = RepetitionGate(
+            n_repeat=n_repeat, iou_threshold=iou_threshold, max_unseen=max_unseen
+        )
+        if state.exists:
+            flat_wait, counts, unseen, flat_mem = state.get
+            gate.waiting = [
+                [list(flat_wait[4 * i : 4 * i + 4]), counts[i], unseen[i]]
+                for i in range(len(counts))
+            ]
+            gate.memory = [
+                list(flat_mem[4 * i : 4 * i + 4]) for i in range(len(flat_mem) // 4)
+            ]
+
+        out = []
+        for pdf in pdf_iter:
+            for _, row in pdf.sort_values("frame_id", kind="stable").iterrows():
+                boxes = row["boxes"] if row["boxes"] is not None else []
+                # native python scalars: the state/row unpickler on the JVM
+                # side rejects numpy dtypes
+                for box in gate.step([[float(v) for v in b] for b in boxes]):
+                    out.append((key[0], int(row["frame_id"]), *box))
+        state.update(
+            (
+                [float(v) for w in gate.waiting for v in w[0]],
+                [int(w[1]) for w in gate.waiting],
+                [int(w[2]) for w in gate.waiting],
+                [float(v) for m in gate.memory for v in m],
+            )
+        )
+        yield pd.DataFrame(
+            out, columns=["stream_id", "frame_id", "x0", "y0", "x1", "y1"]
+        )
+
+    return frames_df.groupBy("stream_id").applyInPandasWithState(
+        fn,
+        outputStructType=REP_OUT_SCHEMA,
+        stateStructType=REP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_repetition_demo(spark, frames, *, checkpoint_dir: str):
+    """Memory-sink micro-batch demo for the repetition filter: ``frames`` is
+    [(stream_id, frame_id, [[x0,y0,x1,y1], ...]), ...]."""
+    import tempfile
+
+    src = spark.createDataFrame(
+        frames, "stream_id string, frame_id long, boxes array<array<double>>"
+    )
+    path = tempfile.mkdtemp(prefix="rep_src_", dir=checkpoint_dir)
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    q = (
+        repetition_filter_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("rep_demo")
+        .outputMode("append")
+        .option("checkpointLocation", f"{checkpoint_dir}/rep_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("select * from rep_demo order by frame_id, x0").collect()

@@ -35,3 +35,54 @@ def test_streaming_dedup(spark, tmp_path):
     rows = run_demo(spark, texts, checkpoint_dir=str(tmp_path))
     flags = [r.is_new for r in sorted(rows, key=lambda r: r.frame_id)]
     assert flags == [True, False, True, False]
+
+
+def test_repetition_gate_kernel():
+    from ocr_spark.streaming.stream_ops import RepetitionGate
+
+    g = RepetitionGate(n_repeat=2, iou_threshold=0.5, max_unseen=3)
+    box = [0.1, 0.1, 0.3, 0.3]
+    jitter = [0.11, 0.1, 0.31, 0.3]          # IoU ~0.9 vs box
+    elsewhere = [0.6, 0.6, 0.9, 0.9]
+
+    assert g.step([box]) == []               # first sighting: waiting
+    assert g.step([jitter]) == [jitter]      # second consecutive: emitted
+    assert g.step([jitter]) == []            # already in memory: suppressed
+
+    assert g.step([elsewhere]) == []         # new box: waiting
+    assert g.step([]) == []                  # unseen 1
+    assert g.step([]) == []                  # unseen 2
+    assert g.step([]) == []                  # unseen 3 -> evicted
+    assert g.step([elsewhere]) == []         # must start over after eviction
+    assert g.step([elsewhere]) == [elsewhere]
+
+
+def test_repetition_filter_streaming(spark, tmp_path):
+    from ocr_spark.streaming.stream_ops import run_repetition_demo
+
+    b = [0.1, 0.1, 0.3, 0.3]
+    flicker = [0.7, 0.7, 0.8, 0.8]
+    frames = [
+        ("s0", 0, [b]),
+        ("s0", 1, [b, flicker]),   # b confirmed here; flicker 1st sighting
+        ("s0", 2, [b]),            # b already emitted; flicker unseen
+    ]
+    rows = run_repetition_demo(spark, frames, checkpoint_dir=str(tmp_path))
+    assert len(rows) == 1
+    assert rows[0].frame_id == 1 and abs(rows[0].x0 - 0.1) < 1e-9
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.01"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(e, q, k=5).collect()}
+    approx = {(r.query_id, r.vec_id) for r in ivf_topk(e, q, k=5, n_probe=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall} too low"
