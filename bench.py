@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "ann_topk",
     "lsh_ann",
+    "ivf_ann",
+    "revenue_topk",
     "cube_agg",
     "events_hourly",
     "window_topk",

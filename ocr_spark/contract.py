@@ -337,6 +337,16 @@ def q_ivf_ann(spark, sf):
     return sim_ops.ivf_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
+def q_normalize_numbers(spark, sf):  # F5 number verbalization cleaner
+    from .operators.pudf import normalize_numbers_udf
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        normalize_numbers_udf(F.substring("text", 1, 80)).alias("head_verbalized"),
+    )
+
+
 def q_lsh_ann(spark, sf):
     e = _t(spark, sf, "embeddings")
     return sim_ops.lsh_bucket_topk(e, e.where(F.col("vec_id") < 5), k=5)
@@ -442,6 +452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
+    "normalize_numbers": q_normalize_numbers,
     "combine_boxes": q_combine_boxes,
     "nms_boxes": q_nms_boxes,
     "reading_order": q_reading_order,

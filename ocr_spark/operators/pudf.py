@@ -26,3 +26,12 @@ def text_f1_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     from ..kernels.textproc import text_f1
 
     return pd.Series([round(float(text_f1(x, y)[1]), 6) for x, y in zip(a, b)])
+
+
+@pandas_udf("string")
+def normalize_numbers_udf(text: pd.Series) -> pd.Series:
+    """Number/ordinal/money/time verbalization (numbers.py kernel, the F5
+    cleaner analog) over Arrow batches."""
+    from ..kernels.numbers import normalize_numbers
+
+    return text.map(lambda t: normalize_numbers(t) if t is not None else None)

@@ -51,3 +51,31 @@ def test_ctc_encode_decode_roundtrip():
     for text in ["hello world", "a1 b2", ""]:
         ids = encode_text(text, index)
         assert decode_tokens(ids, vocab) == text
+
+
+def test_revenue_topk_broadcasts_dim_and_limits(spark):
+    df = QUERIES["revenue_topk"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan       # filtered customer dim broadcast
+    assert "TakeOrderedAndProject" in plan   # top-k is sort-limit, not global sort
+
+
+def test_jaccard_prefix_filter_prunes_postings(spark):
+    # the prefix-filtered candidate index must be strictly smaller than the
+    # full posting list (the AllPairs guarantee that makes the join linear-ish)
+    from ocr_spark.operators.dedup import shingle_sets
+    from ocr_spark.contract import _t
+
+    docs = _t(spark, SF_SMOKE, "documents")
+    full = shingle_sets(docs).count()
+    from pyspark.sql import Window
+    sh = shingle_sets(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn("rk", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh")))
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.where(F.col("rk") <= F.col("n") - F.ceil(F.lit(0.5) * F.col("n")) + 1).count()
+    assert prefix < 0.65 * full, (prefix, full)
