@@ -58,9 +58,13 @@ def ctc_greedy_decode_batch(logits: np.ndarray, lengths=None, blank: int = 0):
         lengths = np.full((n,), t, dtype=np.int64)
     lengths = np.asarray(lengths, dtype=np.int64)
 
-    logp = log_softmax(logits)
-    best = logp.argmax(axis=-1)  # (N, T)
-    best_logp = np.take_along_axis(logp, best[..., None], axis=-1)[..., 0]
+    # argmax(log_softmax(x)) == argmax(x), and at the argmax the shifted
+    # logit is exactly 0, so logp[best] == -log(sum(exp(x - max))) — same
+    # floating-point ops as full log_softmax + gather (bitwise-identical
+    # scores) without materializing the (N, T, V) log-softmax array
+    m = logits.max(axis=-1)  # (N, T)
+    best = logits.argmax(axis=-1)  # (N, T)
+    best_logp = -np.log(np.exp(logits - m[..., None]).sum(axis=-1))
 
     valid = np.arange(t)[None, :] < lengths[:, None]
     scores = np.where(valid, best_logp, 0.0).sum(axis=1) / np.maximum(lengths, 1)

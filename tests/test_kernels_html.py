@@ -110,3 +110,50 @@ def test_malformed_html_is_forgiving():
     paras = extract_paragraphs(html)
     texts = [p.get("text", "") for p in paras]
     assert any("second one" in t for t in texts)
+
+
+def test_fast_parser_matches_stdlib_on_corpus():
+    """Differential gate: the regex tokenizer and the stdlib state machine
+    must yield identical extractions over the whole sf0.01 pages corpus."""
+    import ocr_spark.kernels.html_extract as hx
+    from ocr_spark.sources.pages import synth_page
+
+    import duckdb
+
+    docs = duckdb.sql(
+        "select * from '/root/testdata/sf0.01/documents.parquet'"
+    ).df()
+    checked = 0
+    for _, row in docs.iterrows():
+        html = synth_page(int(row["doc_id"]), row["text"], row["lang"])["html"]
+        if html.startswith(b"%OCRPAYLOAD%"):
+            continue
+        fast = hx.extract_page(html)
+        text = html.decode("utf-8", errors="replace")
+        title, cleaned = hx.prepare_html(text)
+        root_slow = hx._stdlib_parse_dom(cleaned)
+        root_fast = hx.fast_parse_dom(cleaned)
+
+        def flatten(node):
+            out = []
+            for c in node.children:
+                if isinstance(c, str):
+                    out.append(("#text", c))
+                else:
+                    out.append((c.name, dict(c.attrs)))
+                    out.extend(flatten(c))
+            return out
+
+        assert flatten(root_fast) == flatten(root_slow), row["doc_id"]
+        checked += 1
+    assert checked > 100
+
+
+def test_fast_parser_junk_inputs():
+    import ocr_spark.kernels.html_extract as hx
+
+    for junk in [b"", b"\x00\xff\xfe junk <", b"<p>a < b</p>", b"<<<>>>",
+                 b"<script>if (a<b) {x}</script><p>ok</p>",
+                 b"<!-- unterminated", b"<p title='q&amp;a'>t</p>"]:
+        title, paragraphs, text = hx.extract_page(junk)
+        assert isinstance(text, str)
