@@ -58,6 +58,16 @@ def run_extract_job(
     out_tbl = ManifestTable(f"{out_root}/extracted")
     lin_tbl = ManifestTable(f"{out_root}/lineage")
 
+    # aborted-transaction reconciliation: the job commits output FIRST, then
+    # lineage — an output commit with no matching lineage commit means the
+    # previous run died in between, and its urls would be re-extracted (the
+    # anti-join only sees lineage) producing duplicates in the output table.
+    # Single-writer assumption (Iceberg-style): roll orphans back at start.
+    lin_ids = {s["commit_id"] for s in lin_tbl.snapshots}
+    for snap in out_tbl.snapshots:
+        if snap["commit_id"] not in lin_ids:
+            out_tbl.rollback(snap["commit_id"])
+
     lineage = lin_tbl.read(spark)
     extracted = extract_plan(pages, lineage=lineage, salt_partitions=salt_partitions)
 

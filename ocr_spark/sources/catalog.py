@@ -61,6 +61,15 @@ class ManifestTable:
         self._save_manifest(manifest)
         return commit_id
 
+    def rollback(self, commit_id: int):
+        """Drop a commit from the manifest (aborted-transaction cleanup).
+        The data directory is left unreferenced — read() never sees it, and
+        the id is reused by the retry (next_commit_id scans the manifest),
+        overwriting the partial files."""
+        self._save_manifest(
+            [s for s in self._load_manifest() if s["commit_id"] != commit_id]
+        )
+
     def read(self, spark):
         manifest = self._load_manifest()
         if not manifest:

@@ -99,3 +99,57 @@ def test_spans_structure(spark, golden):
     span = row.spans[0]
     assert span.seq == 0 and span.text
     assert 0.0 <= span.x0 <= span.x1
+
+
+def test_crash_between_output_and_lineage_commits(spark, golden, tmp_path):
+    """A run that dies AFTER committing output but BEFORE committing lineage
+    must be rolled back on the next run — its urls re-extract exactly once,
+    never duplicating in the output table."""
+    out_root = str(tmp_path / "warehouse")
+    pages = pages_df(spark, SF_SMOKE)
+
+    first_half = pages.where("url like '%/p/1%'")
+    commit1, m1 = run_extract_job(spark, first_half, out_root, salt_partitions=4)
+
+    # simulate the crashed second run: output commit lands, lineage doesn't
+    out_tbl = ManifestTable(f"{out_root}/extracted")
+    orphan_id = out_tbl.next_commit_id()
+    out_tbl.append(extract_pages(pages.where("url like '%/p/2%'")), orphan_id)
+    n_commits_before = len(out_tbl.snapshots)
+
+    # recovery run over the full input
+    commit3, m3 = run_extract_job(spark, pages, out_root, salt_partitions=4)
+
+    final = ManifestTable(f"{out_root}/extracted").read(spark)
+    assert final.count() == 500
+    assert final.select("url").distinct().count() == 500  # no duplicates
+    j = final.join(golden.select("url", "expected_text"), "url")
+    assert j.where("text = expected_text").count() == 500
+    # the orphan was rolled back, its id reused by the recovery commit
+    ids = sorted(s["commit_id"] for s in ManifestTable(f"{out_root}/extracted").snapshots)
+    assert len(ids) == n_commits_before and commit3 == orphan_id
+
+
+def test_salting_balances_mega_host(spark):
+    """north_rule skew mitigation: one host owning 90% of urls must still
+    spread ~evenly across partitions (salted url-hash repartition)."""
+    from pyspark.sql import functions as F
+
+    hot = [(f"https://mega.example.com/p/{i}",) for i in range(900)]
+    cold = [(f"https://host{i}.example.com/x",) for i in range(100)]
+    urls = spark.createDataFrame(hot + cold, "url string")
+    pages = urls.select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(b"<p>w</p>").alias("html"),
+        F.lit("w").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    salted = extract_plan(pages, salt_partitions=8)
+    sizes = (
+        salted.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid").count().collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert len(counts) == 8
+    assert max(counts) < 2 * (1000 / 8), counts
