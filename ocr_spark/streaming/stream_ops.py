@@ -280,3 +280,88 @@ def run_repetition_demo(spark, frames, *, checkpoint_dir: str):
     )
     q.awaitTermination(120)
     return spark.sql("select * from rep_demo order by frame_id, x0").collect()
+
+
+# ---------------------------------------------------------------------------
+# X1: frame dedup gate — a frame whose (binarized) score-map signature has
+# dice_coeff >= threshold vs the previously-kept frame is a duplicate and is
+# dropped; after `tolerance` consecutive duplicates the gate re-emits one
+# frame (the reference's pacing counter). Reference behavior:
+# /root/reference/models/ocr/base_ocr.py:377-434 (stream_fn),
+# /root/reference/utils/distances.py:125-130 (dice_coeff).
+
+FRAME_OUT_SCHEMA = "stream_id string, frame_id long, is_duplicate boolean"
+FRAME_STATE_SCHEMA = "last_sig array<double>, n_dup int"
+
+
+def frame_dedup_stateful(frames_df, *, threshold: float = 0.9, tolerance: int = 5):
+    """Streaming X1: input rows (stream_id string, frame_id long,
+    sig array<double>) where sig is the frame's score-map signature
+    (downsampled activation map); output flags duplicates per frame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            last_sig, n_dup = state.get
+            last = np.asarray(last_sig, dtype=np.float64)
+        else:
+            last, n_dup = None, 0
+
+        out = []
+        for pdf in pdf_iter:
+            for _, row in pdf.sort_values("frame_id", kind="stable").iterrows():
+                sig = np.asarray(
+                    row["sig"] if row["sig"] is not None else [], dtype=np.float64
+                )
+                dup = (
+                    last is not None
+                    and len(last) == len(sig)
+                    and dice_coeff(sig, last) >= threshold
+                )
+                if dup:
+                    n_dup += 1
+                    if n_dup >= tolerance:  # pacing: re-emit after N dups
+                        dup, n_dup = False, 0
+                else:
+                    n_dup = 0
+                if not dup:
+                    last = sig
+                out.append((key[0], int(row["frame_id"]), bool(dup)))
+        state.update(
+            ([float(v) for v in (last if last is not None else [])], int(n_dup))
+        )
+        yield pd.DataFrame(out, columns=["stream_id", "frame_id", "is_duplicate"])
+
+    return frames_df.groupBy("stream_id").applyInPandasWithState(
+        fn,
+        outputStructType=FRAME_OUT_SCHEMA,
+        stateStructType=FRAME_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_frame_dedup_demo(spark, frames, *, checkpoint_dir: str, threshold: float = 0.9):
+    """Memory-sink micro-batch demo: ``frames`` is
+    [(stream_id, frame_id, [sig floats...]), ...]."""
+    import tempfile
+
+    src = spark.createDataFrame(
+        frames, "stream_id string, frame_id long, sig array<double>"
+    )
+    path = tempfile.mkdtemp(prefix="frame_src_", dir=checkpoint_dir)
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    q = (
+        frame_dedup_stateful(stream, threshold=threshold)
+        .writeStream.format("memory")
+        .queryName("frame_dedup_demo")
+        .outputMode("append")
+        .option("checkpointLocation", f"{checkpoint_dir}/frame_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("select * from frame_dedup_demo order by frame_id").collect()

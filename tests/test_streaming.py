@@ -86,3 +86,15 @@ def test_ivf_recall_vs_brute_force(spark):
     approx = {(r.query_id, r.vec_id) for r in ivf_topk(e, q, k=5, n_probe=8).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall {recall} too low"
+
+
+def test_frame_dedup_stateful(spark, tmp_path):
+    from ocr_spark.streaming.stream_ops import run_frame_dedup_demo
+
+    a = [1.0, 1.0, 0.0, 0.0]
+    a_jit = [1.0, 1.0, 0.1, 0.0]   # dice vs a ~0.95 -> duplicate
+    b = [0.0, 0.0, 1.0, 1.0]       # dice vs a = 0 -> new
+    frames = [("s0", 0, a), ("s0", 1, a_jit), ("s0", 2, b), ("s0", 3, b)]
+    rows = run_frame_dedup_demo(spark, frames, checkpoint_dir=str(tmp_path))
+    flags = [r.is_duplicate for r in sorted(rows, key=lambda r: r.frame_id)]
+    assert flags == [False, True, False, True]
