@@ -393,6 +393,15 @@ def q_multimodal_meta(spark, sf):
     return blob_metadata(d)
 
 
+def q_multimodal_frames(spark, sf):
+    from .operators.multimodal import frame_sample
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("blob_id"), F.col("text").cast("binary").alias("blob")
+    )
+    return frame_sample(d.where(F.col("blob_id") < 50), n_frames=8, every_k=2)
+
+
 def q_detect_maps(spark, sf):  # D2-D6: EAST map decode + LANMS
     from .operators.detect_maps import detect_from_maps, synth_maps_df
 
@@ -457,6 +466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nms_boxes": q_nms_boxes,
     "reading_order": q_reading_order,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
     "detect_maps": q_detect_maps,
     "split_text": q_split_text,
 }

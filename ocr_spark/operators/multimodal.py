@@ -107,3 +107,81 @@ def blob_features(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id"
             )
 
     return df.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "blob_id long, height int, width int, pixels array<int>"
+FRAME_SCHEMA = "blob_id long, frame_idx int, frame_sha256 string, feat_norm double"
+
+
+def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize (the aspect-free core of the reference's
+    resize+pad stage, image_processing.py:19-142) — pure numpy indexing,
+    identical on every executor."""
+    src_h, src_w = img.shape[:2]
+    ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+    xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+    return img[ys][:, xs]
+
+
+def blob_resize(df: DataFrame, *, h: int = 4, w: int = 4, blob_col: str = "blob", id_col: str = "blob_id") -> DataFrame:
+    """Decode -> resize stage: one Arrow batch of blobs -> fixed-size pixel
+    grids. The resampling math is real; only the codec decode is the
+    deterministic stub."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                img = fake_decode(bytes(blob) if blob is not None else b"")
+                small = resize_nearest(img, h, w)
+                rows.append(
+                    {
+                        "blob_id": int(bid),
+                        "height": h,
+                        "width": w,
+                        "pixels": small.astype(np.int64).ravel().tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["blob_id", "height", "width", "pixels"])
+
+    return df.mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    *,
+    n_frames: int = 8,
+    every_k: int = 2,
+    blob_col: str = "blob",
+    id_col: str = "blob_id",
+) -> DataFrame:
+    """Video frame sampling shape: one blob row -> every_k-th of its
+    ``n_frames`` frames (a 1->N mapInPandas UDTF — the Spark form of the
+    reference's frame_generator, image_io.py:391). Frames are derived
+    deterministically from the blob stream by the stub decoder."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                for idx in range(0, n_frames, every_k):
+                    frame = fake_decode(b + idx.to_bytes(4, "big"))
+                    feat = frame.astype(np.float64).ravel() / 255.0
+                    rows.append(
+                        {
+                            "blob_id": int(bid),
+                            "frame_idx": idx,
+                            "frame_sha256": hashlib.sha256(frame.tobytes()).hexdigest(),
+                            "feat_norm": round(float(np.linalg.norm(feat)), 6),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["blob_id", "frame_idx", "frame_sha256", "feat_norm"]
+            )
+
+    return df.mapInPandas(gen, schema=FRAME_SCHEMA)

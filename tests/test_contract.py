@@ -52,3 +52,27 @@ def test_kernels_do_not_import_spark():
     for py in (REPO / "ocr_spark" / "kernels").rglob("*.py"):
         src = py.read_text()
         assert "pyspark" not in src, f"{py} imports pyspark"
+
+
+def test_multimodal_resize_and_frames(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.multimodal import blob_resize, frame_sample
+
+    d = spark.createDataFrame(
+        [(1, b"alpha"), (2, b"beta"), (3, None)], "blob_id long, blob binary"
+    )
+    resized = blob_resize(d, h=4, w=4).collect()
+    assert len(resized) == 3
+    assert all(len(r.pixels) == 4 * 4 * 3 for r in resized)
+    # deterministic across runs
+    again = {r.blob_id: r.pixels for r in blob_resize(d, h=4, w=4).collect()}
+    assert {r.blob_id: r.pixels for r in resized} == again
+
+    frames = frame_sample(d, n_frames=8, every_k=2)
+    rows = frames.collect()
+    assert len(rows) == 3 * 4  # 1 -> N expansion
+    assert sorted({r.frame_idx for r in rows}) == [0, 2, 4, 6]
+    # frames differ per index (derived stream, not repeats)
+    per_blob = [r.frame_sha256 for r in rows if r.blob_id == 1]
+    assert len(set(per_blob)) == 4
