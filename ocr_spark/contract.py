@@ -402,6 +402,12 @@ def q_multimodal_frames(spark, sf):
     return frame_sample(d.where(F.col("blob_id") < 50), n_frames=8, every_k=2)
 
 
+def q_chunk_extracted(spark, sf):  # F8 chunks_from_paragraphs driver
+    from .operators.chunking import chunk_extracted
+
+    return chunk_extracted(extract_pages(pages_df(spark, sf)), max_length=400)
+
+
 def q_detect_maps(spark, sf):  # D2-D6: EAST map decode + LANMS
     from .operators.detect_maps import detect_from_maps, synth_maps_df
 
@@ -467,6 +473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reading_order": q_reading_order,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
+    "chunk_extracted": q_chunk_extracted,
     "detect_maps": q_detect_maps,
     "split_text": q_split_text,
 }

@@ -76,3 +76,29 @@ def test_multimodal_resize_and_frames(spark):
     # frames differ per index (derived stream, not repeats)
     per_blob = [r.frame_sha256 for r in rows if r.blob_id == 1]
     assert len(set(per_blob)) == 4
+
+
+def test_chunk_extracted(spark):
+    from ocr_spark.operators.chunking import chunk_extracted, chunk_spans
+    from ocr_spark.operators.extract import extract_pages
+    from ocr_spark.sources.pages import pages_df
+    from tests.conftest import SF_SMOKE
+
+    # kernel: packing + over-long split + section boundaries
+    spans = [
+        {"section": "a", "text": "x" * 50},
+        {"section": "a", "text": "y" * 50},
+        {"section": "b", "text": "z" * 50},   # section change -> new chunk
+        {"section": "b", "text": "long word " * 60},  # > max -> split
+    ]
+    chunks = chunk_spans(spans, max_length=120)
+    assert chunks[0]["section"] == "a" and chunks[0]["n_spans"] == 2
+    assert chunks[1]["section"] == "b" and chunks[1]["n_spans"] == 1
+    assert all(len(c["text"]) <= 120 for c in chunks)
+
+    # through Spark over the real extraction output
+    out = chunk_extracted(extract_pages(pages_df(spark, SF_SMOKE)), max_length=300)
+    rows = out.collect()
+    assert len(rows) > 500
+    assert all(r.n_chars <= 300 for r in rows)
+    assert {r.url for r in rows} and all(r.chunk_id >= 0 for r in rows)
