@@ -134,11 +134,24 @@ def _plan_payload_doc(html: bytes):
     return paragraphs, jobs
 
 
-def _decode_jobs(all_jobs):
-    """Batched greedy CTC decode over every line in the Arrow chunk."""
+def _decode_jobs(all_jobs, method: str = "greedy", num_beams: int = 10):
+    """Batched CTC decode over every line in the Arrow chunk.
+
+    greedy (default) is the vectorized hot path; beam reproduces the
+    reference's flagship callsite (beam_search, num_beams=10 at
+    base_ocr.py:113-115) with a per-sequence prefix beam — same outputs on
+    peaked logits, kept off the default path per SURVEY.md §7 risk 7.
+    """
     vocab, _ = _get_vocab()
     if not all_jobs:
         return [], np.zeros((0,))
+    if method == "beam":
+        texts, scores = [], []
+        for j in all_jobs:
+            (toks, score), *_ = ctc_kernel.ctc_beam_decode(j, beam_width=num_beams)
+            texts.append(ctc_kernel.decode_tokens(toks, vocab))
+            scores.append(score)
+        return texts, np.asarray(scores)
     t_max = max(j.shape[0] for j in all_jobs)
     batch = np.stack([np.pad(j, ((0, t_max - j.shape[0]), (0, 0))) for j in all_jobs])
     lengths = np.array([j.shape[0] for j in all_jobs])
@@ -147,7 +160,7 @@ def _decode_jobs(all_jobs):
     return texts, scores
 
 
-def extract_batch(pdf):
+def extract_batch(pdf, decode_method: str = "greedy"):
     """pandas chunk of pages -> pandas chunk of extracted documents."""
     import pandas as pd
 
@@ -174,7 +187,7 @@ def extract_batch(pdf):
             plans.append(("html", ("", "", [])))
 
     # phase 2: one batched CTC decode for the whole chunk
-    line_texts, line_scores = _decode_jobs(all_jobs)
+    line_texts, line_scores = _decode_jobs(all_jobs, method=decode_method)
 
     # phase 3: assemble
     out = {
@@ -219,12 +232,12 @@ def extract_batch(pdf):
     return pd.DataFrame(out)
 
 
-def extract_pages(pages_df):
+def extract_pages(pages_df, *, decode_method: str = "greedy"):
     """pages DataFrame -> extracted documents DataFrame (single mapInPandas,
     no shuffle; Catalyst prunes unused page columns from the scan)."""
 
     def gen(batches):
         for pdf in batches:
-            yield extract_batch(pdf)
+            yield extract_batch(pdf, decode_method)
 
     return pages_df.mapInPandas(gen, schema=EXTRACT_SCHEMA)

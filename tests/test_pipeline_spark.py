@@ -153,3 +153,23 @@ def test_salting_balances_mega_host(spark):
     counts = [r["count"] for r in sizes]
     assert len(counts) == 8
     assert max(counts) < 2 * (1000 / 8), counts
+
+
+def test_beam_decode_matches_greedy_on_flagship(spark, golden):
+    """The reference's flagship callsite uses beam_search (num_beams=10);
+    on the synthesized (peaked) logits beam top-1 must equal greedy, so the
+    whole extraction stays byte-identical under either decoder."""
+    from pyspark.sql import functions as F
+
+    pages = golden.drop("expected_text").where("url like '%/p/1_0'")
+
+    def digest(df):
+        return (
+            df.select(F.sha2(F.concat_ws("|", "url", "text"), 256).alias("h"))
+            .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("decimal(38,0)")))
+            .collect()[0][0]
+        )
+
+    assert digest(extract_pages(pages)) == digest(
+        extract_pages(pages, decode_method="beam")
+    )
