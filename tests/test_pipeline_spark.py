@@ -173,3 +173,22 @@ def test_beam_decode_matches_greedy_on_flagship(spark, golden):
     assert digest(extract_pages(pages)) == digest(
         extract_pages(pages, decode_method="beam")
     )
+
+
+def test_extraction_never_fails_on_corrupt_pages(spark):
+    """At 10^12-doc scale malformed pages are routine: corrupt payload JSON,
+    binary junk, empty and NULL html must all degrade to empty extractions,
+    never a task failure."""
+    rows = [
+        ("u1", None, b"%OCRPAYLOAD%{garbage", "t", "en"),
+        ("u2", None, b"\x00\xff\xfe binary junk <", "t", "en"),
+        ("u3", None, b"", "t", "en"),
+        ("u4", None, None, "t", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = extract_pages(pages).collect()
+    assert len(out) == 4
+    assert all(isinstance(r.text, str) for r in out)
+    assert {r.url for r in out} == {"u1", "u2", "u3", "u4"}
