@@ -32,7 +32,13 @@ from ..sources.lineage import lineage_of, pending_pages
 SALT = 0x5CA1AB1E
 
 
-def extract_plan(pages: DataFrame, *, lineage: DataFrame | None = None, salt_partitions: int | None = None) -> DataFrame:
+def extract_plan(
+    pages: DataFrame,
+    *,
+    lineage: DataFrame | None = None,
+    salt_partitions: int | None = None,
+    decode_method: str = "greedy",
+) -> DataFrame:
     """Build the (lazy) extraction DataFrame: resume filter + salted
     repartition + single-pass extraction."""
     pending = pending_pages(pages, lineage)
@@ -40,7 +46,7 @@ def extract_plan(pages: DataFrame, *, lineage: DataFrame | None = None, salt_par
         pending = pending.repartition(
             salt_partitions, F.xxhash64(F.col("url"), F.lit(SALT))
         )
-    return extract_pages(pending)
+    return extract_pages(pending, decode_method=decode_method)
 
 
 def run_extract_job(
@@ -49,6 +55,7 @@ def run_extract_job(
     out_root: str,
     *,
     salt_partitions: int | None = None,
+    decode_method: str = "greedy",
 ):
     """Execute one commit: extract pending pages, append output + lineage.
 
@@ -69,7 +76,12 @@ def run_extract_job(
             out_tbl.rollback(snap["commit_id"])
 
     lineage = lin_tbl.read(spark)
-    extracted = extract_plan(pages, lineage=lineage, salt_partitions=salt_partitions)
+    extracted = extract_plan(
+        pages,
+        lineage=lineage,
+        salt_partitions=salt_partitions,
+        decode_method=decode_method,
+    )
 
     obs = Observation("extract_metrics")
     extracted = extracted.observe(

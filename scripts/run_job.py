@@ -1,0 +1,61 @@
+"""Production entrypoint: spark-submit --py-files ocr_spark.zip run_job.py
+
+    spark-submit --master <cluster> --py-files ocr_spark.zip \
+        scripts/run_job.py --input <pages parquet/iceberg path> \
+        --output <warehouse root> [--salt-partitions N] [--decode beam]
+
+Runs one resumable extraction commit: scan -> lineage anti-join ->
+(optional salted repartition) -> single mapInPandas extraction -> manifest
+commit + lineage + metrics. Re-running after any failure processes only
+the remainder (exactly-once per url; aborted commits roll back at start).
+
+For a quick sandbox smoke, pass --synth-sf /root/testdata/sf0.001 instead
+of --input to synthesize the pages table on the fly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages table path (parquet dir)")
+    ap.add_argument("--synth-sf", help="synthesize pages from this sf dir instead")
+    ap.add_argument("--output", required=True, help="warehouse root for commits")
+    ap.add_argument("--salt-partitions", type=int, default=None)
+    ap.add_argument("--decode", choices=["greedy", "beam"], default="greedy")
+    ap.add_argument("--cpus", type=int, default=None, help="local-mode cores")
+    args = ap.parse_args()
+
+    from ocr_spark.plans.pipeline import run_extract_job
+    from ocr_spark.plans.session import get_spark
+    from ocr_spark.sources.pages import pages_df
+
+    spark = get_spark("ocr_spark_job", cpus=args.cpus)
+    try:
+        if args.synth_sf:
+            pages = pages_df(spark, args.synth_sf)
+        elif args.input:
+            pages = spark.read.parquet(args.input)
+        else:
+            ap.error("one of --input / --synth-sf is required")
+
+        commit_id, metrics = run_extract_job(
+            spark,
+            pages,
+            args.output,
+            salt_partitions=args.salt_partitions,
+            decode_method=args.decode,
+        )
+        print(f"commit={commit_id} metrics={metrics}")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
