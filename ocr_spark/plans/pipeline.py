@@ -123,3 +123,45 @@ def run_extract_job(
     )
 
     return commit_id, metrics
+
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def run_streaming_extract(
+    spark,
+    pages_glob: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Continuous-ingestion form of the flagship job (S6/X5 analog): new
+    page files appearing under ``pages_glob`` stream through the SAME
+    single mapInPandas extraction into a parquet sink.
+
+    Exactly-once here comes from Structured Streaming's checkpoint/WAL
+    (file-source offsets + sink commit log) instead of the lineage table —
+    the batch job's anti-join resume and the stream's checkpoint are the
+    two standard shapes of the same idempotence contract.
+    ``max_files_per_trigger`` is the ingestion-rate knob (the reference's
+    buffer_size, image_io.py:181+).
+    """
+    reader = spark.readStream.schema(PAGES_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(pages_glob)
+    extracted = extract_pages(pages)
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination(300)
+    return q

@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis) over the pure kernels.
+
+The reference has no property testing (SURVEY.md §5); these pin the
+algebraic invariants the golden fixtures can't sweep: box-format
+round-trips, IoU bounds/symmetry, union coverage, connected-component
+partition laws, CTC encode→synth→decode round-trips on arbitrary text,
+edit-distance metric axioms, and chunker budget guarantees.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ocr_spark.kernels.boxes import compute_iou, compute_union, convert_boxes
+from ocr_spark.kernels.combine import combine_boxes, compute_groups
+from ocr_spark.kernels import ctc as ctc_kernel
+from ocr_spark.kernels.textproc import edit_distance
+
+# boxes as (x0, y0, w, h) with positive extent, normalized-ish coords
+_box = st.tuples(
+    st.floats(0, 0.9, allow_nan=False),
+    st.floats(0, 0.9, allow_nan=False),
+    st.floats(0.01, 0.5, allow_nan=False),
+    st.floats(0.01, 0.5, allow_nan=False),
+)
+
+
+def _xyxy(raw):
+    a = np.array([[x, y, x + w, y + h] for x, y, w, h in raw], dtype=np.float64)
+    return a
+
+
+@given(st.lists(_box, min_size=1, max_size=24))
+@settings(max_examples=60, deadline=None)
+def test_convert_roundtrip(raw):
+    boxes = _xyxy(raw)
+    back = convert_boxes(convert_boxes(boxes, "xyxy", "xywh"), "xywh", "xyxy")
+    assert np.allclose(back, boxes, atol=1e-9)
+
+
+@given(st.lists(_box, min_size=1, max_size=24))
+@settings(max_examples=60, deadline=None)
+def test_iou_bounds_symmetry_diagonal(raw):
+    boxes = _xyxy(raw)
+    iou = compute_iou(boxes, boxes, as_matrix=True)
+    assert iou.shape == (len(boxes), len(boxes))
+    assert np.all(iou >= -1e-12) and np.all(iou <= 1 + 1e-9)
+    assert np.allclose(iou, iou.T, atol=1e-9)
+    assert np.allclose(np.diag(iou), 1.0, atol=1e-9)
+
+
+@given(st.lists(_box, min_size=1, max_size=24))
+@settings(max_examples=60, deadline=None)
+def test_union_covers_members(raw):
+    boxes = _xyxy(raw)
+    u = compute_union(boxes)
+    assert np.all(u[0] <= boxes[:, 0] + 1e-12)
+    assert np.all(u[1] <= boxes[:, 1] + 1e-12)
+    assert np.all(u[2] >= boxes[:, 2] - 1e-12)
+    assert np.all(u[3] >= boxes[:, 3] - 1e-12)
+
+
+@given(
+    st.integers(1, 12).flatmap(
+        lambda n: st.lists(
+            st.lists(st.booleans(), min_size=n, max_size=n), min_size=n, max_size=n
+        )
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_connected_components_partition(adj):
+    n = len(adj)
+    mask = np.array(adj, dtype=bool)
+    mask |= mask.T  # undirected
+    np.fill_diagonal(mask, True)
+    groups = compute_groups(mask)
+    flat = sorted(i for g in groups for i in g)
+    assert flat == list(range(n))  # a partition: every node exactly once
+    # connectivity: directly-adjacent nodes end up in the same group
+    gid = {}
+    for k, g in enumerate(groups):
+        for i in g:
+            gid[i] = k
+    for i in range(n):
+        for j in range(n):
+            if mask[i, j]:
+                assert gid[i] == gid[j]
+
+
+@given(st.lists(_box, min_size=1, max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_combine_boxes_partitions_indices(raw):
+    boxes = _xyxy(raw)
+    para_boxes, para_indices, para_rows = combine_boxes(boxes)
+
+    def flatten(x):
+        out = []
+        stack = [x]
+        while stack:
+            v = stack.pop()
+            if isinstance(v, (list, tuple)):
+                stack.extend(v)
+            else:
+                out.append(int(v))
+        return out
+
+    members = sorted(i for grp in para_indices for i in flatten(grp))
+    assert members == list(range(len(boxes)))  # every word in exactly one para
+    assert len(para_boxes) == len(para_indices) == len(para_rows)
+
+
+_text = st.text(alphabet=" abcdefghijklmnopqrstuvwxyz0123456789.,!?-'\"", max_size=40)
+
+
+@given(_text)
+@settings(max_examples=80, deadline=None)
+def test_ctc_synth_decode_roundtrip(text):
+    vocab = ctc_kernel.make_vocab()
+    logits = ctc_kernel.synth_logits_for_text(text, vocab)
+    if logits.shape[0] == 0:
+        assert text == ""
+        return
+    tokens, scores = ctc_kernel.ctc_greedy_decode_batch(logits[None])
+    assert ctc_kernel.decode_tokens(tokens[0], vocab) == text
+    assert np.all(scores <= 0.0)  # log-prob scores
+
+
+@given(_text, _text)
+@settings(max_examples=80, deadline=None)
+def test_edit_distance_metric_axioms(a, b):
+    d_ab = edit_distance(a, b, normalize=False)
+    d_ba = edit_distance(b, a, normalize=False)
+    assert d_ab == d_ba  # symmetric under unit costs
+    assert (d_ab == 0) == (a == b)  # identity of indiscernibles
+    assert d_ab <= max(len(a), len(b))  # upper bound
+
+
+@given(st.lists(_text.filter(lambda t: t.strip()), min_size=1, max_size=6))
+@settings(max_examples=40, deadline=None)
+def test_chunker_respects_budget(texts):
+    from ocr_spark.operators.chunking import chunk_spans
+
+    spans = [{"section": "s", "text": t} for t in texts]
+    chunks = chunk_spans(spans, max_length=30)
+    assert all(len(c["text"]) <= 30 for c in chunks)
+    # no content loss for short spans: every input text appears in order
+    joined = "\n\n".join(c["text"] for c in chunks)
+    for t in texts:
+        if len(t.strip(" ")) <= 30 and t.strip():
+            assert t.strip(" ") in joined

@@ -98,3 +98,31 @@ def test_frame_dedup_stateful(spark, tmp_path):
     rows = run_frame_dedup_demo(spark, frames, checkpoint_dir=str(tmp_path))
     flags = [r.is_duplicate for r in sorted(rows, key=lambda r: r.frame_id)]
     assert flags == [False, True, False, True]
+
+
+def test_streaming_extraction_byte_identical(spark, tmp_path):
+    """The flagship extraction runs unchanged as a Structured Streaming
+    job: file-source pages stream -> mapInPandas -> parquet sink, with
+    checkpointed exactly-once. Restarting over the same source emits
+    nothing new."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.pipeline import run_streaming_extract
+    from ocr_spark.sources.pages import pages_df
+    from tests.conftest import SF_SMOKE
+
+    golden = pages_df(spark, SF_SMOKE, with_expected=True)
+    src = str(tmp_path / "pages_stream")
+    golden.drop("expected_text").repartition(4).write.parquet(src)
+    out = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+
+    run_streaming_extract(spark, src, out, ckpt)
+    result = spark.read.parquet(out)
+    assert result.count() == 500
+    j = result.join(golden.select("url", "expected_text"), "url")
+    assert j.where(F.col("text") == F.col("expected_text")).count() == 500
+
+    # restart over the same source: checkpoint replays nothing
+    run_streaming_extract(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == 500
