@@ -156,14 +156,12 @@ def _parse_attr_blob(blob: str) -> dict:
     for m in _ATTR_RE.finditer(blob):
         name = m.group(1).lower()
         val = m.group(2)
-        if val is None:
-            val = None
-        else:
+        if val is not None:
             if len(val) >= 2 and val[0] in "\"'" and val[-1] == val[0]:
                 val = val[1:-1]
             if "&" in val:
                 val = _html.unescape(val)
-        attrs.setdefault(name, val)
+        attrs[name] = val  # duplicate attr: LAST wins, like dict(stdlib attrs)
     return attrs
 
 
@@ -253,7 +251,19 @@ def fast_parse_dom(html: str) -> _Node:
         blob = m.group("attrs")
         node = _Node(name, parent=stack[-1], attrs_raw=blob)
         stack[-1].children.append(node)
-        self_closing = blob.rstrip().endswith("/")
+        # self-closing iff the trailing '/' is NOT part of an unquoted
+        # attribute value. stdlib: attrfind consumes 'href=http://x.com/'
+        # whole (unquoted =value eats the slash), but a bare attribute name
+        # stops before '/' ('<div checked/>' IS a startend tag).
+        stripped = blob.rstrip()
+        if not stripped.endswith("/"):
+            self_closing = False
+        elif len(stripped) == 1 or stripped[-2] in " \t\n\r\"'":
+            self_closing = True
+        else:
+            parts = stripped[:-1].split()
+            # '=' in the last token => the '/' belonged to its unquoted value
+            self_closing = "=" not in (parts[-1] if parts else "")
         if name in _RAWTEXT_TAGS and not self_closing:
             # raw-text elements: everything until the matching close tag is
             # one text child (the stdlib parser's CDATA mode)

@@ -30,9 +30,10 @@ def chunk_spans(spans, max_length: int = 400):
     cur_texts: list[str] = []
     cur_section = None
     cur_spans = 0
+    cur_len = 0  # running accumulated length (joined with 2-char separators)
 
     def flush():
-        nonlocal cur_texts, cur_spans
+        nonlocal cur_texts, cur_spans, cur_len
         if cur_texts:
             text = "\n\n".join(cur_texts)
             chunks.append(
@@ -42,7 +43,7 @@ def chunk_spans(spans, max_length: int = 400):
                     "text": text,
                 }
             )
-        cur_texts, cur_spans = [], 0
+        cur_texts, cur_spans, cur_len = [], 0, 0
 
     for span in spans or []:
         section = span["section"] or ""
@@ -50,8 +51,7 @@ def chunk_spans(spans, max_length: int = 400):
         if not text:
             continue
         if cur_texts and (
-            section != cur_section
-            or sum(len(t) + 2 for t in cur_texts) + len(text) > max_length
+            section != cur_section or cur_len + len(text) > max_length
         ):
             flush()
         cur_section = section
@@ -76,6 +76,7 @@ def chunk_spans(spans, max_length: int = 400):
             continue
         cur_texts.append(text)
         cur_spans += 1
+        cur_len += len(text) + 2
     flush()
     return chunks
 

@@ -132,9 +132,12 @@ def ngram_jaccard_pairs(
             )
             .join(sizes, "doc_id")
         )
-        # prefix length: n - ceil(t*n) + 1
+        # prefix length: n - ceil(t*n) + 1. The 1e-9 slack keeps binary-FP
+        # threshold products (0.8*5 -> 4.0000000000000004) from rounding the
+        # prefix SHORTER than the recall-safe bound.
         index = ranked.where(
-            F.col("rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+            F.col("rk")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
         ).select("doc_id", "sh", "n")
     else:
         index = sh.join(sizes, "doc_id")
@@ -145,9 +148,12 @@ def ngram_jaccard_pairs(
         a.join(b, "sh")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
-            # size-ratio prune, implied by Jaccard >= t: t*na <= nb <= na/t
-            & (F.col("nb") >= F.lit(threshold) * F.col("na"))
-            & (F.col("nb") <= F.col("na") / F.lit(threshold))
+            # size-ratio prune, implied by Jaccard >= t: t*na <= nb <= na/t.
+            # 1e-9 slack so pairs sitting exactly ON the bound survive binary
+            # FP (4 >= 0.8*5 must hold); exactness is decided by the final
+            # jaccard >= threshold filter, the prune only needs recall.
+            & (F.col("nb") >= F.lit(threshold) * F.col("na") - F.lit(1e-9))
+            & (F.col("nb") <= F.col("na") / F.lit(threshold) + F.lit(1e-9))
         )
         .select("doc_a", "doc_b")
         .distinct()

@@ -163,5 +163,7 @@ def run_streaming_extract(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     if available_now:
-        q.awaitTermination(300)
+        # no timeout: returning with the query still draining would hand the
+        # caller a partially-written sink with no error signal
+        q.awaitTermination()
     return q

@@ -70,24 +70,24 @@ def dedup_texts_stateful(frames_df):
         else:
             emitted, last_k, seen = set(), [], 0
 
-        out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("frame_id", kind="stable")
-            keep = emitted_text_gate(pdf["text"].tolist(), emitted, last_k)
-            seen += len(pdf)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "stream_id": pdf["stream_id"],
-                        "frame_id": pdf["frame_id"],
-                        "text": pdf["text"],
-                        "is_new": keep,
-                    }
-                )
+        # concat all Arrow chunks first: per-chunk sorting would process
+        # frames out of global frame_id order when a key spans chunks
+        chunks = list(pdf_iter)
+        pdf = (
+            pd.concat(chunks) if chunks else pd.DataFrame(
+                columns=["stream_id", "frame_id", "text"]
             )
+        ).sort_values("frame_id", kind="stable")
+        keep = emitted_text_gate(pdf["text"].tolist(), emitted, last_k)
+        seen += len(pdf)
         state.update((sorted(emitted), last_k[-5:], seen))
-        yield pd.concat(out) if out else pd.DataFrame(
-            columns=["stream_id", "frame_id", "text", "is_new"]
+        yield pd.DataFrame(
+            {
+                "stream_id": pdf["stream_id"],
+                "frame_id": pdf["frame_id"],
+                "text": pdf["text"],
+                "is_new": keep,
+            }
         )
 
     return frames_df.groupBy("stream_id").applyInPandasWithState(
@@ -136,13 +136,26 @@ class RepetitionGate:
     """Pure-python/numpy form of the repetition state machine (unit-testable
     without Spark; the streaming wiring serializes this state per key)."""
 
-    def __init__(self, *, n_repeat=2, iou_threshold=0.5, max_unseen=3, ioa_threshold=0.9):
+    def __init__(
+        self,
+        *,
+        n_repeat=2,
+        iou_threshold=0.5,
+        max_unseen=3,
+        ioa_threshold=0.9,
+        memory_ttl=30,
+    ):
         self.n_repeat = n_repeat
         self.iou_threshold = iou_threshold
         self.max_unseen = max_unseen
         self.ioa_threshold = ioa_threshold
+        self.memory_ttl = memory_ttl
         self.waiting = []  # [box(4 floats), count, unseen]
-        self.memory = []   # emitted boxes
+        # emitted boxes with their own unseen counter: suppression only holds
+        # "while the box stays on screen" — an entry not refreshed for
+        # memory_ttl frames is evicted, bounding state size and letting a
+        # box that leaves and later returns be re-confirmed
+        self.memory = []   # [box(4 floats), unseen]
 
     @staticmethod
     def _iou(a, b):
@@ -163,9 +176,15 @@ class RepetitionGate:
         """One frame: returns the list of boxes newly confirmed this frame."""
         emitted = []
         matched = [False] * len(self.waiting)
+        mem_seen = [False] * len(self.memory)
         for box in boxes:
             # X4: suppress anything already emitted and still in place
-            if any(self._ioa(box, m) >= self.ioa_threshold for m in self.memory):
+            suppressed = False
+            for mi, (mbox, _uns) in enumerate(self.memory):
+                if self._ioa(box, mbox) >= self.ioa_threshold:
+                    mem_seen[mi] = True
+                    suppressed = True
+            if suppressed:
                 continue
             best, best_iou = None, self.iou_threshold
             for i, (wbox, _cnt, _uns) in enumerate(self.waiting):
@@ -183,7 +202,8 @@ class RepetitionGate:
                 matched[best] = True
                 if w[1] >= self.n_repeat:
                     emitted.append(list(box))
-                    self.memory.append(list(box))
+                    self.memory.append([list(box), 0])
+                    mem_seen.append(True)
         survivors = []
         for i, w in enumerate(self.waiting):
             if w[0] in emitted:
@@ -194,6 +214,16 @@ class RepetitionGate:
                     continue  # evicted
             survivors.append(w)
         self.waiting = survivors
+        mem_survivors = []
+        for seen, m in zip(mem_seen, self.memory):
+            if seen:
+                m[1] = 0
+            else:
+                m[1] += 1
+                if m[1] >= self.memory_ttl:
+                    continue  # left the screen long ago: forget it
+            mem_survivors.append(m)
+        self.memory = mem_survivors
         return emitted
 
 
@@ -201,7 +231,8 @@ REP_OUT_SCHEMA = (
     "stream_id string, frame_id long, x0 double, y0 double, x1 double, y1 double"
 )
 REP_STATE_SCHEMA = (
-    "waiting array<double>, counts array<int>, unseen array<int>, memory array<double>"
+    "waiting array<double>, counts array<int>, unseen array<int>, "
+    "memory array<double>, mem_unseen array<int>"
 )
 
 
@@ -220,29 +251,36 @@ def repetition_filter_stateful(frames_df, *, n_repeat=2, iou_threshold=0.5, max_
             n_repeat=n_repeat, iou_threshold=iou_threshold, max_unseen=max_unseen
         )
         if state.exists:
-            flat_wait, counts, unseen, flat_mem = state.get
+            flat_wait, counts, unseen, flat_mem, mem_unseen = state.get
             gate.waiting = [
                 [list(flat_wait[4 * i : 4 * i + 4]), counts[i], unseen[i]]
                 for i in range(len(counts))
             ]
             gate.memory = [
-                list(flat_mem[4 * i : 4 * i + 4]) for i in range(len(flat_mem) // 4)
+                [list(flat_mem[4 * i : 4 * i + 4]), mem_unseen[i]]
+                for i in range(len(flat_mem) // 4)
             ]
 
         out = []
-        for pdf in pdf_iter:
-            for _, row in pdf.sort_values("frame_id", kind="stable").iterrows():
-                boxes = row["boxes"] if row["boxes"] is not None else []
-                # native python scalars: the state/row unpickler on the JVM
-                # side rejects numpy dtypes
-                for box in gate.step([[float(v) for v in b] for b in boxes]):
-                    out.append((key[0], int(row["frame_id"]), *box))
+        # one key's micro-batch may span several Arrow chunks; concat before
+        # sorting so frames are processed in global frame_id order
+        chunks = list(pdf_iter)
+        pdf_all = pd.concat(chunks) if chunks else pd.DataFrame(
+            columns=["stream_id", "frame_id", "boxes"]
+        )
+        for _, row in pdf_all.sort_values("frame_id", kind="stable").iterrows():
+            boxes = row["boxes"] if row["boxes"] is not None else []
+            # native python scalars: the state/row unpickler on the JVM
+            # side rejects numpy dtypes
+            for box in gate.step([[float(v) for v in b] for b in boxes]):
+                out.append((key[0], int(row["frame_id"]), *box))
         state.update(
             (
                 [float(v) for w in gate.waiting for v in w[0]],
                 [int(w[1]) for w in gate.waiting],
                 [int(w[2]) for w in gate.waiting],
-                [float(v) for m in gate.memory for v in m],
+                [float(v) for m in gate.memory for v in m[0]],
+                [int(m[1]) for m in gate.memory],
             )
         )
         yield pd.DataFrame(
@@ -310,25 +348,28 @@ def frame_dedup_stateful(frames_df, *, threshold: float = 0.9, tolerance: int = 
             last, n_dup = None, 0
 
         out = []
-        for pdf in pdf_iter:
-            for _, row in pdf.sort_values("frame_id", kind="stable").iterrows():
-                sig = np.asarray(
-                    row["sig"] if row["sig"] is not None else [], dtype=np.float64
-                )
-                dup = (
-                    last is not None
-                    and len(last) == len(sig)
-                    and dice_coeff(sig, last) >= threshold
-                )
-                if dup:
-                    n_dup += 1
-                    if n_dup >= tolerance:  # pacing: re-emit after N dups
-                        dup, n_dup = False, 0
-                else:
-                    n_dup = 0
-                if not dup:
-                    last = sig
-                out.append((key[0], int(row["frame_id"]), bool(dup)))
+        chunks = list(pdf_iter)
+        pdf_all = pd.concat(chunks) if chunks else pd.DataFrame(
+            columns=["stream_id", "frame_id", "sig"]
+        )
+        for _, row in pdf_all.sort_values("frame_id", kind="stable").iterrows():
+            sig = np.asarray(
+                row["sig"] if row["sig"] is not None else [], dtype=np.float64
+            )
+            dup = (
+                last is not None
+                and len(last) == len(sig)
+                and dice_coeff(sig, last) >= threshold
+            )
+            if dup:
+                n_dup += 1
+                if n_dup >= tolerance:  # pacing: re-emit after N dups
+                    dup, n_dup = False, 0
+            else:
+                n_dup = 0
+            if not dup:
+                last = sig
+            out.append((key[0], int(row["frame_id"]), bool(dup)))
         state.update(
             ([float(v) for v in (last if last is not None else [])], int(n_dup))
         )

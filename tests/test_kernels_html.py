@@ -157,3 +157,33 @@ def test_fast_parser_junk_inputs():
                  b"<!-- unterminated", b"<p title='q&amp;a'>t</p>"]:
         title, paragraphs, text = hx.extract_page(junk)
         assert isinstance(text, str)
+
+
+def test_fast_parser_edge_parity_with_stdlib():
+    """Targeted parity probes the corpus differential can't reach: unquoted
+    attr values ending in '/', bare-attr self-closing, duplicate attrs."""
+    import ocr_spark.kernels.html_extract as hx
+
+    cases = [
+        "<a href=http://x.com/>anchor</a>",        # '/' is part of the value
+        "<div foo/>text</div>",                    # bare attr + '/': startend
+        '<img src="x"/><p>t</p>',                  # quoted value + '/'
+        '<td title="a" title="b">t</td>',          # duplicate attr: last wins
+        "<p title=q&amp;a></p>",                   # entity in unquoted value
+        "<br/><br />nested <b>deep</b>",
+    ]
+
+    def flatten(node):
+        out = []
+        for c in node.children:
+            if isinstance(c, str):
+                out.append(("#text", c))
+            else:
+                out.append((c.name, dict(c.attrs)))
+                out.extend(flatten(c))
+        return out
+
+    for html in cases:
+        fast = flatten(hx.fast_parse_dom(html))
+        slow = flatten(hx._stdlib_parse_dom(html))
+        assert fast == slow, (html, fast, slow)

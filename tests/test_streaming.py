@@ -126,3 +126,36 @@ def test_streaming_extraction_byte_identical(spark, tmp_path):
     # restart over the same source: checkpoint replays nothing
     run_streaming_extract(spark, src, out, ckpt)
     assert spark.read.parquet(out).count() == 500
+
+
+def test_repetition_gate_memory_ttl():
+    from ocr_spark.streaming.stream_ops import RepetitionGate
+
+    g = RepetitionGate(n_repeat=2, memory_ttl=3)
+    box = [0.1, 0.1, 0.3, 0.3]
+    assert g.step([box]) == []
+    assert g.step([box]) == [box]       # confirmed + remembered
+    assert g.step([box]) == []          # suppressed while on screen
+    for _ in range(3):                   # box leaves the screen
+        g.step([])
+    assert g.memory == []                # TTL eviction bounds the state
+    assert g.step([box]) == []           # back on screen: counts from scratch
+    assert g.step([box]) == [box]        # re-confirmed after return
+
+
+def test_jaccard_exact_on_threshold_boundary(spark):
+    """jaccard == threshold exactly (4/5 with t=0.8) must be kept in both
+    the prefix-filtered and naive plans despite binary-FP threshold math."""
+    from ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7"),   # 5 shingles
+            (2, "t1 t2 t3 t4 t5 t6"),      # 4 shingles, all shared -> J=0.8
+            (3, "u1 u2 u3 u4 u5"),
+        ],
+        "doc_id long, text string",
+    )
+    for pf in (True, False):
+        rows = ngram_jaccard_pairs(docs, threshold=0.8, prefix_filter=pf).collect()
+        assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 0.8)], pf
