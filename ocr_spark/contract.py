@@ -112,6 +112,30 @@ def q_order_weight(spark, sf):  # W10 order-weight window sort
     )
 
 
+def q_sessionize(spark, sf):  # training-pipeline: gap-based sessionization
+    """Classic lag + gap-flag + cumulative-sum window chain: a new session
+    starts after > 30 min of inactivity per user. At scale this is one
+    shuffle on user_id reused by all three window functions (same
+    partitioning), then a plain aggregation."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp("ts")  # whole seconds == DuckDB date_diff(second)
+    gap = ts_s - F.lag(ts_s).over(w)
+    sess = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
 def q_clean_text(spark, sf):  # F4 cleaners: collapse/lower/trim
     d = _t(spark, sf, "documents")
     cleaned = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
@@ -442,6 +466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_topk": q_window_topk,
     "anti_join": q_anti_join,
     "order_weight": q_order_weight,
+    "sessionize": q_sessionize,
     "clean_text": q_clean_text,
     "levenshtein": q_levenshtein,
     "group_concat": q_group_concat,
@@ -536,6 +561,27 @@ ORACLE_SQL: dict[str, str] = {
                                 event_id) AS pos
             FROM events
         ) WHERE pos <= 5
+    """,
+    "sessionize": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        FROM sess GROUP BY user_id, session_id
     """,
     "clean_text": f"""
         SELECT doc_id, {_NORM_TEXT} AS cleaned,
