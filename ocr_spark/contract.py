@@ -612,7 +612,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "token_count": """
         SELECT doc_id,
-               CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
                CAST(length(text) AS INT) AS n_chars
         FROM documents
     """,
@@ -620,7 +620,7 @@ ORACLE_SQL: dict[str, str] = {
         WITH f AS (
             SELECT doc_id,
                    length(text) AS n_chars,
-                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
                    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
                    length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
                    length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_spaces

@@ -59,6 +59,9 @@ def convert_boxes(
         # dtype carries relative-vs-absolute (converter.py:246-250): check it
         # before any float cast
         boxes = normalize_boxes(boxes, source, normalize_mode, image_h=image_h, image_w=image_w)
+    # relative-vs-absolute decides the dezoom clamp bound (converter.py:246-250
+    # checks dtype): capture it BEFORE the float64 working cast below
+    rel = np.issubdtype(np.asarray(boxes).dtype, np.floating)
     boxes = _as_array(boxes)
 
     if source == target and dezoom_factor == 1.0:
@@ -75,7 +78,13 @@ def convert_boxes(
         w, h = (xy_max - xy_min)[..., 0], (xy_max - xy_min)[..., 1]
 
     if dezoom_factor != 1.0:
-        x, y, w, h = dezoom_box(x, y, w, h, dezoom_factor, image_h=image_h, image_w=image_w)
+        # relative boxes clamp to the unit square even when an image size was
+        # passed (it may have been given only for a normalize step)
+        x, y, w, h = dezoom_box(
+            x, y, w, h, dezoom_factor,
+            image_h=None if rel else image_h,
+            image_w=None if rel else image_w,
+        )
 
     if target == "xywh":
         return np.stack([x, y, w, h], axis=-1)

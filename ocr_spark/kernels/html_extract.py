@@ -269,10 +269,15 @@ def fast_parse_dom(html: str) -> _Node:
             # one text child (the stdlib parser's CDATA mode)
             close = re.compile(rf"</{name}\s*>", re.IGNORECASE)
             cm = close.search(html, pos)
-            end = cm.start() if cm else n
-            if end > pos:
-                node.children.append(html[pos:end])
-            pos = cm.end() if cm else n
+            if cm:
+                if cm.start() > pos:
+                    node.children.append(html[pos : cm.start()])
+                pos = cm.end()
+            else:
+                # unterminated script/style (truncated page): stdlib discards
+                # the trailing CDATA rather than emitting it as text — a leak
+                # here would pollute extracted text with raw JS/CSS
+                pos = n
         elif name not in _VOID_TAGS and not self_closing:
             stack.append(node)
     return root

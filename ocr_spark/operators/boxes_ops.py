@@ -47,13 +47,24 @@ def grouped_map_in_pandas(df: DataFrame, key: str, fn_group, schema: str) -> Dat
             if not len(pdf):
                 continue
             last_key = pdf[key].iloc[-1]
-            is_tail = pdf[key] == last_key
+            # NaN-aware tail match: a null group key is a regular group in
+            # applyInPandas semantics, not a row to drop
+            if pd.isna(last_key):
+                is_tail = pdf[key].isna()
+            else:
+                is_tail = pdf[key] == last_key
             head, carry = pdf[~is_tail], pdf[is_tail]
             if len(head):
-                outs = [fn_group(g) for _, g in head.groupby(key, sort=False)]
+                outs = [
+                    fn_group(g)
+                    for _, g in head.groupby(key, sort=False, dropna=False)
+                ]
                 yield pd.concat(outs, ignore_index=True)
         if carry is not None and len(carry):
-            outs = [fn_group(g) for _, g in carry.groupby(key, sort=False)]
+            outs = [
+                fn_group(g)
+                for _, g in carry.groupby(key, sort=False, dropna=False)
+            ]
             yield pd.concat(outs, ignore_index=True)
 
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))

@@ -36,7 +36,9 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 
 def predicted_lang(text: Column) -> Column:
-    """argmax over marker hits, ties -> 'und'; pure CASE/greatest chain."""
+    """argmax over marker hits; on ties the FIRST language (en, fr, de, es
+    order) reaching the max wins; zero hits -> 'und'. Pure CASE/greatest
+    chain, mirrored exactly by the DuckDB oracle."""
     scores = lang_scores(text)
     best = F.greatest(*scores.values())
     expr = None
@@ -49,7 +51,10 @@ def predicted_lang(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    return F.size(F.split(F.trim(text), " "))
+    """Whitespace-run tokenization: multiple spaces/tabs/newlines count as
+    one separator; empty/blank text counts 0 tokens."""
+    toks = F.split(F.trim(text), r"\s+")
+    return F.size(F.filter(toks, lambda x: x != ""))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

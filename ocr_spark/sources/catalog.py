@@ -54,7 +54,12 @@ class ManifestTable:
             commit_id = self.next_commit_id()
         path = os.path.join(self.data_dir, f"commit={commit_id}")
         df.write.mode("overwrite").parquet(path)
-        manifest = self._load_manifest()
+        # the data write above is an overwrite; the manifest entry must be
+        # too, or a retry of the same commit id would list the path twice
+        # and read() would duplicate every row of the commit
+        manifest = [
+            s for s in self._load_manifest() if s["commit_id"] != commit_id
+        ]
         manifest.append(
             {"commit_id": commit_id, "path": path, "ts": time.time()}
         )

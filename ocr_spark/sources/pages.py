@@ -84,9 +84,15 @@ def _html_doc(doc_id: int, words: list[str], lang: str):
     for i, pt in enumerate(para_texts):
         if i == 1:
             body_parts.append(f"<h2>{section}</h2>")
-        # wrap one word in <b> to exercise inline tags (space-safe by the
-        # ' </' rule); raw text already single-spaced
-        body_parts.append(f"<p>{pt}</p>")
+        # wrap the first word of the first paragraph in <b> to exercise
+        # inline-tag text assembly (the ' </' space rule + cross-node
+        # _raw_text concatenation); whitespace collapse restores the
+        # single-spaced expected text
+        if i == 0 and " " in pt:
+            head, rest = pt.split(" ", 1)
+            body_parts.append(f"<p><b>{head}</b> {rest}</p>")
+        else:
+            body_parts.append(f"<p>{pt}</p>")
         expected_parts.append(pt)
     body_parts.append("<ul>" + "".join(f"<li>{it}</li>" for it in list_items) + "</ul>")
     expected_parts.append("\n".join("- " + it for it in list_items))

@@ -142,3 +142,31 @@ def test_sort_top_reading_order():
         ]
     )
     assert sort_boxes_xywh(boxes_xywh, method="top").tolist() == [1, 0, 2]
+
+
+def test_combine_boxes_empty_and_single():
+    import numpy as np
+
+    from ocr_spark.kernels.combine import combine_boxes, combine_boxes_overlap
+
+    out_boxes, out_idx, out_rows = combine_boxes_overlap(np.zeros((0, 4)))
+    assert len(out_boxes) == 0 and out_idx == [] and out_rows == []
+
+    boxes, idx, rows = combine_boxes(np.array([[0.1, 0.1, 0.4, 0.2]]))
+    assert len(boxes) == 1 and len(idx) == 1 and len(rows) == 1
+
+
+def test_dezoom_relative_clamps_to_unit_even_with_image_size():
+    import numpy as np
+
+    from ocr_spark.kernels.boxes import convert_boxes
+
+    out = convert_boxes(
+        np.array([[0.8, 0.8, 0.15, 0.15]]),
+        "xywh",
+        "xyxy",
+        dezoom_factor=2.0,
+        image_h=512,
+        image_w=512,
+    )
+    assert out[0, 2] <= 1.0 + 1e-12 and out[0, 3] <= 1.0 + 1e-12

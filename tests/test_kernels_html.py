@@ -187,3 +187,16 @@ def test_fast_parser_edge_parity_with_stdlib():
         fast = flatten(hx.fast_parse_dom(html))
         slow = flatten(hx._stdlib_parse_dom(html))
         assert fast == slow, (html, fast, slow)
+
+
+def test_unterminated_script_not_leaked():
+    import ocr_spark.kernels.html_extract as hx
+
+    html = b"<p>keep</p><script>var secret = 1;"
+    _, _, text = hx.extract_page(html)
+    assert "secret" not in text and "keep" in text
+    # parity with stdlib on the raw fragment too
+    frag = "<p>keep</p><script>var secret = 1;"
+    fast = hx.fast_parse_dom(frag)
+    slow = hx._stdlib_parse_dom(frag)
+    assert hx._raw_text(fast) == hx._raw_text(slow)

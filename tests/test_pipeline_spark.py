@@ -192,3 +192,32 @@ def test_extraction_never_fails_on_corrupt_pages(spark):
     assert len(out) == 4
     assert all(isinstance(r.text, str) for r in out)
     assert {r.url for r in out} == {"u1", "u2", "u3", "u4"}
+
+
+def test_manifest_reappend_same_commit_no_duplicates(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "tbl"))
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    tbl.append(df, 0)
+    tbl.append(df, 0)  # retry of the same commit id
+    assert len(tbl.snapshots) == 1
+    assert tbl.read(spark).count() == 5
+
+
+def test_grouped_map_keeps_null_keys(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.boxes_ops import grouped_map_in_pandas
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 3.0), (None, 4.0), ("b", 5.0)],
+        "k string, v double",
+    )
+
+    def fn(g):
+        import pandas as pd
+
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "total": [float(g["v"].sum())]})
+
+    out = grouped_map_in_pandas(df, "k", fn, "k string, total double")
+    got = {r.k: r.total for r in out.collect()}
+    assert got == {"a": 3.0, None: 7.0, "b": 5.0}
