@@ -137,8 +137,10 @@ def q_sessionize(spark, sf):  # training-pipeline: gap-based sessionization
 
 
 def q_clean_text(spark, sf):  # F4 cleaners: collapse/lower/trim
+    from .functions.text_functions import clean_text_expr
+
     d = _t(spark, sf, "documents")
-    cleaned = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    cleaned = clean_text_expr("text")
     return d.select(
         "doc_id", cleaned.alias("cleaned"), F.length(cleaned).alias("n_chars_clean")
     )
@@ -252,8 +254,9 @@ def q_emission_filter(spark, sf):  # P6/X3 near-duplicate emission gate
     prev = F.lag(t).over(w)
     base_ok = (F.length(t) > 0) & t.contains(" ") & t.rlike("[a-zA-Z]")
     near_dup = F.when(
-        prev.isNotNull(), (F.levenshtein(t, prev) / F.length(prev)) < 0.2
-    ).otherwise(F.lit(False))
+        prev.isNotNull() & (F.length(prev) > 0),
+        (F.levenshtein(t, prev) / F.length(prev)) < 0.2,
+    ).otherwise(F.lit(False))  # empty prev: d/0 -> (d != 0) >= 0.2, never near
     return d.select(
         "doc_id",
         "lang",
@@ -382,11 +385,14 @@ def _synth_boxes(spark, sf):
     li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") % 50 == 0)
     return li.select(
         F.concat(F.lit("doc"), F.col("l_orderkey")).alias("url"),
-        # composite id: (linenumber, partkey) pairs can repeat in the data,
-        # and rank tie-breaks need a unique key on both engines
-        (F.col("l_linenumber") * 100000 + F.col("l_partkey") * 10 + F.col("l_suppkey"))
-        .cast("int")
-        .alias("box_id"),
+        # composite id: strides sized so (linenumber, partkey, suppkey) can
+        # never collide (partkey < 1e5, suppkey < 1e3 at the tested scales);
+        # stays bigint — an int cast would overflow under ANSI at large sf
+        (
+            F.col("l_linenumber") * 100000000
+            + F.col("l_partkey") * 1000
+            + F.col("l_suppkey")
+        ).alias("box_id"),
         # integer-valued pixel boxes: every coordinate, sum and product is an
         # exact double, so rank comparisons can never hinge on last-ulp
         # differences between engines (ties are exact -> box_id tie-break)
@@ -629,14 +635,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id,
                CAST(n_chars AS INT) AS n_chars,
                CAST(n_tokens AS INT) AS n_tokens,
-               round((n_chars - n_spaces) * 1.0 / n_tokens, 4) AS avg_token_len,
-               round(n_digits * 1.0 / n_chars, 4) AS digit_ratio,
-               round(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
-               round((CASE WHEN n_tokens >= 5
-                            AND (n_chars - n_spaces) * 1.0 / n_tokens >= 2
-                            AND (n_chars - n_spaces) * 1.0 / n_tokens <= 12
-                           THEN 1.0 ELSE 0.0 END)
-                     * (1.0 - n_digits * 1.0 / n_chars), 4) AS quality_score
+               CASE WHEN n_tokens > 0
+                    THEN round((n_chars - n_spaces) * 1.0 / n_tokens, 4) END AS avg_token_len,
+               CASE WHEN n_chars > 0
+                    THEN round(n_digits * 1.0 / n_chars, 4) END AS digit_ratio,
+               CASE WHEN n_chars > 0
+                    THEN round(n_punct * 1.0 / n_chars, 4) END AS punct_ratio,
+               round(CASE WHEN n_tokens >= 5
+                           AND (n_chars - n_spaces) * 1.0 / n_tokens >= 2
+                           AND (n_chars - n_spaces) * 1.0 / n_tokens <= 12
+                          THEN 1.0 - n_digits * 1.0 / n_chars ELSE 0.0 END, 4) AS quality_score
         FROM f
     """,
     "langid": f"""
@@ -758,12 +766,12 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, lang,
                (length(t) > 0 AND t LIKE '% %' AND regexp_matches(t, '[a-zA-Z]')) AS base_ok,
                coalesce(
-                   CASE WHEN prev IS NOT NULL
+                   CASE WHEN prev IS NOT NULL AND length(prev) > 0
                         THEN (levenshtein(t, prev) * 1.0 / length(prev)) < 0.2
                         ELSE FALSE END, FALSE) AS near_dup,
                ((length(t) > 0 AND t LIKE '% %' AND regexp_matches(t, '[a-zA-Z]'))
                 AND NOT coalesce(
-                    CASE WHEN prev IS NOT NULL
+                    CASE WHEN prev IS NOT NULL AND length(prev) > 0
                          THEN (levenshtein(t, prev) * 1.0 / length(prev)) < 0.2
                          ELSE FALSE END, FALSE)) AS emit
         FROM d
@@ -771,7 +779,7 @@ ORACLE_SQL: dict[str, str] = {
     "sort_boxes_sql": """
         WITH b AS (
             SELECT 'doc' || CAST(l_orderkey AS VARCHAR) AS url,
-                   CAST(l_linenumber * 100000 + l_partkey * 10 + l_suppkey AS INT) AS box_id,
+                   CAST(l_linenumber * 100000000 + l_partkey * 1000 + l_suppkey AS BIGINT) AS box_id,
                    CAST(10 + (l_linenumber % 4) * 25 AS DOUBLE) AS x0,
                    CAST(20 + (l_partkey % 6) * 12 AS DOUBLE) AS y0,
                    CAST(10 + (l_linenumber % 4) * 25 + 8 + l_suppkey % 5 AS DOUBLE) AS x1,

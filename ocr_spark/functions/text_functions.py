@@ -23,10 +23,15 @@ def strip_eos_token(col, token: str = "</s>") -> Column:
 
 
 def normalized_edit_distance(a, b) -> Column:
-    """edit_distance(normalize=True) builtin case: levenshtein/len(truth)."""
+    """edit_distance(normalize=True) builtin case: levenshtein/len(truth);
+    empty truth falls back to (distance != 0) like the reference kernel —
+    and x/0 would be a hard ANSI-mode abort, not a NULL."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    return F.levenshtein(a, b) / F.length(b)
+    lev = F.levenshtein(a, b)
+    return F.when(F.length(b) > 0, lev / F.length(b)).otherwise(
+        (lev != 0).cast("double")
+    )
 
 
 def remove_urls_expr(col) -> Column:

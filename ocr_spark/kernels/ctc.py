@@ -125,6 +125,16 @@ def ctc_beam_decode(logits: np.ndarray, length=None, blank: int = 0, beam_width:
     return [(list(prefix), score / norm) for score, prefix in results[:top_paths]]
 
 
+def sanitize_for_vocab(text: str, vocab_index: dict) -> str:
+    """Lowercase + map chars outside the vocab to space — the exact visible
+    transform of the recognition channel (the CRNN vocab is lowercase, so
+    any decode output is too). ONE definition, shared by the extraction
+    operator, the recognize stage, and the pages synthesizer's
+    by-construction goldens: a corpus with uppercase/exotic chars stays
+    byte-identical end to end."""
+    return "".join(c if c in vocab_index else " " for c in text.lower())
+
+
 def encode_text(text: str, vocab_index: dict, *, unknown: int | None = None) -> list[int]:
     """Char-level encode (tokenizer.py:599-669 char path): unknown chars are
     dropped (None) or mapped to ``unknown``. Round-trips with decode_tokens."""

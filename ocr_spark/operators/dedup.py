@@ -41,7 +41,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Group by normalized-content fingerprint; one row per distinct content
     with the member count and canonical (min) doc_id."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    from ..functions.text_functions import clean_text_expr
+
+    norm = clean_text_expr("text")
     return (
         docs.select(F.col("doc_id"), F.md5(norm.cast("binary")).alias("fp"))
         .groupBy("fp")

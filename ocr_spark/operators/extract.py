@@ -58,7 +58,7 @@ def _get_vocab():
 
 
 def _sanitize(text: str, index: dict) -> str:
-    return "".join(c if c in index else " " for c in text)
+    return ctc_kernel.sanitize_for_vocab(text, index)
 
 
 def _extract_html_doc(html: bytes):

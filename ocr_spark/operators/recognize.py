@@ -34,8 +34,7 @@ def ctc_roundtrip(parts: DataFrame, *, beam: bool = False) -> DataFrame:
         index = {c: i for i, c in enumerate(vocab)}
         for pdf in batches:
             texts = [
-                "".join(ch if ch in index else " " for ch in str(t).lower())
-                for t in pdf["p_name"]
+                ctc_kernel.sanitize_for_vocab(str(t), index) for t in pdf["p_name"]
             ]
             jobs = [ctc_kernel.synth_logits_for_text(t, vocab) for t in texts]
             if beam:

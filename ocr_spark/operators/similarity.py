@@ -36,7 +36,10 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero vectors (padding rows, failed encoders) are routine at corpus
+    # scale; x/0 is a hard job abort under ANSI mode, so define cos(0,.) = 0
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -179,10 +182,13 @@ def ivf_topk(
         return F.array(*[F.lit(float(v)) for v in c])
 
     def best_cid(emb):
+        # centroids are unit-norm, so argmax_c dot(e,c)/|e| == argmax_c
+        # dot(e,c): skip the per-row norm (16 redundant interpreted HOF
+        # passes) and stay well-defined for zero vectors
         pairs = F.array(
             *[
                 F.struct(
-                    (_dot(emb, cent_lit(c)) / _norm(emb)).alias("sim"),
+                    _dot(emb, cent_lit(c)).alias("sim"),
                     F.lit(i).alias("cid"),
                 )
                 for i, c in enumerate(cents)
@@ -198,9 +204,7 @@ def ivf_topk(
         F.array(
             *[
                 F.struct(
-                    (_dot(F.col("embedding"), cent_lit(c)) / _norm(F.col("embedding"))).alias(
-                        "sim"
-                    ),
+                    _dot(F.col("embedding"), cent_lit(c)).alias("sim"),
                     F.lit(i).alias("cid"),
                 )
                 for i, c in enumerate(cents)

@@ -65,27 +65,34 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_digits = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
     n_spaces = n_chars - F.length(F.regexp_replace(t, r" ", ""))
-    avg_tok = (n_chars - n_spaces) / n_tokens
+    # ANSI-safe: empty/blank docs are routine at corpus scale and x/0 is a
+    # hard job abort under Spark 4 ANSI mode, not a NULL
+    avg_tok = F.when(n_tokens > 0, (n_chars - n_spaces) / n_tokens)
+    digit_ratio = F.when(n_chars > 0, n_digits / n_chars)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars)
     return df.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.cast("int").alias("n_tokens"),
         F.round(avg_tok, 4).alias("avg_token_len"),
-        F.round(n_digits / n_chars, 4).alias("digit_ratio"),
-        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(
-            F.when((n_tokens >= 5) & (avg_tok >= 2) & (avg_tok <= 12), 1.0).otherwise(0.0)
-            * (1.0 - n_digits / n_chars),
+            F.when(
+                (n_tokens >= 5) & (avg_tok >= 2) & (avg_tok <= 12),
+                1.0 - digit_ratio,
+            ).otherwise(0.0),
             4,
         ).alias("quality_score"),
     )
-
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint: md5 of lowercased collapsed text —
     the exact-dedup key (reference analog: predicted-map key by filename,
     base_detector.py:170-207)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    from ..functions.text_functions import clean_text_expr
+
+    norm = clean_text_expr(text_col)
     return df.select(
         "doc_id",
         F.md5(norm.cast("binary")).alias("fp"),

@@ -125,9 +125,6 @@ def run_extract_job(
     return commit_id, metrics
 
 
-PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
-
-
 def run_streaming_extract(
     spark,
     pages_glob: str,
@@ -148,7 +145,9 @@ def run_streaming_extract(
     ``max_files_per_trigger`` is the ingestion-rate knob (the reference's
     buffer_size, image_io.py:181+).
     """
-    reader = spark.readStream.schema(PAGES_DDL)
+    from ..sources.pages import PAGES_SCHEMA
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.parquet(pages_glob)

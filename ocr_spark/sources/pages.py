@@ -45,6 +45,10 @@ _WORDS_PER_LINE = 3
 
 PAYLOAD_MAGIC = b"%OCRPAYLOAD%"
 
+from ..kernels import ctc as _ctc  # noqa: E402  (vocab = the OCR channel contract)
+
+_VOCAB_INDEX = {c: i for i, c in enumerate(_ctc.make_vocab())}
+
 
 def host_of(doc_id: int) -> str:
     if doc_id % MEGA_HOST_SHARE < 3:
@@ -144,7 +148,10 @@ def _payload_doc(doc_id: int, words: list[str]):
                 boxes.append([round(x, 4), round(y, 4), round(x + _WORD_W, 4), round(y + _LINE_H, 4)])
                 x += _WORD_W + _WORD_GAP
             lines.append({"words": lw, "boxes": boxes})
-            line_texts.append(" ".join(lw))
+            # the golden is what the recognition channel can represent:
+            # same sanitize as the decode path, so non-lowercase corpora
+            # still verify byte-identical
+            line_texts.append(_ctc.sanitize_for_vocab(" ".join(lw), _VOCAB_INDEX))
             y += _LINE_H + _LINE_GAP
         y += _PARA_GAP - _LINE_GAP
         expected_paras.append(" \n".join(line_texts))

@@ -221,3 +221,20 @@ def test_grouped_map_keeps_null_keys(spark):
     out = grouped_map_in_pandas(df, "k", fn, "k string, total double")
     got = {r.k: r.total for r in out.collect()}
     assert got == {"a": 3.0, None: 7.0, "b": 5.0}
+
+
+def test_uppercase_corpus_stays_byte_identical(spark):
+    """The recognition channel lowercases (CRNN vocab); the by-construction
+    golden applies the same transform, so a non-lowercase corpus still
+    verifies byte-identical on the payload path."""
+    from ocr_spark.sources.pages import synth_page
+
+    page = synth_page(20, "The QUICK Brown: Fox & friends " * 8, "en")  # payload doc
+    assert page["html"].startswith(b"%OCRPAYLOAD%")
+    pages = spark.createDataFrame(
+        [(page["url"], None, page["html"], "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = extract_pages(pages).collect()[0]
+    assert out.text == page["expected_text"]
+    assert "The" not in out.text and "the" in out.text
