@@ -438,6 +438,30 @@ def q_chunk_extracted(spark, sf):  # F8 chunks_from_paragraphs driver
     return chunk_extracted(extract_pages(pages_df(spark, sf)), max_length=400)
 
 
+def q_training_pipeline(spark, sf):
+    """The composed training-data shape, one lazy plan: extract pages ->
+    section-aware chunking -> quality gate -> exact near-dup collapse.
+    Scan -> two narrow python stages -> one groupBy; no other shuffle."""
+    from .operators.chunking import chunk_extracted
+
+    chunks = chunk_extracted(extract_pages(pages_df(spark, sf)), max_length=400)
+    gated = chunks.where(
+        (F.col("n_chars") >= 40) & (F.col("text").rlike("[a-zA-Z]"))
+    )
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).cast("binary"))
+    return (
+        gated.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min(F.concat_ws("#", "url", F.col("chunk_id").cast("string"))).alias(
+                "canonical_chunk"
+            ),
+            F.min("n_chars").cast("int").alias("n_chars"),
+        )
+    )
+
+
 def q_detect_maps(spark, sf):  # D2-D6: EAST map decode + LANMS
     from .operators.detect_maps import detect_from_maps, synth_maps_df
 
@@ -505,6 +529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "chunk_extracted": q_chunk_extracted,
+    "training_pipeline": q_training_pipeline,
     "detect_maps": q_detect_maps,
     "split_text": q_split_text,
 }

