@@ -112,7 +112,6 @@ def test_training_pipeline_composition(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # synth (test scaffolding) + extract + chunk; production = 2 (scan replaces synth)
     assert plan.count("MapInPandas") == 3
-    assert "Exchange" not in plan.split("HashAggregate")[0] or True
     rows = df.collect()
     assert len(rows) > 100
     assert all(r.n_copies >= 1 and r.n_chars >= 40 for r in rows)
