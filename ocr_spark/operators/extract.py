@@ -32,6 +32,13 @@ from ..kernels import ctc as ctc_kernel
 from ..kernels.boxes import convert_boxes
 from ..kernels.combine import combine_boxes
 from ..kernels.html_extract import extract_page
+from ..kernels.md_extract import (
+    looks_like_html,
+    mostly_text,
+    parse_markdown,
+    render_md_document,
+    render_md_paragraph,
+)
 from ..kernels.sort import sort_boxes_xywh
 from ..sources.pages import PAYLOAD_MAGIC
 
@@ -83,6 +90,33 @@ def _extract_html_doc(html: bytes):
             }
         )
     return title or "", text, spans
+
+
+def _extract_md_doc(blob: bytes):
+    """Markdown / plain-text page (S5 dispatch fallback): same span shape
+    as the HTML path; title = first heading if any."""
+    text_in = blob.decode("utf-8", errors="replace")
+    paragraphs = parse_markdown(text_in)
+    spans = []
+    n = max(len(paragraphs), 1)
+    for i, para in enumerate(paragraphs):
+        spans.append(
+            {
+                "seq": i,
+                "kind": para["type"],
+                "section": " > ".join(para.get("section", [])),
+                "text": render_md_paragraph(para),
+                "x0": 0.05,
+                "y0": i / n,
+                "x1": 0.95,
+                "y1": (i + 1) / n,
+                "score": 1.0,
+            }
+        )
+    first_section = next(
+        (para["section"][0] for para in paragraphs if para.get("section")), ""
+    )
+    return first_section, render_md_document(paragraphs), spans
 
 
 def _plan_payload_doc(html: bytes):
@@ -181,8 +215,14 @@ def extract_batch(pdf, decode_method: str = "greedy"):
                     para["line_job_ids"] = [base + j for j in para["line_job_ids"]]
                 all_jobs.extend(jobs)
                 plans.append(("payload", paragraphs))
-            else:
+            elif looks_like_html(blob):
                 plans.append(("html", _extract_html_doc(blob)))
+            elif mostly_text(blob):
+                # S5 dispatch: markdown / plain-text page (the reference's
+                # md/txt parser routes, parsers/__init__.py:53-201)
+                plans.append(("html", _extract_md_doc(blob)))
+            else:
+                plans.append(("html", ("", "", [])))  # binary junk -> empty
         except Exception:
             plans.append(("html", ("", "", [])))
 

@@ -68,6 +68,10 @@ def is_payload_doc(doc_id: int) -> bool:
     return doc_id % 20 == 0
 
 
+def is_md_doc(doc_id: int) -> bool:
+    return doc_id % 20 == 10
+
+
 def _chunk(words: list[str], n: int) -> list[list[str]]:
     return [words[i : i + n] for i in range(0, len(words), n)] or [["empty"]]
 
@@ -125,6 +129,26 @@ def _html_doc(doc_id: int, words: list[str], lang: str):
     return html.encode("utf-8"), "\n\n".join(expected_parts)
 
 
+def _md_doc(doc_id: int, words: list[str]):
+    """Markdown page + expected text by construction (S5 md/txt route)."""
+    paras = _chunk(words, WORDS_PER_PARA)[:PARAS_PER_DOC]
+    para_texts = [" ".join(p) for p in paras]
+    title = f"Readme {doc_id}"
+    items = [f"{w} point {i}" for i, w in enumerate(words[:2])] or ["empty point 0"]
+    md_lines = [f"# {title}", ""]
+    expected_parts = []
+    for i, pt in enumerate(para_texts):
+        if i == 1:
+            md_lines += [f"## Part {doc_id % 5}", ""]
+        md_lines += [pt, ""]
+        expected_parts.append(pt)
+    md_lines += [f"- {it}" for it in items] + [""]
+    expected_parts.append("\n".join("- " + it for it in items))
+    md_lines += ["```", f"code_block(doc_id={doc_id})", "```"]
+    expected_parts.append(f"code_block(doc_id={doc_id})")
+    return "\n".join(md_lines).encode("utf-8"), "\n\n".join(expected_parts)
+
+
 def _payload_doc(doc_id: int, words: list[str]):
     """Build one payload page: word boxes on a line/paragraph grid.
 
@@ -171,6 +195,8 @@ def synth_page(doc_id: int, text: str, lang: str):
     words = text.split()
     if is_payload_doc(doc_id):
         html, expected = _payload_doc(doc_id, words)
+    elif is_md_doc(doc_id):
+        html, expected = _md_doc(doc_id, words)
     else:
         html, expected = _html_doc(doc_id, words, lang)
     return {

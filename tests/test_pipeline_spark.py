@@ -238,3 +238,21 @@ def test_uppercase_corpus_stays_byte_identical(spark):
     out = extract_pages(pages).collect()[0]
     assert out.text == page["expected_text"]
     assert "The" not in out.text and "the" in out.text
+
+
+def test_markdown_page_routed_and_byte_identical(spark):
+    from ocr_spark.sources.pages import is_md_doc, synth_page
+
+    page = synth_page(10, "alpha beta gamma delta " * 30, "en")
+    assert is_md_doc(10) and page["html"].startswith(b"# Readme")
+    pages = spark.createDataFrame(
+        [(page["url"], None, page["html"], "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = extract_pages(pages).collect()[0]
+    assert out.text == page["expected_text"]
+    assert out.title == "Readme 10"
+    kinds = {s.kind for s in out.spans}
+    assert {"text", "list", "code"} <= kinds
+    sections = {s.section for s in out.spans}
+    assert any("Readme 10 > Part 0" == s for s in sections)
