@@ -448,7 +448,9 @@ def q_training_pipeline(spark, sf):
     gated = chunks.where(
         (F.col("n_chars") >= 40) & (F.col("text").rlike("[a-zA-Z]"))
     )
-    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).cast("binary"))
+    from .functions.text_functions import clean_text_expr
+
+    fp = F.md5(clean_text_expr("text").cast("binary"))
     return (
         gated.withColumn("fp", fp)
         .groupBy("fp")

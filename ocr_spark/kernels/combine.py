@@ -245,10 +245,11 @@ def combine_boxes_overlap(boxes, indices=None, overlap_threshold=0.5, *, rows=No
     boxes = np.asarray(boxes, dtype=np.float64)
     if indices is None:
         indices = list(range(len(boxes)))
-    if len(boxes) <= 1:
-        # same degenerate-input early return as the H/V stages (nothing to
-        # merge; an empty array would crash the group unpack below)
-        return boxes, indices, rows if rows is not None else [b[None] for b in boxes]
+    if len(boxes) == 0:
+        # empty input would crash the group unpack below; note len==1 MUST
+        # still run group_boxes — merge_rows/align_rows apply to the single
+        # paragraph's member rows (combination.py:331-337 is unconditional)
+        return boxes, indices, []
     is_overlapping = compute_ioa(boxes, as_matrix=True) > overlap_threshold
     return group_boxes(
         boxes, indices, compute_groups(is_overlapping), sort=1, rows=rows, **kwargs

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import re
 
-_HEADING_RE = re.compile(r"^(#{1,5})\s+(.*?)\s*#*\s*$")
+_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
 _LIST_ITEM_RE = re.compile(r"^\s*[-*+]\s+(.*)$")
 _FENCE_RE = re.compile(r"^\s*(```|~~~)")
 _WHITESPACE_RE = re.compile(r"\s+")
@@ -114,20 +114,30 @@ def render_md_document(paragraphs) -> str:
     return "\n\n".join(render_md_paragraph(p) for p in paragraphs)
 
 
-_TAG_SNIFF_RE = re.compile(rb"<\s*(?:!doctype|html|head|body|p|div|h[1-6]|br|a|ul|table)\b", re.I)
+# a COMPLETE tag: '<' immediately followed by the name, then '>' or
+# whitespace+attrs+'>' — prose like 'x < a' or code like 'i<a.length'
+# must not match (they have a space after '<' / no closing '>')
+_TAG_SNIFF_RE = re.compile(
+    rb"<(?:!doctype|html|head|body|p|div|h[1-6]|br|a|ul|table)(?:\s[^>]{0,256})?/?>",
+    re.I,
+)
 
 
 def looks_like_html(blob: bytes) -> bool:
-    """Content sniff for the S5 dispatch: any common opening tag."""
+    """Content sniff for the S5 dispatch: any complete common tag."""
     return _TAG_SNIFF_RE.search(blob[:4096]) is not None
 
 
 def mostly_text(blob: bytes, *, threshold: float = 0.85) -> bool:
-    """True when the byte stream is plausibly text (printable/whitespace
-    ratio over a prefix) — the gate that keeps binary junk out of the
-    plain-text fallback path."""
+    """True when the byte stream is plausibly text — the gate that keeps
+    binary junk out of the plain-text fallback path. Unicode-aware: the
+    prefix is UTF-8 decoded with replacement and the PRINTABLE-CHARACTER
+    ratio is tested, so CJK/Cyrillic/accented pages pass while random
+    bytes (mostly replacement chars / controls) fail."""
     if not blob:
         return False
-    head = blob[:4096]
-    printable = sum(1 for b in head if 32 <= b < 127 or b in (9, 10, 13))
-    return printable / len(head) >= threshold
+    head = blob[:4096].decode("utf-8", errors="replace")
+    if not head:
+        return False
+    ok = sum(1 for ch in head if (ch.isprintable() and ch != "\ufffd") or ch in "\t\n\r ")
+    return ok / len(head) >= threshold

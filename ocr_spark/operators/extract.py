@@ -104,7 +104,9 @@ def _extract_md_doc(blob: bytes):
             {
                 "seq": i,
                 "kind": para["type"],
-                "section": " > ".join(para.get("section", [])),
+                # skipped heading levels pad the stack with "" — drop them
+                # from the breadcrumb
+                "section": " > ".join(s for s in para.get("section", []) if s),
                 "text": render_md_paragraph(para),
                 "x0": 0.05,
                 "y0": i / n,
@@ -113,10 +115,10 @@ def _extract_md_doc(blob: bytes):
                 "score": 1.0,
             }
         )
-    first_section = next(
-        (para["section"][0] for para in paragraphs if para.get("section")), ""
+    title = next(
+        (s for para in paragraphs for s in para.get("section", []) if s), ""
     )
-    return first_section, render_md_document(paragraphs), spans
+    return title, render_md_document(paragraphs), spans
 
 
 def _plan_payload_doc(html: bytes):

@@ -54,3 +54,22 @@ def test_sniffers():
 def test_unterminated_fence_kept():
     paras = parse_markdown("```\ncode only")
     assert paras == [{"type": "code", "section": [], "text": "code only"}]
+
+
+def test_sniffer_prose_and_code_not_html():
+    assert not looks_like_html(b"# Notes\n\nif x < a then stop")
+    assert not looks_like_html(b"for (i=0; i<a.length; i++) {}")
+    assert looks_like_html(b'<a href="x">l</a>')
+    assert looks_like_html(b"<p>t</p>")
+
+
+def test_mostly_text_unicode():
+    assert mostly_text(("这是一个测试页面。" * 50).encode("utf-8"))
+    assert mostly_text("café résumé naïve über " .encode("utf-8") * 40)
+    assert not mostly_text(bytes(range(256)) * 16)
+
+
+def test_h6_and_skipped_levels():
+    paras = parse_markdown("###### deep\n\npara text\n")
+    assert paras[0]["text"] == "para text"
+    assert paras[0]["section"][-1] == "deep"

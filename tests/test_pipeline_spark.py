@@ -256,3 +256,17 @@ def test_markdown_page_routed_and_byte_identical(spark):
     assert {"text", "list", "code"} <= kinds
     sections = {s.section for s in out.spans}
     assert any("Readme 10 > Part 0" == s for s in sections)
+
+
+def test_cjk_and_prose_pages_not_lost(spark):
+    """Non-ASCII text pages and prose containing '<' must extract their
+    content, not route to the binary-junk empty branch."""
+    cjk = ("这是测试段落。" * 20).encode("utf-8")
+    prose = b"# Notes\n\nif x < a then stop the loop\n"
+    pages = spark.createDataFrame(
+        [("u1", None, cjk, "t", "zh"), ("u2", None, prose, "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = {r.url: r for r in extract_pages(pages).collect()}
+    assert "测试" in out["u1"].text
+    assert "x < a" in out["u2"].text and out["u2"].title == "Notes"
