@@ -464,6 +464,14 @@ def q_training_pipeline(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup clusters from the shingle-Jaccard pairs: iterative min-label
+    propagation (distributed connected components, non-SQL-expressible
+    iterative algorithm -> rows-only check)."""
+    pairs = dedup_ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
+    return dedup_ops.dedup_clusters(pairs)
+
+
 def q_detect_maps(spark, sf):  # D2-D6: EAST map decode + LANMS
     from .operators.detect_maps import detect_from_maps, synth_maps_df
 
@@ -532,6 +540,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "chunk_extracted": q_chunk_extracted,
     "training_pipeline": q_training_pipeline,
+    "dedup_clusters": q_dedup_clusters,
     "detect_maps": q_detect_maps,
     "split_text": q_split_text,
 }

@@ -298,3 +298,51 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+    """Near-dup pair list -> duplicate CLUSTERS via iterative min-label
+    propagation (distributed connected components): every doc adopts the
+    smallest doc_id reachable through the pair graph; the smallest member
+    is the cluster's canonical document.
+
+    The Spark-native iterative shape: each round is one shuffle
+    (label join + min-agg); convergence in O(log(diameter)) rounds for
+    near-dup graphs (clusters are small and dense). localCheckpoint()
+    truncates the lineage each round so plans don't grow exponentially.
+    Input: (doc_a, doc_b [, ...]) with doc_a < doc_b.
+    Output: (doc_id, cluster_id) for every doc that has at least one dup.
+    """
+    edges = pairs.select("doc_a", "doc_b").distinct()
+    # undirected adjacency
+    adj = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        adj.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        # candidate label for each doc: min over neighbors' labels and own
+        neighbor_labels = (
+            adj.join(labels, adj["doc_b"] == labels["doc_id"])
+            .select(F.col("doc_a").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

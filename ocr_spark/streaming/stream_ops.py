@@ -406,3 +406,57 @@ def run_frame_dedup_demo(spark, frames, *, checkpoint_dir: str, threshold: float
     )
     q.awaitTermination(120)
     return spark.sql("select * from frame_dedup_demo order by frame_id").collect()
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowed aggregation with a watermark — beyond the reference
+# (its streams are processing-time only, SURVEY.md §2.10 note) but a core
+# Structured Streaming capability for crawl-event telemetry: late events
+# inside the lateness bound still land in their hour; older ones are
+# dropped and their window state evicted.
+
+
+def windowed_event_counts(events_df, *, window_len="1 hour", lateness="30 minutes"):
+    """(ts timestamp, event_type string) stream -> per-window, per-type
+    counts. Watermark bounds the state store: windows older than
+    max(event time) - lateness are finalized and evicted."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_df.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", window_len).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_windowed_demo(spark, rows, *, checkpoint_dir: str):
+    """Micro-batch demo: rows = [(ts_string, event_type), ...]."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(rows, "ts_s string, event_type string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    path = tempfile.mkdtemp(prefix="win_src_", dir=checkpoint_dir)
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(path)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_demo")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{checkpoint_dir}/win_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(
+        "select * from win_demo order by window_start, event_type"
+    ).collect()

@@ -159,3 +159,32 @@ def test_jaccard_exact_on_threshold_boundary(spark):
     for pf in (True, False):
         rows = ngram_jaccard_pairs(docs, threshold=0.8, prefix_filter=pf).collect()
         assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 0.8)], pf
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    from ocr_spark.streaming.stream_ops import windowed_event_counts, run_windowed_demo
+
+    rows = [
+        ("2024-01-01 10:05:00", "click"),
+        ("2024-01-01 10:55:00", "click"),
+        ("2024-01-01 11:10:00", "view"),
+        ("2024-01-01 10:59:00", "click"),   # late but inside lateness bound
+    ]
+    got = run_windowed_demo(spark, rows, checkpoint_dir=str(tmp_path))
+    agg = {(str(r.window_start), r.event_type): r.n_events for r in got}
+    assert agg[("2024-01-01 10:00:00", "click")] == 3
+    assert agg[("2024-01-01 11:00:00", "view")] == 1
+    # (watermark nodes are elided in batch plans; the streaming run above is
+    # the behavioral check)
+
+
+def test_dedup_clusters_label_propagation(spark):
+    from ocr_spark.operators.dedup import dedup_clusters
+
+    # two chains + one pair: {1,2,3,4}, {10,11}, {20,21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 22), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
