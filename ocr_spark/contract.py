@@ -322,6 +322,25 @@ def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
 # rows-only queries (non-SQL-expressible kernels / pipeline)
 # --------------------------------------------------------------------------
 
+def q_supplier_geo(spark, sf):  # snowflake dim chain: two broadcast joins
+    """supplier ⋈ nation ⋈ region rollup — the star/snowflake dimension
+    shape: both dims broadcast, single partial+final agg, no fact shuffle."""
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+            F.round(F.min("s_acctbal"), 2).alias("min_acctbal"),
+            F.round(F.max("s_acctbal"), 2).alias("max_acctbal"),
+        )
+    )
+
+
 def q_revenue_topk(spark, sf):  # broadcast dim join + SMJ fact join + agg + top-k
     """TPC-H Q3-flavored: the canonical big-join shape at 100 TB — the
     filtered customer dim is broadcast (no shuffle of the fact side for it),
@@ -526,6 +545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pandas_udf_lev": q_pandas_udf_lev,
     "embed_dup_pairs": q_embed_dup_pairs,
     "revenue_topk": q_revenue_topk,
+    "supplier_geo": q_supplier_geo,
     # rows-only
     "flagship_extract": q_flagship_extract,
     "minhash_pairs": q_minhash_pairs,
@@ -740,6 +760,17 @@ ORACLE_SQL: dict[str, str] = {
                                       ORDER BY sim DESC, vec_id) AS rank
             FROM scored
         ) WHERE rank <= 5
+    """,
+    "supplier_geo": """
+        SELECT r_name AS region, n_name AS nation,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+               round(min(s_acctbal), 2) AS min_acctbal,
+               round(max(s_acctbal), 2) AS max_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
     """,
     "revenue_topk": """
         SELECT o_orderkey, o_orderpriority,
