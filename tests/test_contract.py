@@ -28,8 +28,10 @@ def test_entry_smoke(spark):
     assert df.where("n_spans > 0").count() == 500
 
 
-@pytest.mark.parametrize("name", ["size_filter", "union_agg", "ctc_roundtrip", "ann_topk"])
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_query_runs_at_smoke_scale(spark, name):
+    # EVERY contract query must materialize at smoke scale — the local
+    # pre-flight for the driver's correctness gate
     df = entry_mod.queries()[name](spark, SF_SMOKE)
     assert df.count() >= 0  # materializes without error
 
