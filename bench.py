@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "window_topk",
     "ctc_roundtrip",
     "combine_boxes",
+    "training_pipeline",
     "langid",
     "quality",
 ]

@@ -75,11 +75,21 @@ def ctc_greedy_decode_batch(logits: np.ndarray, lengths=None, blank: int = 0):
     return tokens, scores
 
 
-def ctc_beam_decode(logits: np.ndarray, length=None, blank: int = 0, beam_width: int = 10, top_paths: int = 1):
+def ctc_beam_decode(
+    logits: np.ndarray,
+    length=None,
+    blank: int = 0,
+    beam_width: int = 10,
+    top_paths: int = 1,
+    length_power: float = 1.0,
+):
     """CTC prefix beam search over one (T, V) sequence.
 
     Returns list of (tokens, normalized_score) of length ``top_paths``,
     best first. Deterministic: ties broken by prefix (lexicographic).
+    ``length_power`` rescores by length**p instead of plain length — the
+    reference's OCR callsite uses 0.25 (base_ocr.py:115) to soften the
+    short-sequence bias; 1.0 is the plain ctc_decoder.py:32 normalization.
     """
     logits = np.asarray(logits, dtype=np.float64)
     t_max = logits.shape[0] if length is None else int(length)
@@ -117,7 +127,7 @@ def ctc_beam_decode(logits: np.ndarray, length=None, blank: int = 0, beam_width:
         )
         beams = dict(scored[:beam_width])
 
-    norm = max(t_max, 1)
+    norm = max(t_max, 1) ** length_power
     results = sorted(
         ((np.logaddexp(pb, pnb), prefix) for prefix, (pb, pnb) in beams.items()),
         key=lambda sv: (-sv[0], sv[1]),

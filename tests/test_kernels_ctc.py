@@ -73,3 +73,17 @@ def test_top_paths():
     assert len(results) == 3
     assert results[0][1] >= results[1][1] >= results[2][1]
     assert decode_tokens(results[0][0], VOCAB) == "ab"
+
+
+def test_beam_length_power_rescore():
+    import numpy as np
+
+    from ocr_spark.kernels.ctc import ctc_beam_decode, make_vocab, synth_logits_for_text
+
+    vocab = make_vocab()
+    logits = synth_logits_for_text("abc", vocab)
+    (toks_p1, s1), = ctc_beam_decode(logits, length_power=1.0)
+    (toks_p, s25), = ctc_beam_decode(logits, length_power=0.25)
+    assert toks_p1 == toks_p  # rescore changes the score, never the top path here
+    t = logits.shape[0]
+    assert np.isclose(s25, s1 * t / (t ** 0.25))
