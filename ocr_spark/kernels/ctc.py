@@ -81,15 +81,18 @@ def ctc_beam_decode(
     blank: int = 0,
     beam_width: int = 10,
     top_paths: int = 1,
-    length_power: float = 1.0,
+    length_power: float = 0.0,
 ):
     """CTC prefix beam search over one (T, V) sequence.
 
     Returns list of (tokens, normalized_score) of length ``top_paths``,
-    best first. Deterministic: ties broken by prefix (lexicographic).
-    ``length_power`` rescores by length**p instead of plain length — the
-    reference's OCR callsite uses 0.25 (base_ocr.py:115) to soften the
-    short-sequence bias; 1.0 is the plain ctc_decoder.py:32 normalization.
+    best first; score is frame-normalized (total logp / T,
+    ctc_decoder.py:32). Deterministic: ties broken by prefix
+    (lexicographic). ``length_power`` > 0 ranks the FINAL hypotheses by
+    total_logp / (len(tokens)+1)**p — the reference's OCR callsite uses
+    0.25 (base_ocr.py:115) to soften the short-sequence bias; unlike a
+    constant normalization this per-beam key can change which hypothesis
+    wins. 0.0 (default) ranks by raw total probability.
     """
     logits = np.asarray(logits, dtype=np.float64)
     t_max = logits.shape[0] if length is None else int(length)
@@ -127,10 +130,13 @@ def ctc_beam_decode(
         )
         beams = dict(scored[:beam_width])
 
-    norm = max(t_max, 1) ** length_power
+    norm = max(t_max, 1)
     results = sorted(
         ((np.logaddexp(pb, pnb), prefix) for prefix, (pb, pnb) in beams.items()),
-        key=lambda sv: (-sv[0], sv[1]),
+        key=lambda sv: (
+            -(sv[0] / (len(sv[1]) + 1) ** length_power if length_power else sv[0]),
+            sv[1],
+        ),
     )
     return [(list(prefix), score / norm) for score, prefix in results[:top_paths]]
 

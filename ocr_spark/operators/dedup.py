@@ -300,39 +300,60 @@ def simhash_near_pairs(
     )
 
 
-def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
-    """Near-dup pair list -> duplicate CLUSTERS via iterative min-label
-    propagation (distributed connected components): every doc adopts the
-    smallest doc_id reachable through the pair graph; the smallest member
-    is the cluster's canonical document.
+def dedup_clusters(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
+    """Near-dup pair list -> duplicate CLUSTERS via min-label propagation
+    with pointer jumping (distributed connected components): every doc
+    adopts the smallest doc_id reachable through the pair graph; the
+    smallest member is the cluster's canonical document.
 
-    The Spark-native iterative shape: each round is one shuffle
-    (label join + min-agg); convergence in O(log(diameter)) rounds for
-    near-dup graphs (clusters are small and dense). localCheckpoint()
-    truncates the lineage each round so plans don't grow exponentially.
-    Input: (doc_a, doc_b [, ...]) with doc_a < doc_b.
-    Output: (doc_id, cluster_id) for every doc that has at least one dup.
+    Each round does (a) a one-hop neighbor min and (b) a label-shortcut
+    join (label := label(label)) — the pointer-jumping step that gives
+    O(log(diameter)) convergence even for chain-shaped clusters.  The
+    input edge set is localCheckpoint()ed once so the (possibly
+    expensive) upstream pair computation runs exactly once, and labels
+    are checkpointed per round so plans stay bounded.  Raises if the
+    graph has not converged within ``max_iters`` — silent almost-clusters
+    would leak duplicates into training data.
+
+    NOTE: executes eagerly (iterative algorithm), unlike the lazy
+    relational operators. Input: (doc_a, doc_b [, ...]) with doc_a <
+    doc_b. Output: (doc_id, cluster_id) for every doc with >= 1 dup.
     """
-    edges = pairs.select("doc_a", "doc_b").distinct()
+    edges = pairs.select("doc_a", "doc_b").distinct().localCheckpoint()
     # undirected adjacency
     adj = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).localCheckpoint()
     labels = (
         adj.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
     )
     for _ in range(max_iters):
-        # candidate label for each doc: min over neighbors' labels and own
-        neighbor_labels = (
-            adj.join(labels, adj["doc_b"] == labels["doc_id"])
-            .select(F.col("doc_a").alias("doc_id"), "cluster_id")
-        )
-        new_labels = (
+        # (a) one-hop: min over neighbors' labels and own label
+        neighbor_labels = adj.join(
+            labels, adj["doc_b"] == labels["doc_id"]
+        ).select(F.col("doc_a").alias("doc_id"), "cluster_id")
+        hop = (
             labels.unionByName(neighbor_labels)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # (b) pointer jumping: label := label(label) where the label itself
+        # has a (smaller) label
+        parent = hop.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("grand_id"),
+        )
+        new_labels = (
+            hop.join(parent, "cluster_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("grand_id", "cluster_id")
+                ).alias("cluster_id"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -344,5 +365,8 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iters} rounds — "
+        "component diameter too large; raise max_iters"
+    )

@@ -435,28 +435,51 @@ def windowed_event_counts(events_df, *, window_len="1 hour", lateness="30 minute
     )
 
 
-def run_windowed_demo(spark, rows, *, checkpoint_dir: str):
-    """Micro-batch demo: rows = [(ts_string, event_type), ...]."""
-    import tempfile
+def run_windowed_demo(spark, batches, *, checkpoint_dir: str, lateness="30 minutes"):
+    """Sequential micro-batch demo with REAL watermark semantics: each
+    element of ``batches`` ([(ts_string, event_type), ...]) is written as
+    one file and drained by its own availableNow query sharing a
+    checkpoint, so the watermark persists between batches and events
+    older than max(event time) - lateness are genuinely dropped.
+    Output mode is update (complete mode would disable watermarking).
+    Returns all rows emitted across batches (latest update per window
+    wins)."""
+    import os
 
     from pyspark.sql import functions as F
 
-    src = spark.createDataFrame(rows, "ts_s string, event_type string").select(
-        F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    src_dir = os.path.join(checkpoint_dir, "win_src")
+    os.makedirs(src_dir, exist_ok=True)
+    emitted = {}
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "ts_s string, event_type string").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, f"b{i}"))
+        stream = spark.readStream.schema("ts timestamp, event_type string").parquet(
+            src_dir + "/*"
+        )
+        out_dir = os.path.join(checkpoint_dir, "win_out")
+
+        def sink(batch_df, epoch_id):
+            # memory sink cannot recover from a checkpoint; foreachBatch can
+            batch_df.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            windowed_event_counts(stream, lateness=lateness)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{checkpoint_dir}/win_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    rows = sorted(
+        spark.read.parquet(os.path.join(checkpoint_dir, "win_out")).collect(),
+        key=lambda r: r.epoch,
     )
-    path = tempfile.mkdtemp(prefix="win_src_", dir=checkpoint_dir)
-    src.coalesce(1).write.mode("overwrite").parquet(path)
-    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(path)
-    q = (
-        windowed_event_counts(stream)
-        .writeStream.format("memory")
-        .queryName("win_demo")
-        .outputMode("complete")
-        .option("checkpointLocation", f"{checkpoint_dir}/win_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.sql(
-        "select * from win_demo order by window_start, event_type"
-    ).collect()
+    for r in rows:  # later update for a window overwrites the earlier one
+        emitted[(str(r.window_start), r.event_type)] = r.n_events
+    return emitted

@@ -76,14 +76,23 @@ def test_top_paths():
 
 
 def test_beam_length_power_rescore():
+    """length_power ranks final hypotheses by total_logp/(len+1)**p — a
+    per-beam key that can flip which hypothesis wins (unlike a constant
+    normalization), matching the reference's short-bias softening."""
     import numpy as np
 
-    from ocr_spark.kernels.ctc import ctc_beam_decode, make_vocab, synth_logits_for_text
+    from ocr_spark.kernels.ctc import ctc_beam_decode
 
-    vocab = make_vocab()
-    logits = synth_logits_for_text("abc", vocab)
-    (toks_p1, s1), = ctc_beam_decode(logits, length_power=1.0)
-    (toks_p, s25), = ctc_beam_decode(logits, length_power=0.25)
-    assert toks_p1 == toks_p  # rescore changes the score, never the top path here
-    t = logits.shape[0]
-    assert np.isclose(s25, s1 * t / (t ** 0.25))
+    # V=3 (blank, a, b), T=2. Frame probs tuned so the single-token path
+    # 'a' has the highest RAW probability but 'ab' wins once scores are
+    # normalized by hypothesis length.
+    p1 = np.log(np.array([0.05, 0.90, 0.05]))
+    p2 = np.log(np.array([0.44, 0.11, 0.45]))
+    logits = np.stack([p1, p2])
+
+    (raw_top, _), = ctc_beam_decode(logits, beam_width=8, length_power=0.0)
+    (norm_top, _), = ctc_beam_decode(logits, beam_width=8, length_power=1.0)
+    assert raw_top == [1]          # 'a': p = .9*.44 + .05*.11 ~ .402
+    assert norm_top == [1, 2]      # 'ab': p ~ .405 but /3 beats .402/2? no:
+    # lengths: 'a' -> (1+1)=2, 'ab' -> (2+1)=3; log(.402)/2 ~ -.456,
+    # log(.405)/3 ~ -.301 -> 'ab' wins under length normalization

@@ -162,20 +162,20 @@ def test_jaccard_exact_on_threshold_boundary(spark):
 
 
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
-    from ocr_spark.streaming.stream_ops import windowed_event_counts, run_windowed_demo
+    from ocr_spark.streaming.stream_ops import run_windowed_demo
 
-    rows = [
+    batch1 = [
         ("2024-01-01 10:05:00", "click"),
-        ("2024-01-01 10:55:00", "click"),
-        ("2024-01-01 11:10:00", "view"),
-        ("2024-01-01 10:59:00", "click"),   # late but inside lateness bound
+        ("2024-01-01 11:30:00", "click"),   # advances watermark to 11:00
     ]
-    got = run_windowed_demo(spark, rows, checkpoint_dir=str(tmp_path))
-    agg = {(str(r.window_start), r.event_type): r.n_events for r in got}
-    assert agg[("2024-01-01 10:00:00", "click")] == 3
+    batch2 = [
+        ("2024-01-01 10:30:00", "click"),   # < watermark -> DROPPED
+        ("2024-01-01 11:10:00", "view"),    # late but inside bound -> kept
+    ]
+    agg = run_windowed_demo(spark, [batch1, batch2], checkpoint_dir=str(tmp_path))
+    assert agg[("2024-01-01 10:00:00", "click")] == 1   # 10:30 was dropped
+    assert agg[("2024-01-01 11:00:00", "click")] == 1
     assert agg[("2024-01-01 11:00:00", "view")] == 1
-    # (watermark nodes are elided in batch plans; the streaming run above is
-    # the behavioral check)
 
 
 def test_dedup_clusters_label_propagation(spark):
@@ -188,3 +188,20 @@ def test_dedup_clusters_label_propagation(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_long_chain_pointer_jumping(spark):
+    """A 40-doc chain (diameter 39) must converge well inside max_iters via
+    pointer jumping, and non-convergence must raise, never return split
+    clusters silently."""
+    import pytest
+
+    from ocr_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, max_iters=10).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iters=1)
