@@ -122,17 +122,16 @@ def ngram_jaccard_pairs(
     The DuckDB oracle runs the naive all-pairs form — identical output.
     """
     sh = shingle_sets(docs, shingle=shingle)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
+    doc_w = Window.partitionBy("doc_id")
 
     if prefix_filter:
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        # set size folds into the same doc_id window shuffle as the rank —
+        # no separate sizes groupBy + join
         ranked = (
             sh.join(dfreq, "sh")
-            .withColumn(
-                "rk",
-                F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh")),
-            )
-            .join(sizes, "doc_id")
+            .withColumn("rk", F.row_number().over(doc_w.orderBy("df", "sh")))
+            .withColumn("n", F.count(F.lit(1)).over(doc_w).cast("int"))
         )
         # prefix length: n - ceil(t*n) + 1. The 1e-9 slack keeps binary-FP
         # threshold products (0.8*5 -> 4.0000000000000004) from rounding the
@@ -142,7 +141,7 @@ def ngram_jaccard_pairs(
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
         ).select("doc_id", "sh", "n")
     else:
-        index = sh.join(sizes, "doc_id")
+        index = sh.withColumn("n", F.count(F.lit(1)).over(doc_w).cast("int"))
 
     a = index.select(F.col("doc_id").alias("doc_a"), "sh", F.col("n").alias("na"))
     b = index.select(F.col("doc_id").alias("doc_b"), "sh", F.col("n").alias("nb"))
@@ -157,10 +156,26 @@ def ngram_jaccard_pairs(
             & (F.col("nb") >= F.lit(threshold) * F.col("na") - F.lit(1e-9))
             & (F.col("nb") <= F.col("na") / F.lit(threshold) + F.lit(1e-9))
         )
-        .select("doc_a", "doc_b")
-        .distinct()
+        # candidates CARRY (na, nb): verification needs no sizes re-joins
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("na").alias("na"), F.first("nb").alias("nb"))
     )
-    return _verify_pairs(cand, sh, sizes, threshold)
+    # exact verify: count shared shingles per candidate pair
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    shared = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return shared.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def minhash_lsh_pairs(
