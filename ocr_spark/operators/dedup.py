@@ -72,35 +72,6 @@ def shingle_sets(docs: DataFrame, *, shingle: int = 3) -> DataFrame:
     return docs.select("doc_id", F.explode(shingles).alias("sh")).distinct()
 
 
-def _verify_pairs(
-    cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
-) -> DataFrame:
-    """Exact Jaccard over candidate (doc_a, doc_b) pairs given the shingle
-    postings: count shared elements per pair, join sizes, filter >= t."""
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    shared = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
-
-
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,
@@ -197,14 +168,18 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sh = shingle_sets(docs, shingle=shingle)
 
+    # the signature groupBy also carries the set size — verification needs
+    # no separate sizes aggregation or re-joins
     mins = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n"),
         *[
             F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"h{seed}")
             for seed in range(num_hashes)
-        ]
+        ],
     )
     bucketed = mins.select(
         "doc_id",
+        "n",
         F.explode(
             F.array(*[
                 F.struct(
@@ -220,17 +195,32 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    ).select("doc_id", "n", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
     cand = (
         bucketed.alias("x")
         .join(bucketed.alias("y"), ["band", "sig"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.first("x.n").alias("na"), F.first("y.n").alias("nb"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
-    return _verify_pairs(cand, sh, sizes, jaccard_threshold)
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    shared = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return shared.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= jaccard_threshold)
 
 
 def simhash(docs: DataFrame, *, bits: int = 64, shingle: int = 3) -> DataFrame:
