@@ -25,6 +25,11 @@ def get_spark(app: str = "ocr_spark", cpus: int | None = None, **conf) -> SparkS
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom filters: the big side of a shuffle join (e.g. a full
+        # lineage-vs-pages resume after near-complete progress) gets a
+        # bloom pre-filter injected from the small side — free row pruning
+        # before the exchange at 100 TB, no code changes
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "128m")
