@@ -121,6 +121,52 @@ def _extract_md_doc(blob: bytes):
     return title, render_md_document(paragraphs), spans
 
 
+def _extract_pdf_doc(blob: bytes):
+    """Real PDF bytes -> (title, text, spans).
+
+    Byte-level scan via kernels/pdf_parse.py (xref/ObjStm/Flate/content
+    interpreter), then the W8/W9 layout kernels (kernels/pdf_layout.py,
+    reference pdf_parser.py:180-346 semantics). Running headers and page
+    numbers are dropped (reference process_paragraphs behavior); footnotes
+    are kept, tagged kind='footnote'. Title = first largest-font paragraph.
+    """
+    from ..kernels.pdf_layout import process_page
+    from ..kernels.pdf_parse import parse_pdf_pages
+
+    paragraphs = []
+    for page in parse_pdf_pages(blob):
+        for para in process_page(page["blocks"]):
+            para["page"] = page["page"]
+            paragraphs.append(para)
+
+    kept = [
+        p for p in paragraphs
+        if p.get("text") and not p.get("is_header") and not p.get("is_page_number")
+    ]
+    title = ""
+    if kept:
+        best = max(p["font_size"] for p in kept)
+        title = next(p["text"] for p in kept if p["font_size"] == best)
+
+    spans = []
+    for i, para in enumerate(kept):
+        box = [float(v) for v in para["box"]]
+        spans.append(
+            {
+                "seq": i,
+                "kind": "footnote" if para.get("is_footnote") else "pdf",
+                "section": f"page {para['page']}",
+                "text": para["text"],
+                "x0": box[0],
+                "y0": box[1],
+                "x1": box[2],
+                "y1": box[3],
+                "score": 1.0,
+            }
+        )
+    return title, "\n\n".join(p["text"] for p in kept), spans
+
+
 def _plan_payload_doc(html: bytes):
     """Parse payload; run detect/order kernels; return per-line decode jobs.
 
@@ -210,7 +256,9 @@ def extract_batch(pdf, decode_method: str = "greedy"):
         # row still commits, so the url is not retried forever)
         try:
             blob = bytes(html) if html is not None else b""
-            if blob.startswith(PAYLOAD_MAGIC):
+            if blob.startswith(b"%PDF-"):
+                plans.append(("html", _extract_pdf_doc(blob)))
+            elif blob.startswith(PAYLOAD_MAGIC):
                 paragraphs, jobs = _plan_payload_doc(blob)
                 base = len(all_jobs)
                 for para in paragraphs:

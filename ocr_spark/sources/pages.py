@@ -72,6 +72,10 @@ def is_md_doc(doc_id: int) -> bool:
     return doc_id % 20 == 10
 
 
+def is_pdf_doc(doc_id: int) -> bool:
+    return doc_id % 20 == 5
+
+
 def _chunk(words: list[str], n: int) -> list[list[str]]:
     return [words[i : i + n] for i in range(0, len(words), n)] or [["empty"]]
 
@@ -195,6 +199,10 @@ def synth_page(doc_id: int, text: str, lang: str):
     words = text.split()
     if is_payload_doc(doc_id):
         html, expected = _payload_doc(doc_id, words)
+    elif is_pdf_doc(doc_id):
+        from .pdf_synth import build_pdf
+
+        html, expected = build_pdf(doc_id, text)
     elif is_md_doc(doc_id):
         html, expected = _md_doc(doc_id, words)
     else:
