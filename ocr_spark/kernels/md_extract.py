@@ -116,15 +116,21 @@ def render_md_document(paragraphs) -> str:
 
 # a COMPLETE tag: '<' immediately followed by the name, then '>' or
 # whitespace+attrs+'>' — prose like 'x < a' or code like 'i<a.length'
-# must not match (they have a space after '<' / no closing '>')
+# must not match (they have a space after '<' / no closing '>').
+# The named-open-tag list alone was too narrow (ADVICE r01: a page built
+# from <span>/<li>/<td>/<strong>/<article> only slipped through to the
+# markdown route); any CLOSE tag '</name>' is an unambiguous HTML marker
+# that neither prose nor Java generics (List<String>) can produce.
 _TAG_SNIFF_RE = re.compile(
-    rb"<(?:!doctype|html|head|body|p|div|h[1-6]|br|a|ul|table)(?:\s[^>]{0,256})?/?>",
+    rb"<(?:!doctype|html|head|body|p|div|h[1-6]|br|a|ul|table)(?:\s[^>]{0,256})?/?>"
+    rb"|</[a-zA-Z][a-zA-Z0-9]*\s*>",
     re.I,
 )
 
 
 def looks_like_html(blob: bytes) -> bool:
-    """Content sniff for the S5 dispatch: any complete common tag."""
+    """Content sniff for the S5 dispatch: any complete common open tag OR
+    any close tag in the head of the page."""
     return _TAG_SNIFF_RE.search(blob[:4096]) is not None
 
 

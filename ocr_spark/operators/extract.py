@@ -39,6 +39,7 @@ from ..kernels.md_extract import (
     render_md_document,
     render_md_paragraph,
 )
+from ..kernels.doc_parsers import looks_like_docx, sniff_code_lang
 from ..kernels.sort import sort_boxes_xywh
 from ..sources.pages import PAYLOAD_MAGIC
 
@@ -119,6 +120,52 @@ def _extract_md_doc(blob: bytes):
         (s for para in paragraphs for s in para.get("section", []) if s), ""
     )
     return title, render_md_document(paragraphs), spans
+
+
+def _banded_spans(items):
+    """Document-order pseudo-box spans (FIXTURES.md §1): items of
+    (kind, section, text) -> span dicts."""
+    spans = []
+    n = max(len(items), 1)
+    for i, (kind, section, text) in enumerate(items):
+        spans.append(
+            {
+                "seq": i,
+                "kind": kind,
+                "section": section,
+                "text": text,
+                "x0": 0.05,
+                "y0": i / n,
+                "x1": 0.95,
+                "y1": (i + 1) / n,
+                "score": 1.0,
+            }
+        )
+    return spans
+
+
+def _extract_docx_doc(blob: bytes):
+    """S5 docx route: one paragraph per w:p (reference docx_parser.py:14-21),
+    empty paragraphs dropped at assembly."""
+    from ..kernels.doc_parsers import parse_docx
+
+    paragraphs = [p for p in parse_docx(blob) if p["text"].strip()]
+    spans = _banded_spans([("text", "", p["text"]) for p in paragraphs])
+    return "", "\n\n".join(p["text"] for p in paragraphs), spans
+
+
+def _extract_code_doc(text_in: str, lang: str):
+    """S5 py/java routes: 'type: code' paragraphs (reference
+    py_parser.py:15-25 split / java_parser.py:13-18 whole-file)."""
+    from ..kernels.doc_parsers import parse_java_source, parse_python_source
+
+    if lang == "python":
+        paragraphs = parse_python_source(text_in)
+    else:
+        paragraphs = parse_java_source(text_in)
+    paragraphs = [p for p in paragraphs if p["text"].strip()]
+    spans = _banded_spans([("code", p["language"], p["text"]) for p in paragraphs])
+    return "", "\n\n".join(p["text"] for p in paragraphs), spans
 
 
 def _extract_pdf_doc(blob: bytes):
@@ -258,6 +305,8 @@ def extract_batch(pdf, decode_method: str = "greedy"):
             blob = bytes(html) if html is not None else b""
             if blob.startswith(b"%PDF-"):
                 plans.append(("html", _extract_pdf_doc(blob)))
+            elif looks_like_docx(blob):
+                plans.append(("html", _extract_docx_doc(blob)))
             elif blob.startswith(PAYLOAD_MAGIC):
                 paragraphs, jobs = _plan_payload_doc(blob)
                 base = len(all_jobs)
@@ -268,9 +317,15 @@ def extract_batch(pdf, decode_method: str = "greedy"):
             elif looks_like_html(blob):
                 plans.append(("html", _extract_html_doc(blob)))
             elif mostly_text(blob):
-                # S5 dispatch: markdown / plain-text page (the reference's
-                # md/txt parser routes, parsers/__init__.py:53-201)
-                plans.append(("html", _extract_md_doc(blob)))
+                # S5 dispatch: code / markdown / plain-text page (the
+                # reference's py/java/md/txt parser routes,
+                # parsers/__init__.py:53-201)
+                text_in = blob.decode("utf-8", errors="replace")
+                lang = sniff_code_lang(text_in)
+                if lang:
+                    plans.append(("html", _extract_code_doc(text_in, lang)))
+                else:
+                    plans.append(("html", _extract_md_doc(blob)))
             else:
                 plans.append(("html", ("", "", [])))  # binary junk -> empty
         except Exception:

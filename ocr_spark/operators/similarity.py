@@ -141,6 +141,14 @@ def _train_centroids(
         ],
         dtype=np.float64,
     )
+    if sample.size == 0:
+        raise ValueError(
+            "ivf_topk: embeddings table is empty — no centroids to train; "
+            "use brute_force_topk for tiny/empty corpora"
+        )
+    # fewer vectors than requested centroids: clamp (degenerates gracefully
+    # toward brute force rather than producing duplicate/NaN centroids)
+    n_centroids = min(n_centroids, len(sample))
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     cents = sample[:n_centroids].copy()
     for _ in range(iters):

@@ -76,6 +76,18 @@ def is_pdf_doc(doc_id: int) -> bool:
     return doc_id % 20 == 5
 
 
+def is_docx_doc(doc_id: int) -> bool:
+    return doc_id % 20 == 15
+
+
+def is_code_doc(doc_id: int) -> bool:
+    return doc_id % 20 == 12
+
+
+def code_lang_of(doc_id: int) -> str:
+    return "python" if (doc_id // 20) % 2 == 0 else "java"
+
+
 def _chunk(words: list[str], n: int) -> list[list[str]]:
     return [words[i : i + n] for i in range(0, len(words), n)] or [["empty"]]
 
@@ -153,6 +165,50 @@ def _md_doc(doc_id: int, words: list[str]):
     return "\n".join(md_lines).encode("utf-8"), "\n\n".join(expected_parts)
 
 
+def _docx_doc(doc_id: int, words: list[str]):
+    """Real .docx page (zip of OOXML parts) + expected text by construction
+    (S5 docx route, reference docx_parser.py:14-21 paragraph shape)."""
+    from ..kernels.doc_parsers import build_docx
+
+    paras = _chunk(words, WORDS_PER_PARA)[:PARAS_PER_DOC]
+    texts = [f"Docx Document {doc_id}"] + [" ".join(p) for p in paras]
+    # an empty w:p between paragraphs: kept by the parser, dropped at
+    # assembly (parity with python-docx Document.paragraphs)
+    stored = texts[:1] + [""] + texts[1:]
+    return build_docx(stored), "\n\n".join(texts)
+
+
+def _code_doc(doc_id: int, words: list[str], lang: str):
+    """Python / Java source page + expected text (S5 py/java routes).
+
+    Python separators are exactly '\\n\\n' before def/#/class/@ so the
+    reference's split regex (py_parser.py:16) re-joins to the identical
+    source; Java is one whole-file code paragraph (java_parser.py:13-18).
+    """
+    w = [x.replace('"', "").replace("\\", "") for x in (words + ["w"] * 6)[:6]]
+    if lang == "python":
+        src = (
+            f"import os\n\n"
+            f"# module for doc {doc_id}\n\n"
+            f"def alpha_{doc_id % 7}():\n"
+            f'    return "{w[0]} {w[1]} {w[2]}"\n\n'
+            f"class Thing{doc_id % 5}:\n"
+            f'    value = "{w[3]} {w[4]}"\n\n'
+            f"@staticmethod\n"
+            f"def beta():\n"
+            f"    pass\n"
+        )
+    else:
+        src = (
+            f"package crawl.docs;\n\n"
+            f"import java.util.List;\n\n"
+            f"public class Doc{doc_id} {{\n"
+            f'    String text = "{w[0]} {w[1]} {w[2]} {w[3]}";\n'
+            f"}}\n"
+        )
+    return src.encode("utf-8"), src
+
+
 def _payload_doc(doc_id: int, words: list[str]):
     """Build one payload page: word boxes on a line/paragraph grid.
 
@@ -203,6 +259,10 @@ def synth_page(doc_id: int, text: str, lang: str):
         from .pdf_synth import build_pdf
 
         html, expected = build_pdf(doc_id, text)
+    elif is_docx_doc(doc_id):
+        html, expected = _docx_doc(doc_id, words)
+    elif is_code_doc(doc_id):
+        html, expected = _code_doc(doc_id, words, code_lang_of(doc_id))
     elif is_md_doc(doc_id):
         html, expected = _md_doc(doc_id, words)
     else:

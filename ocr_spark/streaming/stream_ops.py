@@ -31,7 +31,9 @@ def dice_coeff(a: np.ndarray, b: np.ndarray) -> float:
     """2*|x∩y| / (|x|+|y|) over binarized signals (distances.py:125-130)."""
     inter = np.minimum(a, b).sum()
     denom = a.sum() + b.sum()
-    return float(2.0 * inter / denom) if denom else 1.0
+    # divide_no_nan parity (distances.py:125-130): two all-zero (blank)
+    # signatures score 0 -> blank frames are NOT flagged as duplicates
+    return float(2.0 * inter / denom) if denom else 0.0
 
 
 def emitted_text_gate(texts, emitted: set, last_k: list, *, k: int = 5, max_dist: float = 0.2):
@@ -210,7 +212,9 @@ class RepetitionGate:
                 continue  # promoted to memory
             if not matched[i]:
                 w[2] += 1
-                if w[2] >= self.max_unseen:
+                # reference keeps boxes while unseen <= max_unseen and
+                # evicts strictly beyond it (filters.py:88-188)
+                if w[2] > self.max_unseen:
                     continue  # evicted
             survivors.append(w)
         self.waiting = survivors

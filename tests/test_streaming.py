@@ -52,7 +52,8 @@ def test_repetition_gate_kernel():
     assert g.step([elsewhere]) == []         # new box: waiting
     assert g.step([]) == []                  # unseen 1
     assert g.step([]) == []                  # unseen 2
-    assert g.step([]) == []                  # unseen 3 -> evicted
+    assert g.step([]) == []                  # unseen 3 (== max: still kept,
+    assert g.step([]) == []                  #   reference parity); 4 -> evicted
     assert g.step([elsewhere]) == []         # must start over after eviction
     assert g.step([elsewhere]) == [elsewhere]
 
