@@ -80,37 +80,56 @@ def lsh_bucket_topk(
     *,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     dim: int = 64,
     round_to: int = 4,
 ) -> DataFrame:
-    """Random-hyperplane LSH ANN: candidates share the sign-pattern bucket.
+    """Random-hyperplane LSH ANN with MULTI-TABLE probing: a candidate is
+    any vector sharing the sign-pattern bucket with the query in AT LEAST
+    ONE of ``n_tables`` independent plane sets (VERDICT r01 item 7 — the
+    single-band variant's recall was too low and untested).
 
-    Recall < 1 by design (approximate); at 100 TB this is the only viable
-    shape — the bucket join replaces the full cross product. Multi-probe =
-    union over several plane sets (single set here).
+    Miss probability decays exponentially with tables: for same-bucket
+    probability p per table, P(miss) = (1 - p)^n_tables. Candidates dedupe
+    on (query_id, vec_id) BEFORE scoring, so each pair is scored once. At
+    100 TB the (table, bucket) equi-join replaces the cross product; keys
+    are hash-distributed, no hot keys.
     """
-    planes = _hyperplanes(dim, n_planes)
 
-    def bucket_col(emb):
-        bits = [
-            F.when(
-                _dot(emb, F.array(*[F.lit(float(v)) for v in plane])) > 0, F.lit(1)
-            ).otherwise(F.lit(0))
-            * F.lit(2 ** i)
-            for i, plane in enumerate(planes)
-        ]
-        acc = bits[0]
-        for b in bits[1:]:
-            acc = acc + b
-        return acc
+    def bucket_structs(emb):
+        per_table = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed=42 + 1000 * t)
+            bits = [
+                F.when(
+                    _dot(emb, F.array(*[F.lit(float(v)) for v in plane])) > 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+                * F.lit(2 ** i)
+                for i, plane in enumerate(planes)
+            ]
+            acc = bits[0]
+            for b in bits[1:]:
+                acc = acc + b
+            per_table.append(
+                F.struct(F.lit(t).alias("table"), acc.alias("bucket"))
+            )
+        return F.explode(F.array(*per_table)).alias("tb")
 
-    emb_b = embeddings.select("vec_id", "embedding", bucket_col(F.col("embedding")).alias("bucket"))
+    emb_b = embeddings.select(
+        "vec_id", "embedding", bucket_structs(F.col("embedding"))
+    ).select("vec_id", "embedding", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
     q_b = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        bucket_col(F.col("embedding")).alias("bucket"),
+        bucket_structs(F.col("embedding")),
+    ).select("query_id", "q_emb", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+    pairs = (
+        emb_b.join(F.broadcast(q_b), ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
     )
-    pairs = emb_b.join(F.broadcast(q_b), "bucket").where(F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "vec_id",

@@ -206,3 +206,41 @@ def test_dedup_clusters_long_chain_pointer_jumping(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(pairs, max_iters=1)
+
+
+def test_lsh_multiprobe_recall_vs_brute_force(spark):
+    """VERDICT r01 item 7: multi-table LSH must hit recall@5 >= 0.9 vs the
+    exact brute force at sf0.1 (the single-band variant was untested/low).
+
+    This corpus's true top-5 neighbors sit at cosine 0.25-0.49 — a hard
+    regime for sign-LSH (per-plane agreement ~0.6) — so the test uses
+    NARROW buckets (3 planes) x 12 tables; web-scale near-dup corpora
+    (cosine >= 0.8) would use 8+ planes for selectivity at equal recall.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.1"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(e, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in lsh_bucket_topk(e, q, k=5, n_planes=3, n_tables=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH multiprobe recall {recall} too low"
+
+
+def test_lsh_candidates_scored_once(spark):
+    """A pair colliding in several tables must appear once with one score."""
+    from ocr_spark.operators.similarity import lsh_bucket_topk
+
+    rows = [(i, [1.0, 0.5] + [0.0] * 62) for i in range(6)]  # all identical
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_bucket_topk(e, e.where("vec_id = 0"), k=10, n_tables=4).collect()
+    assert len(out) == 5  # each other vector exactly once
+    assert all(r.sim == 1.0 for r in out)
