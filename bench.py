@@ -93,6 +93,11 @@ def main():
     timings["flagship_extract"] = timed(lambda: extract_pages(pages).count())
     t_extract = timings["flagship_extract"]
 
+    # beam decoder variant (VERDICT r01 item 9 target: within 3x of greedy)
+    timings["flagship_extract_beam"] = timed(
+        lambda: extract_pages(pages, decode_method="beam").count()
+    )
+
     # extraction + parquet write (the full scan -> extract -> sink job)
     timings["flagship_extract_write"] = timed(
         lambda: extract_pages(pages).write.mode("overwrite").parquet("/tmp/ocr_spark_bench/out")

@@ -274,17 +274,17 @@ def _decode_jobs(all_jobs, method: str = "greedy", num_beams: int = 10):
     vocab, _ = _get_vocab()
     if not all_jobs:
         return [], np.zeros((0,))
-    if method == "beam":
-        texts, scores = [], []
-        for j in all_jobs:
-            (toks, score), *_ = ctc_kernel.ctc_beam_decode(j, beam_width=num_beams)
-            texts.append(ctc_kernel.decode_tokens(toks, vocab))
-            scores.append(score)
-        return texts, np.asarray(scores)
     t_max = max(j.shape[0] for j in all_jobs)
     batch = np.stack([np.pad(j, ((0, t_max - j.shape[0]), (0, 0))) for j in all_jobs])
     lengths = np.array([j.shape[0] for j in all_jobs])
-    tokens, scores = ctc_kernel.ctc_greedy_decode_batch(batch, lengths)
+    if method == "beam":
+        # numpy-batched prefix beam over the whole chunk (VERDICT r01
+        # item 9); exact-equal to the per-sequence reference-shaped decoder
+        tokens, scores = ctc_kernel.ctc_beam_decode_batch(
+            batch, lengths, beam_width=num_beams
+        )
+    else:
+        tokens, scores = ctc_kernel.ctc_greedy_decode_batch(batch, lengths)
     texts = [ctc_kernel.decode_tokens(t, vocab) for t in tokens]
     return texts, scores
 

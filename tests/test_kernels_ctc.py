@@ -96,3 +96,37 @@ def test_beam_length_power_rescore():
     assert norm_top == [1, 2]      # 'ab': p ~ .405 but /3 beats .402/2? no:
     # lengths: 'a' -> (1+1)=2, 'ab' -> (2+1)=3; log(.402)/2 ~ -.456,
     # log(.405)/3 ~ -.301 -> 'ab' wins under length normalization
+
+
+def test_beam_batch_equals_per_sequence_decoder():
+    """The numpy-batched beam (VERDICT r01 item 9) must reproduce the
+    per-sequence prefix-beam exactly — tokens AND scores — on random
+    (tie-free) logits with ragged lengths."""
+    import numpy as np
+
+    from ocr_spark.kernels import ctc
+
+    rng = np.random.RandomState(11)
+    n, t, v = 25, 24, 10
+    batch = rng.randn(n, t, v) * 2.0
+    lengths = rng.randint(4, t + 1, size=n)
+    toks_b, scores_b = ctc.ctc_beam_decode_batch(batch, lengths, beam_width=8)
+    for i in range(n):
+        (toks, score), *_ = ctc.ctc_beam_decode(batch[i], lengths[i], beam_width=8)
+        assert toks == toks_b[i], i
+        assert abs(score - scores_b[i]) < 1e-9, i
+
+
+def test_beam_batch_roundtrips_synth_logits():
+    import numpy as np
+
+    from ocr_spark.kernels import ctc
+
+    vocab = ctc.make_vocab()
+    texts = ["hello world", "abc abc", "aa bb cc", "", "the quick brown fox"]
+    jobs = [ctc.synth_logits_for_text(s, vocab) for s in texts]
+    t_max = max(j.shape[0] for j in jobs)
+    batch = np.stack([np.pad(j, ((0, t_max - j.shape[0]), (0, 0))) for j in jobs])
+    lens = np.array([j.shape[0] for j in jobs])
+    toks, _ = ctc.ctc_beam_decode_batch(batch, lens)
+    assert [ctc.decode_tokens(tk, vocab) for tk in toks] == texts
