@@ -1,0 +1,666 @@
+"""Pure-Python/numpy image codecs + resize/normalize kernels.
+
+Unstubs the round-1 multimodal codec boundary (VERDICT r01 item 2) without
+external libraries:
+
+- PNG: full encode/decode for 8-bit gray/RGB/RGBA/palette, zlib (stdlib)
+  inflate + per-row unfilter (None/Sub/Up/Average/Paeth with proper
+  bytes-per-pixel offsets). Lossless round trip.
+- JPEG: baseline sequential (SOF0) DECODER — DQT/DHT/SOF0/SOS/DRI markers,
+  canonical Huffman, dequantize + zigzag + 8x8 IDCT (orthonormal DCT-II
+  basis), chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), YCbCr->RGB — and a
+  4:4:4 ENCODER (standard Annex K quantization + Huffman tables, quality
+  scaling) used to build test fixtures; progressive (SOF2) is rejected
+  with a clear error.
+- resize_bilinear / resize_pad_image: the reference's resize semantics —
+  preserve_aspect_ratio scales by min(out/in) with int truncation, then
+  pads after/before/even with pad_value
+  (/root/reference/utils/image/image_processing.py:19-142).
+- normalize_image: the reference's named normalization schemes ('01',
+  'normal', 'tanh', 'east', 'clip', 'easyocr')
+  (/root/reference/utils/image/image_normalization.py:16-60).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class CodecError(ValueError):
+    pass
+
+
+# ===========================================================================
+# PNG
+# ===========================================================================
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """(H, W), (H, W, 3) or (H, W, 4) uint8 -> PNG bytes (filter 0 rows)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, planes = 0, 1
+        rows = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, planes = 2, 3
+        rows = img
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color_type, planes = 6, 4
+        rows = img
+    else:
+        raise CodecError(f"unsupported array shape {img.shape}")
+    h, w = img.shape[:2]
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)  # filter None
+        raw += rows[r].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(data: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    stride = w * bpp
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for r in range(h):
+        ftype = data[pos]
+        row = np.frombuffer(data[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb_, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb_ and pa <= pc) else (b if pb_ <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise CodecError(f"bad PNG filter {ftype}")
+        out[r] = row.astype(np.uint8)
+        prev = row
+    return out
+
+
+def png_decode(blob: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W) or (H, W, C) uint8. 8-bit depth, no interlace."""
+    if not blob.startswith(_PNG_SIG):
+        raise CodecError("not a PNG")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = 0
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        payload = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise CodecError("no IHDR")
+    if bit_depth != 8:
+        raise CodecError(f"unsupported bit depth {bit_depth}")
+    if interlace:
+        raise CodecError("Adam7 interlace not supported")
+    planes = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if planes is None:
+        raise CodecError(f"unsupported color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    arr = _png_unfilter(raw, width, height, planes)
+    if color_type == 3:
+        if palette is None:
+            raise CodecError("palette image without PLTE")
+        return palette[arr.reshape(height, width)]
+    if planes == 1:
+        return arr.reshape(height, width)
+    return arr.reshape(height, width, planes)
+
+
+# ===========================================================================
+# JPEG (baseline)
+# ===========================================================================
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# standard Annex K quantization tables (quality 50 base)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+])
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+])
+
+# standard Annex K Huffman tables: (bits[1..16], values)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix A: F = A @ f @ A.T, f = A.T @ F @ A."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return a
+
+
+_A = _dct_basis()
+
+
+def _build_huffman_decode(bits, values):
+    """Canonical codes -> {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_huffman_encode(bits, values):
+    dec = _build_huffman_decode(bits, values)
+    return {sym: (length, code) for (length, code), sym in dec.items()}
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    # marker: rewind and pad with zeros (end of entropy data)
+                    self.pos -= 1
+                    b = 0
+                    self.bitbuf = (self.bitbuf << 8) | b
+                    self.nbits += 8
+                    continue
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                return 0
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        self.bitbuf = 0
+        self.nbits = 0
+        # skip to after the RST marker
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _huff_decode(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise CodecError("bad Huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    return v - ((1 << n) - 1) if n and v < (1 << (n - 1)) else v
+
+
+def jpeg_decode(blob: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (H, W, 3) or (H, W) uint8."""
+    if blob[:2] != b"\xff\xd8":
+        raise CodecError("not a JPEG")
+    pos = 2
+    qt = {}
+    huff_dc, huff_ac = {}, {}
+    comps = None
+    h_img = w_img = 0
+    restart_interval = 0
+    scan = None
+    scan_comps = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        if marker == 0xD8 or (0xD0 <= marker <= 0xD7):
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        payload = blob[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(payload[p : p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(payload[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                qt[tq] = tbl
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            h_img, w_img = struct.unpack(">HH", payload[1:5])
+            n_comp = payload[5]
+            comps = []
+            for i in range(n_comp):
+                cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
+        elif marker == 0xC2:
+            raise CodecError("progressive JPEG (SOF2) not supported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(payload[p + 17 : p + 17 + n])
+                table = _build_huffman_decode(bits, values)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS
+            n_sc = payload[0]
+            scan_comps = []
+            for i in range(n_sc):
+                cid, tabs = payload[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0xF})
+            scan = blob[pos + 2 + seg_len :]
+            break
+        pos += 2 + seg_len
+    if comps is None or scan is None:
+        raise CodecError("missing SOF/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    }
+    by_id = {c["id"]: c for c in comps}
+    for sc in scan_comps:
+        sc.update(by_id[sc["id"]])
+
+    reader = _BitReader(scan)
+    dc_pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_to_marker()
+                dc_pred = {c["id"]: 0 for c in comps}
+            for sc in scan_comps:
+                q = qt[sc["tq"]]
+                for by in range(sc["v"]):
+                    for bx in range(sc["h"]):
+                        coefs = np.zeros(64, dtype=np.int64)
+                        t_sym = _huff_decode(reader, huff_dc[sc["dc"]])
+                        diff = _extend(reader.read_bits(t_sym), t_sym)
+                        dc_pred[sc["id"]] += diff
+                        coefs[0] = dc_pred[sc["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, huff_ac[sc["ac"]])
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                break
+                            coefs[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = coefs * q
+                        spatial = _A.T @ block.reshape(8, 8) @ _A + 128.0
+                        y0 = (my * sc["v"] + by) * 8
+                        x0 = (mx * sc["h"] + bx) * 8
+                        planes[sc["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:h_img, :w_img])
+    if len(out_planes) == 1:
+        return np.clip(out_planes[0].round(), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes[:3]
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(rgb.round(), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, length: int, code: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nacc += length
+        while self.nacc >= 8:
+            self.nacc -= 8
+            b = (self.acc >> self.nacc) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nacc:
+            pad = 8 - self.nacc
+            self.write(pad, (1 << pad) - 1)
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * s + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W, 3) or (H, W) uint8 -> baseline JPEG (4:4:4, Annex K tables)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+
+    q_luma = _quality_scale(_QT_LUMA, quality)
+    q_chroma = _quality_scale(_QT_CHROMA, quality)
+    enc_dc = [_build_huffman_encode(*_DC_LUMA), _build_huffman_encode(*_DC_CHROMA)]
+    enc_ac = [_build_huffman_encode(*_AC_LUMA), _build_huffman_encode(*_AC_CHROMA)]
+
+    out = bytearray(b"\xff\xd8")
+    # DQT
+    for tq, tbl in enumerate([q_luma] + ([q_chroma] if not gray else [])):
+        payload = bytes([tq]) + bytes(int(tbl[i]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
+    # SOF0
+    n_comp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([n_comp])
+    for i in range(n_comp):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    # DHT
+    for tc, tables in ((0, [_DC_LUMA, _DC_CHROMA]), (1, [_AC_LUMA, _AC_CHROMA])):
+        for th, (bits, values) in enumerate(tables[: (1 if gray else 2)]):
+            payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+            out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+    # SOS
+    sos = bytes([n_comp])
+    for i in range(n_comp):
+        t = 0 if i == 0 else 1
+        sos += bytes([i + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    writer = _BitWriter()
+    pad_h, pad_w = -h % 8, -w % 8
+    dc_pred = [0] * n_comp
+    padded = [np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge") for p in planes]
+    for my in range(0, h + pad_h, 8):
+        for mx in range(0, w + pad_w, 8):
+            for ci in range(n_comp):
+                t = 0 if ci == 0 else 1
+                q = q_luma if ci == 0 else q_chroma
+                block = padded[ci][my : my + 8, mx : mx + 8] - 128.0
+                coef = _A @ block @ _A.T
+                zz = coef.reshape(-1)[_ZIGZAG]
+                quant = np.round(zz / q[np.arange(64)]).astype(np.int64)
+                # DC
+                diff = int(quant[0]) - dc_pred[ci]
+                dc_pred[ci] = int(quant[0])
+                cat = _cat(diff)
+                length, code = enc_dc[t][cat]
+                writer.write(length, code)
+                if cat:
+                    v = diff if diff >= 0 else diff + (1 << cat) - 1
+                    writer.write(cat, v)
+                # AC
+                run = 0
+                for k in range(1, 64):
+                    v = int(quant[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        length, code = enc_ac[t][0xF0]
+                        writer.write(length, code)
+                        run -= 16
+                    cat = _cat(v)
+                    length, code = enc_ac[t][(run << 4) | cat]
+                    writer.write(length, code)
+                    bits_v = v if v >= 0 else v + (1 << cat) - 1
+                    writer.write(cat, bits_v)
+                    run = 0
+                if run:
+                    length, code = enc_ac[t][0x00]  # EOB
+                    writer.write(length, code)
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ===========================================================================
+# resize / pad / normalize (reference semantics)
+# ===========================================================================
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Half-pixel-aligned bilinear resample -> float64 (H', W', C)."""
+    img = np.asarray(img, dtype=np.float64)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    src_h, src_w = img.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * src_h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * src_w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, src_h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, src_w - 1)
+    y1 = np.clip(y0 + 1, 0, src_h - 1)
+    x1 = np.clip(x0 + 1, 0, src_w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_pad_image(
+    img: np.ndarray,
+    size: tuple[int, int],
+    *,
+    preserve_aspect_ratio: bool = True,
+    pad_value: float = 0.0,
+    pad_mode: str = "after",
+) -> np.ndarray:
+    """The reference resize contract (image_processing.py:19-142): with
+    aspect preserved, scale by ratio = min(out/in) with int truncation,
+    bilinear-resample, then pad to ``size`` (after/before/even)."""
+    img = np.asarray(img, dtype=np.float64)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    out_h, out_w = size
+    if preserve_aspect_ratio:
+        src = np.array(img.shape[:2], dtype=np.float64)
+        ratio = float(np.min(np.array([out_h, out_w]) / src))
+        mid_h, mid_w = int(src[0] * ratio), int(src[1] * ratio)
+    else:
+        mid_h, mid_w = out_h, out_w
+    resized = resize_bilinear(img, max(mid_h, 1), max(mid_w, 1))
+    pad_h, pad_w = max(0, out_h - resized.shape[0]), max(0, out_w - resized.shape[1])
+    if pad_h or pad_w:
+        if pad_mode == "before":
+            padding = ((pad_h, 0), (pad_w, 0), (0, 0))
+        elif pad_mode == "after":
+            padding = ((0, pad_h), (0, pad_w), (0, 0))
+        elif pad_mode == "even":
+            padding = (
+                (pad_h // 2, pad_h - pad_h // 2),
+                (pad_w // 2, pad_w - pad_w // 2),
+                (0, 0),
+            )
+        else:
+            raise ValueError(f"unknown pad mode {pad_mode}")
+        resized = np.pad(resized, padding, constant_values=pad_value)
+    return resized
+
+
+_CLIP_MEANS = np.array([0.48145466, 0.4578275, 0.40821073])
+_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711])
+
+
+def normalize_image(img: np.ndarray, scheme: str = "east") -> np.ndarray:
+    """Named normalization schemes (image_normalization.py:16-60); input is
+    float in [0, 1] for mean/std schemes (the reference normalizes after
+    a /255 cast)."""
+    img = np.asarray(img, dtype=np.float64)
+    if scheme == "01":
+        img = img - img.min()
+        return img / max(1e-3, img.max())
+    if scheme == "normal":
+        std = img.std()
+        return (img - img.mean()) / std if std > 0 else np.zeros_like(img)
+    if scheme == "tanh":
+        return img * 2.0 - 1.0
+    if scheme == "east" or scheme == "easyocr":
+        return (img - 0.5) / 0.5
+    if scheme == "clip":
+        return (img - _CLIP_MEANS) / _CLIP_STD
+    raise ValueError(f"unknown normalization scheme {scheme}")

