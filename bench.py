@@ -25,6 +25,7 @@ from ocr_spark.plans.session import get_spark  # noqa: E402
 from ocr_spark.sources.pages import pages_df  # noqa: E402
 
 BENCH_QUERIES = [
+    "pdf_extract",
     "dedup_exact",
     "jaccard_pairs",
     "minhash_pairs",

@@ -370,6 +370,22 @@ def q_flagship_extract(spark, sf):
     )
 
 
+def q_pdf_extract(spark, sf):  # D9/S5: real PDF byte-parsing route (round 2)
+    """Only the %PDF- pages of the corpus, through the byte-level parser
+    (kernels/pdf_parse.py) and the W8/W9 layout kernels; sha256(text) makes
+    the fixture oracle byte-exact."""
+    pages = pages_df(spark, sf).where(
+        F.expr("substring(html, 1, 5) = X'255044462D'")
+    )
+    return extract_pages(pages).select(
+        "url",
+        "title",
+        "n_spans",
+        F.length("text").alias("n_chars"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+    )
+
+
 def q_minhash_pairs(spark, sf):
     return dedup_ops.minhash_lsh_pairs(_t(spark, sf, "documents"))
 
@@ -546,8 +562,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_dup_pairs": q_embed_dup_pairs,
     "revenue_topk": q_revenue_topk,
     "supplier_geo": q_supplier_geo,
-    # rows-only
+    # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
+    "pdf_extract": q_pdf_extract,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "lsh_ann": q_lsh_ann,
@@ -860,6 +877,51 @@ ORACLE_SQL: dict[str, str] = {
         FROM b
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# Fixture oracles (VERDICT r01 item 3): deterministic non-SQL-expressible
+# queries get a committed expected-output parquet, generated at build time
+# by `python scripts/make_fixtures.py` from the SAME kernels at sf0.01 (the
+# driver's correctness scale). The oracle is then a trivial SELECT over the
+# fixture, so rows/schema/value-hash are driver-verified; a kernel
+# regression shows up as a hash mismatch. Entries register only when the
+# fixture exists on disk, so a missing fixture degrades to the rows-only
+# check instead of erroring.
+# --------------------------------------------------------------------------
+
+import os as _os
+
+FIXTURE_DIR = _os.path.abspath(
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", "fixtures", "sf001")
+)
+
+FIXTURE_ORACLES = [
+    "flagship_extract",
+    "pdf_extract",
+    "minhash_pairs",
+    "simhash_pairs",
+    "lsh_ann",
+    "ivf_ann",
+    "normalize_numbers",
+    "combine_boxes",
+    "nms_boxes",
+    "reading_order",
+    "multimodal_meta",
+    "multimodal_frames",
+    "chunk_extracted",
+    "training_pipeline",
+    "dedup_clusters",
+    "detect_maps",
+    "split_text",
+]
+
+for _name in FIXTURE_ORACLES:
+    _p = _os.path.join(FIXTURE_DIR, _name + ".parquet")
+    if _os.path.isdir(_p):
+        ORACLE_SQL[_name] = (
+            f"SELECT * FROM read_parquet('{_p}/*.parquet')"
+        )
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -270,3 +270,27 @@ def test_cjk_and_prose_pages_not_lost(spark):
     out = {r.url: r for r in extract_pages(pages).collect()}
     assert "测试" in out["u1"].text
     assert "x < a" in out["u2"].text and out["u2"].title == "Notes"
+
+
+def test_flagship_digest_pinned(spark):
+    """VERDICT r01 item 10: the flagship extraction digest over sf0.001 is a
+    COMMITTED fixture (tests/fixtures/flagship_digest.json) — byte-identity
+    survives refactors without the driver needing the golden corpus.
+    Regenerate ONLY on an intentional semantics/corpus change (rerun the
+    snippet in the fixture's git history)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    fix = json.load(
+        open(os.path.join(os.path.dirname(__file__), "fixtures", "flagship_digest.json"))
+    )
+    out = extract_pages(pages_df(spark, fix["sf_dir"]))
+    digest = (
+        out.select(F.sha2(F.concat_ws("|", "url", "text"), 256).alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("decimal(38,0)")).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert str(digest) == fix["digest"]
+    assert out.count() == fix["n_docs"]
