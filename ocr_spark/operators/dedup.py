@@ -108,13 +108,20 @@ def ngram_jaccard_pairs(
         # reducer's rows per key at the partition count.
         if hot_df_threshold is not None:
             hot = dfreq.where(F.col("df") >= hot_df_threshold)
-            cold = dfreq.where(F.col("df") < hot_df_threshold)
-            with_df = (
-                sh.join(F.broadcast(hot), "sh")
-                .unionByName(
-                    sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
-                    .join(cold, "sh")
+            bhot = F.broadcast(hot)
+            # identical broadcast subplan for the inner join and the anti
+            # probe -> ReusedExchange: the dfreq aggregation runs once.
+            # Cold-side df needs no second global aggregation: a cold
+            # shingle has NO hot row, so ALL its postings are in the anti
+            # subset and a window count there equals the global df exactly.
+            cold_post = (
+                sh.join(bhot, "sh", "left_anti")
+                .withColumn(
+                    "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
                 )
+            )
+            with_df = sh.join(bhot, "sh").select("doc_id", "sh", "df").unionByName(
+                cold_post.select("doc_id", "sh", "df")
             )
         else:
             with_df = sh.join(dfreq, "sh")

@@ -7,16 +7,21 @@ lang string) — synthesized as a pure deterministic function of each
 and the expected main content is known **by construction** (the golden is
 not derived by running the extractor).
 
-Two page flavors:
-- HTML pages (95%): seeded-grammar page with title, nav/header/footer/aside/
+Page flavors (by doc_id % 20):
+- HTML pages (75%): seeded-grammar page with title, nav/header/footer/aside/
   script boilerplate, content paragraphs, a list, a table; expected text =
   the content parts (already whitespace-collapsed by construction).
-- payload pages (5%, doc_id % 20 == 0): the html column carries a
-  ``%OCRPAYLOAD%`` JSON blob of per-word boxes + texts — the analog of the
-  reference's detect->recognize path over embedded image/PDF payloads
-  (/root/reference/models/ocr/base_ocr.py:98-255). The pipeline runs
-  combine_boxes -> per-line CTC decode (deterministic fixture logits) ->
-  reading order; the expected text is known from the generating grammar.
+- payload pages (5%, % 20 == 0): the html column carries a ``%OCRPAYLOAD%``
+  JSON blob of per-word boxes + texts — the analog of the reference's
+  detect->recognize path over embedded image payloads
+  (/root/reference/models/ocr/base_ocr.py:98-255): combine_boxes ->
+  per-line CTC decode (deterministic fixture logits) -> reading order.
+- REAL PDF pages (5%, % 20 == 5): genuine PDF bytes from sources/pdf_synth
+  (xref table or xref-stream/ObjStm variants, Flate/AHx filters) parsed by
+  kernels/pdf_parse -> pdf_layout grouping.
+- markdown/plain-text pages (5%, % 20 == 10), python/java source pages
+  (5%, % 20 == 12), real .docx pages (5%, % 20 == 15) — the remaining S5
+  parser-dispatch routes.
 
 Skew by design: 30% of urls land on one mega-host (``host0``) to exercise
 the salt-based skew mitigation required by the north_rule.
