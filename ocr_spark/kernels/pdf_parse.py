@@ -597,15 +597,54 @@ def _tokenize_content(data: bytes):
                 continue
             m = re.match(rb"[A-Za-z'\"*]+[0-9]*", data[pos:])
             if m:
-                yield ("op", m.group(0).decode("latin-1"))
+                op = m.group(0).decode("latin-1")
                 pos += m.end()
+                if op == "BI":  # inline image: skip params + binary blob
+                    pos = _skip_inline_image(data, pos)
+                    continue
+                yield ("op", op)
             else:
                 pos += 1  # skip unknown byte
 
 
-def interpret_content(content: bytes, fonts: dict[str, Font], page_w: float, page_h: float):
+_INLINE_IMG_END_RE = re.compile(rb"\bEI\b")
+
+
+def _skip_inline_image(data: bytes, pos: int) -> int:
+    """pos is just after 'BI'. Skip the parameter dict and the binary blob
+    after 'ID' up to the matching 'EI' (whitespace-delimited)."""
+    id_at = data.find(b"ID", pos)
+    if id_at < 0:
+        return len(data)
+    scan = id_at + 3  # ID + one whitespace byte
+    while True:
+        m = _INLINE_IMG_END_RE.search(data, scan)
+        if m is None:
+            return len(data)
+        # EI must be preceded by whitespace to be the operator, not data
+        if data[m.start() - 1] in _WS:
+            return m.end()
+        scan = m.end()
+
+
+def interpret_content(
+    content: bytes,
+    fonts: dict[str, Font],
+    page_w: float,
+    page_h: float,
+    *,
+    xobjects: dict | None = None,
+    doc: "Document | None" = None,
+    _depth: int = 0,
+):
     """Run the text machinery; emit blocks {'text','box','font_size'} in
-    operator order. Box normalization matches pdf_parser.py:103-108."""
+    operator order. Box normalization matches pdf_parser.py:103-108.
+
+    Real-crawl robustness: inline images (BI/ID/EI binary runs) are
+    skipped; ``Do`` on a /Subtype /Form XObject recursively interprets the
+    form's stream with CTM = /Matrix x current CTM and the form's own
+    /Resources fonts (common in generated PDFs that wrap all text in a
+    form)."""
     blocks = []
     ctm = _ID
     ctm_stack = []
@@ -703,6 +742,50 @@ def interpret_content(content: bytes, fonts: dict[str, Font], page_w: float, pag
                 ctm = ctm_stack.pop() if ctm_stack else _ID
             elif op == "cm" and len(operands) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in operands[-6:]), ctm)
+            elif op == "Do" and operands and xobjects and doc is not None:
+                xo = doc.resolve(xobjects.get(operands[-1]))
+                if (
+                    isinstance(xo, Stream)
+                    and doc.resolve(xo.dict.get("/Subtype")) == "/Form"
+                    and _depth < 8
+                ):
+                    mat = doc.resolve(xo.dict.get("/Matrix", [1, 0, 0, 1, 0, 0]))
+                    form_ctm = _mat_mul(tuple(float(v) for v in mat), ctm)
+                    res = doc.resolve(xo.dict.get("/Resources", {})) or {}
+                    fdict = doc.resolve(res.get("/Font", {})) or {}
+                    form_fonts = (
+                        {nm: Font(doc.resolve(f), doc) for nm, f in fdict.items()}
+                        if fdict
+                        else fonts
+                    )
+                    form_xobjs = doc.resolve(res.get("/XObject", {})) or xobjects
+                    sub = interpret_content(
+                        decode_stream(xo, doc),
+                        form_fonts,
+                        page_w,
+                        page_h,
+                        xobjects=form_xobjs,
+                        doc=doc,
+                        _depth=_depth + 1,
+                    )
+                    # re-normalize: sub blocks were normalized against the
+                    # page, but their device coords already included only
+                    # the form's own CTM; recompute by transforming bounds
+                    for blk in sub:
+                        l = blk["box"][0] * page_w
+                        t = page_h - blk["box"][1] * page_h
+                        r = blk["box"][2] * page_w
+                        b = page_h - blk["box"][3] * page_h
+                        pts = [_apply(form_ctm, x, y) for x in (l, r) for y in (b, t)]
+                        xs = [p[0] for p in pts]
+                        ys = [p[1] for p in pts]
+                        blk["box"] = [
+                            min(xs) / page_w,
+                            (page_h - max(ys)) / page_h,
+                            max(xs) / page_w,
+                            (page_h - min(ys)) / page_h,
+                        ]
+                        blocks.append(blk)
         except (TypeError, ValueError, AttributeError):
             pass  # malformed operands: skip the operator, keep scanning
         operands = []
@@ -733,6 +816,8 @@ def parse_pdf_pages(data: bytes) -> list[dict]:
     if not data.startswith(b"%PDF-"):
         raise PdfError("not a PDF (missing %PDF- header)")
     doc = Document(data)
+    if doc.trailer.get("/Encrypt") is not None:
+        raise PdfError("encrypted PDF (no decryption support)")
     root = doc.resolve(doc.trailer.get("/Root"))
     if not isinstance(root, dict):
         raise PdfError("no document catalog")
@@ -749,6 +834,7 @@ def parse_pdf_pages(data: bytes) -> list[dict]:
         resources = doc.resolve(page.get("/Resources", inh.get("/Resources", {}))) or {}
         font_dict = doc.resolve(resources.get("/Font", {})) or {}
         fonts = {name: Font(doc.resolve(f), doc) for name, f in font_dict.items()}
+        xobjects = doc.resolve(resources.get("/XObject", {})) or {}
 
         contents = doc.resolve(page.get("/Contents"))
         parts = []
@@ -758,6 +844,8 @@ def parse_pdf_pages(data: bytes) -> list[dict]:
                 parts.append(decode_stream(c, doc))
         content = b"\n".join(parts)
 
-        blocks = interpret_content(content, fonts, page_w, page_h)
+        blocks = interpret_content(
+            content, fonts, page_w, page_h, xobjects=xobjects, doc=doc
+        )
         out.append({"page": i, "width": page_w, "height": page_h, "blocks": blocks})
     return out

@@ -203,3 +203,85 @@ def test_pdf_pages_in_flagship_corpus(spark):
     out = extract_pages(pdf_pages.drop("expected_text"))
     j = out.join(golden.select("url", "expected_text"), "url")
     assert j.where("text = expected_text").count() == n_pdf
+
+
+def _mini_pdf(objs: dict) -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    nmax = max(objs) + 1
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % nmax
+    for num in range(1, nmax):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        nmax, xref_at,
+    )
+    return bytes(out)
+
+
+def test_form_xobject_text_extracted():
+    """Text living inside a /Form XObject (common in generator output) must
+    surface, positioned through the invocation CTM x /Matrix."""
+    form = b"BT /F1 10 Tf 10 20 Td (inside form) Tj ET"
+    page_content = (
+        b"BT /F1 12 Tf 72 700 Td (on page) Tj ET\n"
+        b"q 1 0 0 1 100 300 cm /Fm1 Do Q"
+    )
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> /XObject << /Fm1 6 0 R >> >> >>"
+        ),
+        4: b"<< /Length %d >>\nstream\n" % len(page_content) + page_content + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+        6: (
+            b"<< /Type /XObject /Subtype /Form /Matrix [1 0 0 1 50 0] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Length %d >>\nstream\n"
+            % len(form) + form + b"\nendstream"
+        ),
+    }
+    pages = parse_pdf_pages(_mini_pdf(objs))
+    texts = {b["text"]: b for b in pages[0]["blocks"]}
+    assert set(texts) == {"on page", "inside form"}
+    # form origin: (10,20) + /Matrix (50,0) + cm (100,300) = (160, 320)
+    blk = texts["inside form"]
+    assert blk["box"][0] * 612 == pytest.approx(160.0, abs=0.5)
+    assert (792 - blk["box"][3] * 792) == pytest.approx(320 - 1.57, abs=0.5)
+
+
+def test_inline_image_skipped():
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+        b"BI /W 2 /H 2 /CS /RGB /BPC 8 ID \xff\x00(Tj)\x11\x22\x33\x44\x55\x66\x77\x88\x99 EI\n"
+        b"BT /F1 12 Tf 72 650 Td (after) Tj ET"
+    )
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> >>"
+        ),
+        4: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+    }
+    pages = parse_pdf_pages(_mini_pdf(objs))
+    assert [b["text"] for b in pages[0]["blocks"]] == ["before", "after"]
+
+
+def test_encrypted_pdf_clear_error():
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [] /Count 0 >>",
+        7: b"<< /Filter /Standard /V 1 >>",
+    }
+    blob = _mini_pdf(objs).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 7 0 R"
+    )
+    with pytest.raises(PdfError, match="encrypted"):
+        parse_pdf_pages(blob)

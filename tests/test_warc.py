@@ -1,0 +1,94 @@
+"""WARC ingestion source: Common-Crawl container -> pages table -> the
+same byte-identical extraction."""
+
+import datetime as dt
+
+import pytest
+
+from ocr_spark.sources.warc import parse_warc, read_warc_pages, write_warc
+
+
+def _records(n=6):
+    from ocr_spark.sources.pages import synth_page
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    out = []
+    for doc_id in range(0, n * 5, 5):  # mixes payload/pdf/md/html flavors
+        p = synth_page(doc_id, text, "en")
+        out.append((p["url"], p["warc_ts"], p["html"], p["expected_text"]))
+    return out
+
+
+def test_parse_warc_round_trip_gzip_and_plain():
+    recs = _records()
+    for gz in (True, False):
+        blob = write_warc([(u, t, h) for u, t, h, _ in recs], per_record_gzip=gz)
+        got = parse_warc(blob)
+        assert [r["url"] for r in got] == [u for u, *_ in recs]
+        assert [r["html"] for r in got] == [h for _, _, h, _ in recs]
+        assert got[0]["warc_ts"] == recs[0][1].replace(microsecond=0)
+
+
+def test_http_envelope_stripped_only_for_responses():
+    html = b"<p>hello</p>"
+    blob = write_warc(
+        [("https://x.example/a", dt.datetime(2026, 1, 2, 3, 4, 5), html)]
+    )
+    rec = parse_warc(blob)[0]
+    assert rec["html"] == html  # HTTP headers stripped
+    # without the HTTP envelope the payload passes through untouched
+    blob2 = write_warc(
+        [("https://x.example/b", None, html)], with_http=False
+    )
+    assert parse_warc(blob2)[0]["html"] == html
+
+
+def test_non_response_records_skipped():
+    body = b"abc"
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: u1\r\n"
+        b"Content-Length: 3\r\n\r\nabc\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: u2\r\n"
+        b"Content-Length: 3\r\n\r\n" + body + b"\r\n\r\n"
+    )
+    got = parse_warc(raw)
+    assert len(got) == 1 and got[0]["url"] == "u2" and got[0]["html"] == body
+
+
+def test_warc_to_extraction_byte_identical(spark, tmp_path):
+    """WARC file -> binaryFile scan -> pages -> extract: every flavor in
+    the container comes out byte-identical to its by-construction golden."""
+    recs = _records(10)
+    # two WARC files: parallelism is per file
+    half = len(recs) // 2
+    for i, chunk in enumerate((recs[:half], recs[half:])):
+        (tmp_path / f"part-{i}.warc.gz").write_bytes(
+            write_warc([(u, t, h) for u, t, h, _ in chunk])
+        )
+
+    pages = read_warc_pages(spark, str(tmp_path / "*.warc.gz"))
+    assert [f.name for f in pages.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+
+    from ocr_spark.operators.extract import extract_pages
+
+    out = {r.url: r.text for r in extract_pages(pages).collect()}
+    assert len(out) == len(recs)
+    for url, _, _, expected in recs:
+        assert out[url] == expected, url
+
+
+def test_warc_scan_single_python_stage(spark, tmp_path):
+    (tmp_path / "a.warc.gz").write_bytes(
+        write_warc([(u, t, h) for u, t, h, _ in _records(3)])
+    )
+    pages = read_warc_pages(spark, str(tmp_path / "a.warc.gz"))
+    plan = pages._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+
+
+def test_truncated_warc_tolerated():
+    recs = _records(2)
+    blob = write_warc([(u, t, h) for u, t, h, _ in recs], per_record_gzip=False)
+    got = parse_warc(blob[: len(blob) - len(blob) // 3])
+    assert 1 <= len(got) <= 2  # keeps the complete records, drops the torn one
