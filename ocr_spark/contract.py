@@ -244,6 +244,12 @@ def q_ctc_roundtrip(spark, sf):  # R5/R6 CTC decode (fixture logits)
     return ctc_roundtrip(_t(spark, sf, "part")).select("p_partkey", "decoded")
 
 
+def q_attn_decode(spark, sf):  # R8 encoder-decoder attention decode (round 2)
+    from .operators.recognize import attn_decode_table
+
+    return attn_decode_table(_t(spark, sf, "part"))
+
+
 def q_emission_filter(spark, sf):  # P6/X3 near-duplicate emission gate
     # relational form of _filter_text_results (base_ocr.py:679-725): basic
     # gates (non-empty, multi-word, has letters) + reject when normalized
@@ -580,6 +586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "detect_maps": q_detect_maps,
     "split_text": q_split_text,
+    "attn_decode": q_attn_decode,
 }
 
 
@@ -914,6 +921,7 @@ FIXTURE_ORACLES = [
     "dedup_clusters",
     "detect_maps",
     "split_text",
+    "attn_decode",
 ]
 
 for _name in FIXTURE_ORACLES:

@@ -60,3 +60,60 @@ def ctc_roundtrip(parts: DataFrame, *, beam: bool = False) -> DataFrame:
             )
 
     return parts.select("p_partkey", "p_name").mapInPandas(gen, schema=ROUNDTRIP_SCHEMA)
+
+
+ATTN_SCHEMA = "p_partkey long, n_steps int, n_tokens int, tokens_csv string"
+
+
+def attn_decode_table(parts: DataFrame, *, max_length: int = 48) -> DataFrame:
+    """R8 encoder-decoder attention decode as a table operator.
+
+    part names -> fixture encoder memories (one frame per char) -> batched
+    windowed-monotonic attention decode (kernels/attn_decode.py, semantics
+    of the reference's CRNNWithAttn.infer). Fixture weights mean the emitted
+    token ids are arbitrary-but-deterministic; the mechanism (windowing,
+    monotone read head, forced EOS termination) is what the pinned outputs
+    verify — same stance as the CTC fixture logits (FIXTURES.md §3).
+    Output columns are integers/strings only, so the fixture oracle hashes
+    exactly.
+    """
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels import attn_decode as ad
+
+        vocab = ctc_kernel.make_vocab()
+        index = {c: i for i, c in enumerate(vocab)}
+        weights = ad.AttnWeights(
+            vocab=len(vocab) + 2, memory_dim=len(vocab), hidden=32, seed=42
+        )
+        sos, eos = len(vocab), len(vocab) + 1
+        for pdf in batches:
+            texts = [
+                ctc_kernel.sanitize_for_vocab(str(t), index) for t in pdf["p_name"]
+            ]
+            mems = [
+                ad.synth_memory_for_text(t, index, memory_dim=len(vocab))
+                for t in texts
+            ]
+            t_max = max((m.shape[0] for m in mems), default=1)
+            batch = (
+                np.stack([np.pad(m, ((0, t_max - m.shape[0]), (0, 0))) for m in mems])
+                if mems
+                else np.zeros((0, 1, len(vocab)))
+            )
+            lengths = np.array([m.shape[0] for m in mems])
+            tokens, steps, _ = ad.attn_greedy_decode_batch(
+                batch, lengths, weights, sos=sos, eos=eos, max_length=max_length
+            )
+            yield pd.DataFrame(
+                {
+                    "p_partkey": pdf["p_partkey"].astype("int64"),
+                    "n_steps": np.asarray(steps, dtype=np.int32),
+                    "n_tokens": np.array([len(t) for t in tokens], dtype=np.int32),
+                    "tokens_csv": [",".join(map(str, t)) for t in tokens],
+                }
+            )
+
+    return parts.select("p_partkey", "p_name").mapInPandas(gen, schema=ATTN_SCHEMA)
