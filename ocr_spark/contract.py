@@ -193,6 +193,48 @@ def q_langid(spark, sf):  # language-ID heuristic
     return ta.langid(_t(spark, sf, "documents"))
 
 
+def q_repetition(spark, sf):  # Gopher-style within-doc repetition signals
+    return ta.repetition_signals(_t(spark, sf, "documents"))
+
+
+def q_url_canon(spark, sf):  # crawl URL canonicalization + dedup key
+    """Deterministically messied URLs (case/ports/tracking params/fragments
+    per doc_id residue) -> canonical form + exact dup-group count."""
+    from .operators.urls import canonicalize_urls
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    messy = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("HTTPS://Example.COM:443"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("https://example.com"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("http://Example.com:80"))
+            .otherwise(F.lit("http://example.com")),
+            F.lit("/p/"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2&fbclid=xyz"))
+            .otherwise(F.lit("?b=2&a=1#section")),
+        ).alias("url"),
+    )
+    canon = canonicalize_urls(messy)
+    w = Window.partitionBy("canonical_url")
+    return canon.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_same_canonical"),
+    )
+
+
+def q_bpe_tokens(spark, sf):  # F11: distributed-count BPE train + encode
+    from .operators.tokenize import bpe_encode_table, train_bpe_merges
+
+    docs = _t(spark, sf, "documents")
+    ranks = train_bpe_merges(docs, n_merges=120, top_k_words=8000)
+    return bpe_encode_table(docs, ranks)
+
+
 def q_jaccard_pairs(spark, sf):  # near-dup: 3-gram-shingle Jaccard (exact, prefix-filtered)
     return dedup_ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
@@ -556,6 +598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "quality": q_quality,
     "langid": q_langid,
+    "repetition": q_repetition,
     "jaccard_pairs": q_jaccard_pairs,
     "ann_topk": q_ann_topk,
     "cube_agg": q_cube_agg,
@@ -587,6 +630,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "detect_maps": q_detect_maps,
     "split_text": q_split_text,
     "attn_decode": q_attn_decode,
+    "url_canon": q_url_canon,
+    "bpe_tokens": q_bpe_tokens,
 }
 
 
@@ -743,6 +788,36 @@ ORACLE_SQL: dict[str, str] = {
                CAST({_LANG_HITS['de']} AS INT) AS hits_de,
                CAST({_LANG_HITS['es']} AS INT) AS hits_es
         FROM documents
+    """,
+    "repetition": """
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        ), words AS (
+            SELECT doc_id, w FROM toks, unnest(t) AS u(w) WHERE w <> ''
+        ), per_word AS (
+            SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+        ), word_stats AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_distinct_words,
+                   CAST(max(c) AS BIGINT) AS top_word_count
+            FROM per_word GROUP BY doc_id
+        ), grams AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+            FROM toks, unnest(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2
+        ), per_gram AS (
+            SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+        ), gram_stats AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+                   CAST(max(c) AS BIGINT) AS top_2gram_count
+            FROM per_gram GROUP BY doc_id
+        )
+        SELECT w.doc_id, w.n_words,
+               round(w.n_distinct_words * 1.0 / w.n_words, 6) AS distinct_word_ratio,
+               round(w.top_word_count * 1.0 / w.n_words, 6) AS top_word_frac,
+               CASE WHEN g.n_2grams > 0
+                    THEN round(g.top_2gram_count * 1.0 / g.n_2grams, 6) END AS top_2gram_frac
+        FROM word_stats w LEFT JOIN gram_stats g ON w.doc_id = g.doc_id
     """,
     "jaccard_pairs": """
         WITH toks AS (
@@ -922,6 +997,8 @@ FIXTURE_ORACLES = [
     "detect_maps",
     "split_text",
     "attn_decode",
+    "url_canon",
+    "bpe_tokens",
 ]
 
 for _name in FIXTURE_ORACLES:

@@ -107,3 +107,61 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
         predicted_lang(F.col(text_col)).alias("pred_lang"),
         *[scores[lang].cast("int").alias(f"hits_{lang}") for lang in LANG_MARKERS],
     )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition quality signals (Rae et al.
+    2021 §A1.1 shapes): distinct-word ratio, most-frequent-word fraction,
+    most-frequent-2-gram fraction. Highly repetitive pages (boilerplate
+    mills, keyword stuffing) score low-distinct / high-top fractions and
+    get gated out of training corpora.
+
+    Plan: ONE explode -> two codegen'd groupBy chains (word level, 2-gram
+    level) joined on doc_id — both aggregations hash-partition on doc_id
+    with map-side partial agg; no skew (keys are documents).
+    Tokenization = single-space split of trim(text), the corpus convention
+    shared with the DuckDB oracle.
+    """
+    toks = F.split(F.trim(F.col("text")), " ")
+    words = docs.select("doc_id", F.explode(toks).alias("w")).where(F.col("w") != "")
+    per_word = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    word_stats = per_word.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        F.max("c").cast("long").alias("top_word_count"),
+    )
+
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gram_stats = per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_2grams"),
+        F.max("c").cast("long").alias("top_2gram_count"),
+    )
+
+    return (
+        word_stats.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(F.col("n_distinct_words") / F.col("n_words"), 6).alias(
+                "distinct_word_ratio"
+            ),
+            F.round(F.col("top_word_count") / F.col("n_words"), 6).alias(
+                "top_word_frac"
+            ),
+            F.when(
+                F.col("n_2grams") > 0,
+                F.round(F.col("top_2gram_count") / F.col("n_2grams"), 6),
+            ).alias("top_2gram_frac"),
+        )
+    )

@@ -1,0 +1,126 @@
+"""BPE train/apply (F11), URL canonicalization, and the Gopher-style
+repetition signals."""
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels.bpe import bpe_apply, encode_text_bpe, train_bpe
+from ocr_spark.operators.urls import canonical_url
+
+
+# -- BPE --------------------------------------------------------------------
+
+def test_train_bpe_learns_frequent_pairs():
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    ranks = train_bpe(counts, n_merges=10)
+    # 'est</w>' must assemble from the most frequent pairs (newest+widest)
+    toks = bpe_apply("newest", ranks, end_of_word="</w>")
+    assert "".join(toks) == "newest</w>"
+    assert any("est" in t for t in toks)
+    # trained merges are deterministic across runs
+    assert ranks == train_bpe(counts, n_merges=10)
+
+
+def test_bpe_apply_merge_order_is_rank_greedy():
+    # rank 0 merges first even when a later pair appears earlier in the word
+    ranks = {("a", "b"): 1, ("b", "c"): 0}
+    assert bpe_apply("abc", ranks) == ("a", "bc")
+    # unknown pairs stay split
+    assert bpe_apply("xyz", {}) == ("x", "y", "z")
+    assert bpe_apply("", {}) == ()
+    assert bpe_apply("q", {}) == ("q",)
+
+
+def test_encode_roundtrip_concatenation():
+    corpus = "the cat sat on the mat the cat ran " * 3
+    words = corpus.split()
+    counts = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    ranks = train_bpe(counts, n_merges=30)
+    toks = encode_text_bpe(corpus, ranks)
+    # lossless: stripping the end-of-word markers re-concatenates the text
+    rebuilt = "".join(toks).replace("</w>", " ").strip()
+    assert rebuilt == " ".join(words)
+    # frequent words compress to one symbol
+    assert "the</w>" in toks
+
+
+def test_bpe_spark_operator(spark):
+    from ocr_spark.operators.tokenize import bpe_encode_table, train_bpe_merges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ranks = train_bpe_merges(docs, n_merges=50, top_k_words=2000)
+    out = bpe_encode_table(docs, ranks)
+    rows = out.collect()
+    assert len(rows) == 500
+    # merges compress: bpe token count < raw char count, >= word count
+    r = next(r for r in rows if r.n_words > 5)
+    assert r.n_bpe_tokens >= r.n_words
+
+
+# -- URL canonicalization ---------------------------------------------------
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        ("HTTPS://Example.COM:443/a/b/../c?utm_source=x&b=2&a=1#f",
+         "https://example.com/a/c?a=1&b=2"),
+        ("http://Example.com:80/p", "http://example.com/p"),
+        ("http://example.com:8080/p", "http://example.com:8080/p"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/x/?fbclid=abc", "https://example.com/x/"),
+        ("https://example.com/x?b=2&a=1", "https://example.com/x?a=1&b=2"),
+        ("https://example.com/a/./b//c", "https://example.com/a/b/c"),
+    ],
+)
+def test_canonical_url(url, expected):
+    assert canonical_url(url) == expected
+
+
+def test_canonical_url_is_idempotent():
+    urls = [
+        "HTTPS://Example.COM:443/a/b/../c?utm_source=x&b=2&a=1#f",
+        "http://u:p@Example.com:80/p?z=9&a=",
+    ]
+    for u in urls:
+        once = canonical_url(u)
+        assert canonical_url(once) == once
+
+
+def test_url_dedup_groups(spark):
+    from ocr_spark.contract import QUERIES
+
+    out = QUERIES["url_canon"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    # doc_id%4 in {0,1} and %3 in {0,1,2} variants of the same page collapse
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canonical_url, set()).add(r.url)
+    assert any(len(v) > 1 for v in by_canon.values())
+    for r in rows:
+        assert "#" not in r.canonical_url
+        assert "utm_" not in r.canonical_url and "fbclid" not in r.canonical_url
+
+
+# -- repetition signals -----------------------------------------------------
+
+def test_repetition_signals_values(spark):
+    from ocr_spark.operators.text_analysis import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all words here are unique tokens"),
+            (3, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert got[1].n_words == 4
+    assert got[1].distinct_word_ratio == 0.25
+    assert got[1].top_word_frac == 1.0
+    assert got[1].top_2gram_frac == 1.0
+    assert got[2].distinct_word_ratio == 1.0
+    assert np.isclose(got[2].top_word_frac, round(1 / 6, 6))
+    assert got[3].top_2gram_frac is None  # single word: no 2-grams
