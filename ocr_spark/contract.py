@@ -561,6 +561,12 @@ def q_detect_maps(spark, sf):  # D2-D6: EAST map decode + LANMS
     return detect_from_maps(synth_maps_df(spark, sf))
 
 
+def q_detect_yolo(spark, sf):  # D7: YOLOv2 grid decode + per-class NMS
+    from .operators.detect_maps import detect_yolo_from_maps, synth_yolo_maps_df
+
+    return detect_yolo_from_maps(synth_yolo_maps_df(spark, sf))
+
+
 def q_split_text(spark, sf):  # F7 recursive chunking via mapInPandas
     from .kernels.textproc import split_text
 
@@ -628,6 +634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_pipeline": q_training_pipeline,
     "dedup_clusters": q_dedup_clusters,
     "detect_maps": q_detect_maps,
+    "detect_yolo": q_detect_yolo,
     "split_text": q_split_text,
     "attn_decode": q_attn_decode,
     "url_canon": q_url_canon,
@@ -995,6 +1002,7 @@ FIXTURE_ORACLES = [
     "training_pipeline",
     "dedup_clusters",
     "detect_maps",
+    "detect_yolo",
     "split_text",
     "attn_decode",
     "url_canon",

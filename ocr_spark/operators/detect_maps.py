@@ -116,3 +116,89 @@ def synth_maps_df(spark, sf_dir: str, limit: int = 200) -> DataFrame:
 
     parts = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey").limit(limit)
     return parts.mapInPandas(gen, schema="url string, h int, w int, map array<float>")
+
+
+YOLO_SCHEMA = (
+    "url string, box_id int, label int, x0 double, y0 double, x1 double, "
+    "y1 double, score double"
+)
+
+
+def synth_yolo_map(seed: int, grid: int = 8, nb_box: int = 2, nb_class: int = 3):
+    """Deterministic fake YOLOv2 output (grid, grid, nb_box, 5+nb_class):
+    a few confident cells with grid-unit centers/sizes, plus one
+    deliberately-overlapping pair so NMS always has work."""
+    rng = np.random.RandomState(seed)
+    out = np.zeros((grid, grid, nb_box, 5 + nb_class), dtype=np.float32)
+    cells = rng.choice(grid * grid, size=3, replace=False)
+    for k, cell in enumerate(cells):
+        r, c = divmod(int(cell), grid)
+        out[r, c, 0, 0:4] = [c + 0.5, r + 0.5, 1.6, 1.2]  # grid units
+        out[r, c, 0, 4] = 0.9
+        out[r, c, 0, 5 + (k % nb_class)] = 0.8
+        # overlapping anchor in the same cell, lower score -> suppressed
+        out[r, c, 1, 0:4] = [c + 0.6, r + 0.5, 1.6, 1.2]
+        out[r, c, 1, 4] = 0.8
+        out[r, c, 1, 5 + (k % nb_class)] = 0.7
+    return out
+
+
+def detect_yolo_from_maps(
+    maps_df: DataFrame,
+    *,
+    obj_threshold: float = 0.35,
+    nms_threshold: float = 0.2,
+    grid: int = 8,
+    nb_box: int = 2,
+    nb_class: int = 3,
+) -> DataFrame:
+    """maps table (url, map flattened (grid, grid, nb_box, 5+nb_class)) ->
+    one row per surviving detection (D7; kernels/yolo_decode.py)."""
+    from ..kernels.yolo_decode import decode_yolo_output
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for url, flat in zip(pdf["url"], pdf["map"]):
+                out = np.asarray(flat, dtype=np.float32).reshape(
+                    grid, grid, nb_box, 5 + nb_class
+                )
+                boxes, labels, scores = decode_yolo_output(
+                    out, obj_threshold=obj_threshold, nms_threshold=nms_threshold
+                )
+                for i in range(len(boxes)):
+                    rows.append(
+                        {
+                            "url": url,
+                            "box_id": i,
+                            "label": int(labels[i]),
+                            "x0": round(float(boxes[i, 0]), 6),
+                            "y0": round(float(boxes[i, 1]), 6),
+                            "x1": round(float(boxes[i, 2]), 6),
+                            "y1": round(float(boxes[i, 3]), 6),
+                            "score": round(float(scores[i]), 6),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "box_id", "label", "x0", "y0", "x1", "y1", "score"],
+            )
+
+    return maps_df.mapInPandas(gen, schema=YOLO_SCHEMA)
+
+
+def synth_yolo_maps_df(spark, sf_dir: str, limit: int = 200) -> DataFrame:
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for key in pdf["p_partkey"]:
+                m = synth_yolo_map(int(key) % 1000)
+                rows.append({"url": f"ymap{int(key)}", "map": m.ravel().tolist()})
+            yield pd.DataFrame(rows, columns=["url", "map"])
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey").limit(limit)
+    return parts.mapInPandas(gen, schema="url string, map array<float>")

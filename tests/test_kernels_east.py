@@ -96,3 +96,65 @@ def test_split_text_respects_max_length():
     # content preserved in order
     joined = " ".join(chunks)
     assert "First sentence" in joined and "Third one" in joined
+
+
+def test_yolo_decode_basic():
+    """D7 decode: grid-unit centers normalize, low-score overlapping anchor
+    suppressed, labels from argmax class."""
+    import numpy as np
+
+    from ocr_spark.kernels.yolo_decode import decode_yolo_output
+
+    out = np.zeros((4, 4, 2, 5 + 2), dtype=np.float64)
+    # cell (1,2): confident class-1 box, centered at grid (2.5, 1.5), size 2x1
+    out[1, 2, 0, :4] = [2.5, 1.5, 2.0, 1.0]
+    out[1, 2, 0, 4] = 1.0
+    out[1, 2, 0, 6] = 0.9  # class 1
+    # same cell, overlapping lower-score anchor, same class -> suppressed
+    out[1, 2, 1, :4] = [2.6, 1.5, 2.0, 1.0]
+    out[1, 2, 1, 4] = 1.0
+    out[1, 2, 1, 6] = 0.6
+    # far cell, different class, survives independently
+    out[3, 0, 0, :4] = [0.5, 3.5, 1.0, 1.0]
+    out[3, 0, 0, 4] = 0.8
+    out[3, 0, 0, 5] = 0.9  # class 0
+
+    boxes, labels, scores = decode_yolo_output(out, obj_threshold=0.35, nms_threshold=0.3)
+    assert len(boxes) == 2
+    got = {int(l): (b, s) for b, l, s in zip(boxes, labels, scores)}
+    np.testing.assert_allclose(got[1][0], [0.375, 0.25, 0.875, 0.5], atol=1e-9)
+    assert got[1][1] == 0.9
+    np.testing.assert_allclose(got[0][0], [0.0, 0.75, 0.25, 1.0], atol=1e-9)
+
+
+def test_yolo_decode_clamps_and_drops_degenerate():
+    import numpy as np
+
+    from ocr_spark.kernels.yolo_decode import decode_yolo_output
+
+    out = np.zeros((2, 2, 1, 6), dtype=np.float64)
+    # center at the very corner with a huge box: clamps to [0,1]
+    out[0, 0, 0, :4] = [0.0, 0.0, 10.0, 10.0]
+    out[0, 0, 0, 4] = 1.0
+    out[0, 0, 0, 5] = 0.9
+    # zero-size box: degenerate, dropped despite the high score
+    out[1, 1, 0, :4] = [1.5, 1.5, 0.0, 0.0]
+    out[1, 1, 0, 4] = 1.0
+    out[1, 1, 0, 5] = 0.9
+    boxes, labels, scores = decode_yolo_output(out)
+    assert len(boxes) == 1
+    np.testing.assert_allclose(boxes[0], [0.0, 0.0, 1.0, 1.0], atol=1e-9)
+
+
+def test_yolo_operator_on_spark(spark):
+    from ocr_spark.operators.detect_maps import (
+        detect_yolo_from_maps,
+        synth_yolo_maps_df,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = detect_yolo_from_maps(synth_yolo_maps_df(spark, SF_SMOKE, limit=50))
+    rows = out.collect()
+    assert len(rows) > 50  # multiple detections per map
+    assert all(0.0 <= r.x0 <= r.x1 <= 1.0 for r in rows)
+    assert all(r.score > 0.35 for r in rows)
