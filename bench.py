@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "training_pipeline",
     "langid",
     "quality",
+    "repetition",
+    "bpe_tokens",
+    "url_canon",
 ]
 
 
