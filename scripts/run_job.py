@@ -9,8 +9,9 @@ Runs one resumable extraction commit: scan -> lineage anti-join ->
 commit + lineage + metrics. Re-running after any failure processes only
 the remainder (exactly-once per url; aborted commits roll back at start).
 
-For a quick sandbox smoke, pass --synth-sf /root/testdata/sf0.001 instead
-of --input to synthesize the pages table on the fly.
+Inputs: --input (pages parquet/iceberg), --warc (Common-Crawl WARC
+file/glob, ingested via sources/warc.py), or --synth-sf (sandbox smoke:
+synthesize pages from a testdata sf dir).
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="pages table path (parquet dir)")
+    ap.add_argument("--warc", help="WARC file/glob to ingest as the pages table")
     ap.add_argument("--synth-sf", help="synthesize pages from this sf dir instead")
     ap.add_argument("--output", required=True, help="warehouse root for commits")
     ap.add_argument("--salt-partitions", type=int, default=None)
@@ -40,10 +42,14 @@ def main():
     try:
         if args.synth_sf:
             pages = pages_df(spark, args.synth_sf)
+        elif args.warc:
+            from ocr_spark.sources.warc import read_warc_pages
+
+            pages = read_warc_pages(spark, args.warc)
         elif args.input:
             pages = spark.read.parquet(args.input)
         else:
-            ap.error("one of --input / --synth-sf is required")
+            ap.error("one of --input / --warc / --synth-sf is required")
 
         commit_id, metrics = run_extract_job(
             spark,

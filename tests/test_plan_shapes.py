@@ -133,3 +133,29 @@ def test_dedup_clusters_chain_log_rounds(spark):
         F.countDistinct("cluster_id").alias("k"), F.count("*").alias("n")
     ).collect()[0]
     assert agg.k == 1 and agg.n == n
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located joins at scale: two tables bucketed on the join key must
+    sort-merge join with ZERO Exchange (the bucketing story SURVEY.md §2.3
+    promises for repeated big-big joins, e.g. pages x lineage on url)."""
+    import uuid
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a_name = f"bt_a_{uuid.uuid4().hex[:8]}"
+        b_name = f"bt_b_{uuid.uuid4().hex[:8]}"
+        df = spark.range(10000).selectExpr("id AS url_hash", "id % 7 AS v")
+        df.write.bucketBy(8, "url_hash").sortBy("url_hash").saveAsTable(a_name)
+        df.selectExpr("url_hash", "v * 2 AS w").write.bucketBy(8, "url_hash").sortBy(
+            "url_hash"
+        ).saveAsTable(b_name)
+        joined = spark.table(a_name).join(spark.table(b_name), "url_hash")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout IS the partitioning
+        assert joined.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {a_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {b_name}")
