@@ -492,16 +492,85 @@ _STD_METRICS = {
 _DEFAULT_ASCENT, _DEFAULT_DESCENT = 750, -250
 
 
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_TOKEN_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """Minimal ToUnicode CMap: bfchar + bfrange mappings, 1-2 byte codes,
+    UTF-16BE targets. Real subset fonts emit GLYPH IDS in show strings;
+    without this map their text is garbage."""
+    out: dict[int, str] = {}
+
+    def _u(hexs: bytes) -> str:
+        raw = bytes.fromhex(hexs.decode("ascii"))
+        if len(raw) % 2:
+            raw += b"\x00"
+        return raw.decode("utf-16-be", errors="replace")
+
+    for m in _BFCHAR_RE.finditer(cmap):
+        toks = _HEX_TOKEN_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            out[int(src, 16)] = _u(dst)
+    for m in _BFRANGE_RE.finditer(cmap):
+        body = m.group(1)
+        pos = 0
+        while True:
+            mm = _HEX_TOKEN_RE.search(body, pos)
+            if mm is None:
+                break
+            lo = int(mm.group(1), 16)
+            mm2 = _HEX_TOKEN_RE.search(body, mm.end())
+            if mm2 is None:
+                break
+            hi = int(mm2.group(1), 16)
+            nxt = _skip_ws(body, mm2.end())
+            if body.startswith(b"[", nxt):
+                end = body.find(b"]", nxt)
+                dsts = _HEX_TOKEN_RE.findall(body[nxt:end])
+                for i, d in enumerate(dsts):
+                    out[lo + i] = _u(d)
+                pos = end + 1
+            else:
+                mm3 = _HEX_TOKEN_RE.search(body, nxt)
+                if mm3 is None:
+                    break
+                base = bytes.fromhex(mm3.group(1).decode("ascii"))
+                base_cp = int.from_bytes(base, "big")
+                width = len(base)
+                for i in range(hi - lo + 1):
+                    raw = (base_cp + i).to_bytes(max(width, 2), "big")
+                    out[lo + i] = raw.decode("utf-16-be", errors="replace")
+                pos = mm3.end()
+    return out
+
+
 class Font:
-    __slots__ = ("widths", "first_char", "default_width", "ascent", "descent")
+    __slots__ = (
+        "widths", "first_char", "default_width", "ascent", "descent",
+        "to_unicode", "two_byte",
+    )
 
     def __init__(self, fdict: dict | None, doc: Document | None):
         self.widths = None
         self.first_char = 0
         self.default_width = 500
         self.ascent, self.descent = _DEFAULT_ASCENT, _DEFAULT_DESCENT
+        self.to_unicode: dict[int, str] | None = None
+        self.two_byte = False
         if fdict is None:
             return
+        if doc.resolve(fdict.get("/Subtype")) == "/Type0":
+            # composite font: 2-byte CID codes; text is unreadable without
+            # the ToUnicode map (handled below)
+            self.two_byte = True
+        tu = doc.resolve(fdict.get("/ToUnicode"))
+        if isinstance(tu, Stream):
+            try:
+                self.to_unicode = _parse_tounicode(decode_stream(tu, doc))
+            except Exception:
+                self.to_unicode = None
         base = str(doc.resolve(fdict.get("/BaseFont", "")) or "")
         for fam, (a, d) in _STD_METRICS.items():
             if fam.lower() in base.lower():
@@ -531,6 +600,21 @@ class Font:
             if 0 <= i < len(self.widths):
                 return self.widths[i]
         return self.default_width
+
+    def string_codes(self, raw: bytes) -> list[int]:
+        if self.two_byte:
+            return [
+                int.from_bytes(raw[i : i + 2], "big")
+                for i in range(0, len(raw) - 1, 2)
+            ]
+        return list(raw)
+
+    def char_text(self, code: int) -> str:
+        if self.to_unicode is not None and code in self.to_unicode:
+            return self.to_unicode[code]
+        if self.two_byte:
+            return "�"  # CID without ToUnicode: unreadable by design
+        return chr(code)  # simple font: latin-1 identity
 
 
 # -- content interpreter -----------------------------------------------------
@@ -656,15 +740,15 @@ def interpret_content(
 
     def show(texts_and_kerns):
         nonlocal tm
-        raw = bytearray()
+        chars: list[str] = []
         x = 0.0
         x_start = 0.0
         for el in texts_and_kerns:
             if isinstance(el, (int, float)):
                 x -= el / 1000.0 * size * th
                 continue
-            raw += el
-            for code in el:
+            for code in font.string_codes(el):
+                chars.append(font.char_text(code))
                 w0 = font.char_width(code) / 1000.0
                 x += (w0 * size + tc + (tw if code == 0x20 else 0.0)) * th
         m = _mat_mul(tm, ctm)
@@ -675,7 +759,7 @@ def interpret_content(
         ys = [p[1] for p in pts]
         l, r = min(xs), max(xs)
         b, t = min(ys), max(ys)
-        txt = raw.decode("latin-1").strip()
+        txt = "".join(chars).strip()
         # same skip rule as the reference (pdf_parser.py:111-113)
         if txt and not (len(txt) == 1 and ord(txt) <= 10):
             blocks.append(

@@ -105,7 +105,10 @@ def _page1(doc_id: int, take: _Take):
 
 def _page2(doc_id: int, take: _Take):
     heading = f"Part {doc_id % 5}"
-    run1 = take.line(3)
+    # both runs of the split line start alnum: the line-assembly space rule
+    # (pdf_layout.py:89-91) inserts a leading ' ' before a punctuation-led
+    # FIRST block, which the by-construction expected text does not model
+    run1 = take.line(3, alnum_start=True)
     run2 = take.line(3, alnum_start=True)
     tj_words = [take.line(1, alnum_start=True) for _ in range(3)]
     line3 = take.line()

@@ -285,3 +285,66 @@ def test_encrypted_pdf_clear_error():
     )
     with pytest.raises(PdfError, match="encrypted"):
         parse_pdf_pages(blob)
+
+
+def test_tounicode_cmap_subset_font():
+    """Subset/CID fonts emit glyph ids; /ToUnicode maps them back to text
+    (the dominant real-crawl PDF flavor)."""
+    import zlib
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"2 beginbfchar\n<0041> <0048>\n<0042> <0069>\nendbfchar\n"  # A->H, B->i
+        b"1 beginbfrange\n<0050> <0052> <0061>\nendbfrange\n"        # P,Q,R -> a,b,c
+        b"endcmap end\n"
+    )
+    enc = zlib.compress(cmap)
+    # Type0 font: 2-byte codes in hex strings
+    content = b"BT /F1 12 Tf 72 700 Td <00410042> Tj 1 0 0 1 72 650 Tm <005000510052> Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> >>"
+        ),
+        4: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        5: (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+Custom "
+            b"/ToUnicode 6 0 R >>"
+        ),
+        6: b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(enc) + enc + b"\nendstream",
+    }
+    pages = parse_pdf_pages(_mini_pdf(objs))
+    texts = [b["text"] for b in pages[0]["blocks"]]
+    assert texts == ["Hi", "abc"]
+
+
+def test_bfrange_array_form_and_one_byte_tounicode():
+    from ocr_spark.kernels.pdf_parse import _parse_tounicode
+
+    cmap = (
+        b"1 beginbfrange\n<10> <12> [<0058> <0059> <005A>]\nendbfrange\n"
+        b"1 beginbfchar\n<20> <0020>\nendbfchar\n"
+    )
+    m = _parse_tounicode(cmap)
+    assert m[0x10] == "X" and m[0x11] == "Y" and m[0x12] == "Z"
+    assert m[0x20] == " "
+
+
+def test_cid_without_tounicode_is_unreadable_not_crash():
+    content = b"BT /F1 12 Tf 72 700 Td <00410042> Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> >>"
+        ),
+        4: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type0 /BaseFont /NoMap >>",
+    }
+    pages = parse_pdf_pages(_mini_pdf(objs))
+    # two 2-byte codes -> two replacement glyphs, still positioned
+    assert pages[0]["blocks"][0]["text"] == "��"

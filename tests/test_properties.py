@@ -149,3 +149,48 @@ def test_chunker_respects_budget(texts):
     for t in texts:
         if len(t.strip(" ")) <= 30 and t.strip():
             assert t.strip(" ") in joined
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(0, 7),
+)
+@settings(max_examples=40, deadline=None)
+def test_pdf_round_trip_fuzz(words, variant_seed):
+    """Property: ANY printable-ASCII word list round-trips byte-identically
+    through build_pdf -> parse -> layout for every encoding variant."""
+    from ocr_spark.operators.extract import _extract_pdf_doc
+    from ocr_spark.sources.pdf_synth import build_pdf
+
+    doc_id = 5 + 20 * variant_seed  # cycles all four encoding variants
+    pdf, expected = build_pdf(doc_id, " ".join(words))
+    _, text, _ = _extract_pdf_doc(pdf)
+    assert text == expected
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh ", min_size=0, max_size=40), min_size=1, max_size=20
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_bpe_encode_lossless_fuzz(lines):
+    """Property: BPE encode is lossless — stripping end-of-word markers
+    reconstructs the whitespace-normalized input."""
+    from ocr_spark.kernels.bpe import encode_text_bpe, train_bpe
+
+    corpus = " ".join(lines)
+    counts = {}
+    for w in corpus.split():
+        counts[w] = counts.get(w, 0) + 1
+    ranks = train_bpe(counts, n_merges=20)
+    toks = encode_text_bpe(corpus, ranks)
+    assert "".join(toks).replace("</w>", " ").strip() == " ".join(corpus.split())
