@@ -102,6 +102,26 @@ def main():
         lambda: extract_pages(pages, decode_method="beam").count()
     )
 
+    # the full crawl edge: WARC container files -> pages -> extraction
+    # (one-time WARC materialization of the same corpus, 32 files)
+    warc_dir = f"/tmp/ocr_spark_bench/warc_sf{sf}_n{n_docs}"
+    if not os.path.exists(warc_dir + "/_DONE"):
+        from ocr_spark.sources.warc import write_warc
+
+        os.makedirs(warc_dir, exist_ok=True)
+        rows = pages.select("url", "warc_ts", "html").collect()
+        shard = max(1, len(rows) // 32)
+        for i in range(0, len(rows), shard):
+            blob = write_warc([(r.url, r.warc_ts, bytes(r.html)) for r in rows[i : i + shard]])
+            with open(f"{warc_dir}/crawl-{i // shard:05d}.warc.gz", "wb") as f:
+                f.write(blob)
+        open(warc_dir + "/_DONE", "w").close()
+    from ocr_spark.sources.warc import read_warc_pages
+
+    timings["warc_ingest_extract"] = timed(
+        lambda: extract_pages(read_warc_pages(spark, warc_dir + "/*.warc.gz")).count()
+    )
+
     # extraction + parquet write (the full scan -> extract -> sink job)
     timings["flagship_extract_write"] = timed(
         lambda: extract_pages(pages).write.mode("overwrite").parquet("/tmp/ocr_spark_bench/out")

@@ -547,6 +547,53 @@ def q_training_pipeline(spark, sf):
     )
 
 
+def q_training_pipeline_v2(spark, sf):
+    """The FULL LLM-training-data story in one lazy plan: extract pages ->
+    Gopher-style repetition gate (doc level) -> section-aware chunking ->
+    chunk quality gate -> exact near-dup collapse -> BPE token budget.
+
+    Composes six operator families; scan -> python stages -> three
+    aggregation shuffles (repetition, BPE count is pre-trained, final fp
+    groupBy). Deterministic end to end -> fixture oracle."""
+    from .functions.text_functions import clean_text_expr
+    from .operators.chunking import chunk_extracted
+    from .operators.tokenize import bpe_encode_table, train_bpe_merges
+
+    extracted = extract_pages(pages_df(spark, sf))
+    docs = extracted.withColumn("doc_id", F.xxhash64("url"))
+    rep = ta.repetition_signals(docs.select("doc_id", "text"))
+    ok_ids = rep.where(
+        (F.col("distinct_word_ratio") >= 0.1)
+        & (F.col("top_word_frac") <= 0.5)
+    ).select("doc_id")
+    gated_docs = docs.join(ok_ids, "doc_id").select("url", "spans")
+
+    chunks = chunk_extracted(gated_docs, max_length=400).where(
+        (F.col("n_chars") >= 40) & (F.col("text").rlike("[a-zA-Z]"))
+    )
+    ranks = train_bpe_merges(_t(spark, sf, "documents"), n_merges=80, top_k_words=4000)
+    with_id = chunks.withColumn(
+        "chunk_key", F.xxhash64("url", F.col("chunk_id").cast("string"))
+    )
+    enc = bpe_encode_table(
+        with_id.select(F.col("chunk_key").alias("doc_id"), "text"), ranks
+    ).select(F.col("doc_id").alias("chunk_key"), "n_bpe_tokens")
+    fp = F.md5(clean_text_expr("text").cast("binary"))
+    return (
+        with_id.join(enc, "chunk_key")
+        .withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min(F.concat_ws("#", "url", F.col("chunk_id").cast("string"))).alias(
+                "canonical_chunk"
+            ),
+            F.min("n_chars").cast("int").alias("n_chars"),
+            F.min("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def q_dedup_clusters(spark, sf):
     """Near-dup clusters from the shingle-Jaccard pairs: iterative min-label
     propagation (distributed connected components, non-SQL-expressible
@@ -632,6 +679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "chunk_extracted": q_chunk_extracted,
     "training_pipeline": q_training_pipeline,
+    "training_pipeline_v2": q_training_pipeline_v2,
     "dedup_clusters": q_dedup_clusters,
     "detect_maps": q_detect_maps,
     "detect_yolo": q_detect_yolo,
@@ -1000,6 +1048,7 @@ FIXTURE_ORACLES = [
     "multimodal_frames",
     "chunk_extracted",
     "training_pipeline",
+    "training_pipeline_v2",
     "dedup_clusters",
     "detect_maps",
     "detect_yolo",

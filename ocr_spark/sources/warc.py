@@ -184,3 +184,70 @@ def write_warc(records, *, per_record_gzip: bool = True, with_http: bool = True)
         else:
             out += record
     return bytes(out)
+
+
+def stream_warc_pages(spark, warc_dir: str, *, max_files_per_trigger: int | None = None):
+    """Streaming form of WARC ingestion: new .warc/.warc.gz files appearing
+    under ``warc_dir`` become pages rows continuously (the S6 continuous-
+    crawl-drop shape). Offsets/exactly-once come from the file-source
+    checkpoint; parallelism is per WARC file, like the batch reader."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..sources.pages import PAGES_SCHEMA
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    reader = spark.readStream.format("binaryFile").schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(warc_dir).select("content")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    rows.append(
+                        {
+                            "url": rec["url"],
+                            "warc_ts": rec["warc_ts"],
+                            "html": rec["html"],
+                            "text": "",
+                            "lang": "",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return files.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def run_streaming_warc_extract(spark, warc_dir: str, out_dir: str, checkpoint_dir: str):
+    """WARC drop-directory -> streaming extraction -> parquet sink,
+    exactly-once via the stream checkpoint (availableNow drain)."""
+    from ..operators.extract import extract_pages
+
+    extracted = extract_pages(stream_warc_pages(spark, warc_dir))
+    q = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

