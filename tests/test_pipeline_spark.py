@@ -294,3 +294,51 @@ def test_flagship_digest_pinned(spark):
     )
     assert str(digest) == fix["digest"]
     assert out.count() == fix["n_docs"]
+
+
+def test_adversarial_corpus_completes(spark):
+    """Crawl-reality fuzz: 2000 pages of random bytes, truncated real
+    formats, mislabeled magics, and pathological sizes must ALL extract
+    (possibly empty) without a single task failure."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_spark.sources.pages import synth_page
+    from ocr_spark.sources.pdf_synth import build_pdf
+
+    rng = np.random.RandomState(99)
+    text = "alpha beta gamma delta epsilon zeta " * 10
+    real_pdf = build_pdf(5, text)[0]
+    real_html = synth_page(1, text, "en")["html"]
+    blobs = []
+    for i in range(2000):
+        k = i % 8
+        if k == 0:
+            blobs.append(bytes(rng.randint(0, 256, size=rng.randint(1, 4096), dtype=np.uint8)))
+        elif k == 1:
+            blobs.append(real_pdf[: rng.randint(1, len(real_pdf))])      # torn PDF
+        elif k == 2:
+            blobs.append(real_html[: rng.randint(1, len(real_html))])    # torn HTML
+        elif k == 3:
+            blobs.append(b"%PDF-" + bytes(rng.randint(0, 256, 512, dtype=np.uint8)))
+        elif k == 4:
+            blobs.append(b"PK\x03\x04word/document.xml" + b"\x00" * 64)  # fake docx
+        elif k == 5:
+            blobs.append(b"")
+        elif k == 6:
+            blobs.append(("<p>" + "x" * rng.randint(0, 20000) + "</p>").encode())
+        else:
+            blobs.append(real_html + bytes(rng.randint(0, 256, 64, dtype=np.uint8)))
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://fuzz.example/{i}" for i in range(len(blobs))],
+            "warc_ts": [None] * len(blobs),
+            "html": blobs,
+            "text": ["t"] * len(blobs),
+            "lang": ["en"] * len(blobs),
+        }
+    )
+    pages = spark.createDataFrame(pdf)
+    out = extract_pages(pages)
+    assert out.count() == len(blobs)
+    assert out.where("text IS NULL").count() == 0
