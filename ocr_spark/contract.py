@@ -292,6 +292,12 @@ def q_attn_decode(spark, sf):  # R8 encoder-decoder attention decode (round 2)
     return attn_decode_table(_t(spark, sf, "part"))
 
 
+def q_pixel_ocr(spark, sf):  # S1+P1+D-detect+R-recognize on REAL pixels
+    from .operators.recognize import pixel_ocr_roundtrip
+
+    return pixel_ocr_roundtrip(_t(spark, sf, "part"))
+
+
 def q_emission_filter(spark, sf):  # P6/X3 near-duplicate emission gate
     # relational form of _filter_text_results (base_ocr.py:679-725): basic
     # gates (non-empty, multi-word, has letters) + reject when normalized
@@ -664,6 +670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg": q_distinct_agg,
     "events_hourly": q_events_hourly,
     "ctc_roundtrip": q_ctc_roundtrip,
+    "pixel_ocr": q_pixel_ocr,
     "emission_filter": q_emission_filter,
     "sort_boxes_sql": q_sort_boxes_sql,
     "pandas_udf_lev": q_pandas_udf_lev,
@@ -969,6 +976,14 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "ctc_roundtrip": """
         SELECT p_partkey, lower(p_name) AS decoded FROM part
+    """,
+    "pixel_ocr": """
+        SELECT p_partkey,
+               trim(regexp_replace(regexp_replace(lower(p_name),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS decoded,
+               CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(p_name),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS INT) AS n_words
+        FROM part
     """,
     "pandas_udf_lev": """
         SELECT c_custkey,
