@@ -566,10 +566,12 @@ def q_training_pipeline_v2(spark, sf):
     from .operators.tokenize import bpe_encode_table, train_bpe_merges
 
     # the extraction feeds BOTH the repetition-gate branch and the chunking
-    # branch; persist so the python stage runs ONCE (at real scale the
-    # extraction is its own committed job — run_extract_job — and this
-    # pipeline reads its table; the persist is the single-plan analog)
-    extracted = extract_pages(pages_df(spark, sf)).persist()
+    # branch; a LAZY localCheckpoint materializes the python stage once and
+    # reuses it (at real scale the extraction is its own committed job —
+    # run_extract_job — and this pipeline reads its table). Unlike persist()
+    # a checkpoint does NOT register with the CacheManager, so it cannot
+    # rewrite other queries' plans in the same session.
+    extracted = extract_pages(pages_df(spark, sf)).localCheckpoint(eager=False)
     docs = extracted.withColumn("doc_id", F.xxhash64("url"))
     rep = ta.repetition_signals(docs.select("doc_id", "text"))
     ok_ids = rep.where(
@@ -582,11 +584,11 @@ def q_training_pipeline_v2(spark, sf):
         (F.col("n_chars") >= 40) & (F.col("text").rlike("[a-zA-Z]"))
     )
     ranks = train_bpe_merges(_t(spark, sf, "documents"), n_merges=80, top_k_words=4000)
-    # with_id self-joins (chunk rows x their BPE counts): persist so the
-    # chunking python stage also runs once
+    # with_id self-joins (chunk rows x their BPE counts): same lazy
+    # checkpoint so the chunking python stage also runs once
     with_id = chunks.withColumn(
         "chunk_key", F.xxhash64("url", F.col("chunk_id").cast("string"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     enc = bpe_encode_table(
         with_id.select(F.col("chunk_key").alias("doc_id"), "text"), ranks
     ).select(F.col("doc_id").alias("chunk_key"), "n_bpe_tokens")

@@ -257,68 +257,111 @@ def _build_huffman_encode(bits, values):
     return {sym: (length, code) for (length, code), sym in dec.items()}
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.bitbuf = 0
-        self.nbits = 0
-
-    def _fill(self):
-        while self.nbits <= 24 and self.pos < len(self.data):
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed
-                else:
-                    # marker: rewind and pad with zeros (end of entropy data)
-                    self.pos -= 1
-                    b = 0
-                    self.bitbuf = (self.bitbuf << 8) | b
-                    self.nbits += 8
-                    continue
-            self.bitbuf = (self.bitbuf << 8) | b
-            self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-            if self.nbits == 0:
-                return 0
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def align_to_marker(self):
-        self.bitbuf = 0
-        self.nbits = 0
-        # skip to after the RST marker
-        while self.pos + 1 < len(self.data):
-            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-
-
-def _huff_decode(reader: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise CodecError("bad Huffman code")
-
-
 def _extend(v: int, n: int) -> int:
     return v - ((1 << n) - 1) if n and v < (1 << (n - 1)) else v
+
+
+def _AC_EXTRA(sym: int) -> int:
+    return sym & 0xF
+
+
+_PEEK_CACHE: dict = {}
+
+
+def _build_peek_table(bits, values) -> np.ndarray:
+    """Canonical Huffman -> 65536-entry table: entry = (code_len << 8) | sym
+    for every 16-bit window starting with that code; 0 marks invalid."""
+    key = (tuple(bits), tuple(values))
+    cached = _PEEK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    table = np.zeros(1 << 16, dtype=np.uint16)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            table[lo:hi] = (length << 8) | values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    _PEEK_CACHE[key] = table
+    return table
+
+
+def _destuff_segments(scan: bytes) -> list[bytes]:
+    """Entropy bytes split at RST markers, 0xFF00 unstuffed, stop at any
+    other marker."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i, n = 0, len(scan)
+    while i < n:
+        b = scan[i]
+        if b == 0xFF:
+            nxt = scan[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI / next marker
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+    return segs
+
+
+class _SegReader:
+    """16-bit-peek bit reader over a destuffed entropy segment."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, seg: bytes):
+        self.data = seg + b"\x00\x00\x00\x00"
+        self.bitpos = 0
+
+    def peek16(self) -> int:
+        i = self.bitpos >> 3
+        chunk = int.from_bytes(self.data[i : i + 4], "big")
+        return (chunk >> (16 - (self.bitpos & 7))) & 0xFFFF
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self.peek16() >> (16 - n)
+        self.bitpos += n
+        return v
+
+    def decode(self, table: np.ndarray) -> int:
+        e = int(table[self.peek16()])
+        if e == 0:
+            raise CodecError("bad Huffman code")
+        self.bitpos += e >> 8
+        return e & 0xFF
+
+    def decode_with_extra(self, table: np.ndarray, extra_of) -> tuple[int, int]:
+        """Fused symbol + value-bits read: when code_len + n_extra fits the
+        16-bit window both come from ONE peek (the JPEG fast path)."""
+        p = self.peek16()
+        e = int(table[p])
+        if e == 0:
+            raise CodecError("bad Huffman code")
+        length = e >> 8
+        sym = e & 0xFF
+        n = extra_of(sym)
+        if n == 0:
+            self.bitpos += length
+            return sym, 0
+        if length + n <= 16:
+            self.bitpos += length + n
+            return sym, (p >> (16 - length - n)) & ((1 << n) - 1)
+        self.bitpos += length
+        return sym, self.read_bits(n)
 
 
 def jpeg_decode(blob: bytes) -> np.ndarray:
@@ -371,7 +414,7 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
                 bits = list(payload[p + 1 : p + 17])
                 n = sum(bits)
                 values = list(payload[p + 17 : p + 17 + n])
-                table = _build_huffman_decode(bits, values)
+                table = _build_peek_table(bits, values)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + n
         elif marker == 0xDD:  # DRI
@@ -400,44 +443,67 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
     for sc in scan_comps:
         sc.update(by_id[sc["id"]])
 
-    reader = _BitReader(scan)
+    segments = _destuff_segments(scan)
+    seg_idx = 0
+    reader = _SegReader(segments[0])
     dc_pred = {c["id"]: 0 for c in comps}
     mcu_count = 0
+    # entropy-decode into plain python coefficient rows first; the
+    # dequantize + un-zigzag + IDCT then runs as ONE batched einsum per
+    # component (the per-block numpy round trips dominated otherwise)
+    pending: dict = {c["id"]: {"coefs": [], "pos": []} for c in comps}
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_to_marker()
+                seg_idx += 1
+                reader = _SegReader(
+                    segments[seg_idx] if seg_idx < len(segments) else b""
+                )
                 dc_pred = {c["id"]: 0 for c in comps}
             for sc in scan_comps:
-                q = qt[sc["tq"]]
+                dc_table = huff_dc[sc["dc"]]
+                ac_table = huff_ac[sc["ac"]]
                 for by in range(sc["v"]):
                     for bx in range(sc["h"]):
-                        coefs = np.zeros(64, dtype=np.int64)
-                        t_sym = _huff_decode(reader, huff_dc[sc["dc"]])
-                        diff = _extend(reader.read_bits(t_sym), t_sym)
-                        dc_pred[sc["id"]] += diff
+                        coefs = [0] * 64
+                        t_sym, raw = reader.decode_with_extra(dc_table, lambda s: s)
+                        dc_pred[sc["id"]] += _extend(raw, t_sym)
                         coefs[0] = dc_pred[sc["id"]]
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(reader, huff_ac[sc["ac"]])
-                            r, s = rs >> 4, rs & 0xF
+                            rs, raw = reader.decode_with_extra(
+                                ac_table, _AC_EXTRA
+                            )
                             if rs == 0x00:  # EOB
                                 break
                             if rs == 0xF0:  # ZRL
                                 k += 16
                                 continue
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 break
-                            coefs[k] = _extend(reader.read_bits(s), s)
+                            s = rs & 0xF
+                            coefs[k] = _extend(raw, s)
                             k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZIGZAG] = coefs * q
-                        spatial = _A.T @ block.reshape(8, 8) @ _A + 128.0
-                        y0 = (my * sc["v"] + by) * 8
-                        x0 = (mx * sc["h"] + bx) * 8
-                        planes[sc["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
+                        pending[sc["id"]]["coefs"].append(coefs)
+                        pending[sc["id"]]["pos"].append(
+                            ((my * sc["v"] + by) * 8, (mx * sc["h"] + bx) * 8)
+                        )
             mcu_count += 1
+
+    for sc in scan_comps:
+        rows = pending[sc["id"]]
+        if not rows["coefs"]:
+            continue
+        zz = np.asarray(rows["coefs"], dtype=np.float64) * qt[sc["tq"]][None, :]
+        blocks = np.zeros((len(zz), 64))
+        blocks[:, _ZIGZAG] = zz
+        spatial = (
+            np.einsum("ij,njk,kl->nil", _A.T, blocks.reshape(-1, 8, 8), _A) + 128.0
+        )
+        plane = planes[sc["id"]]
+        for b, (y0, x0) in enumerate(rows["pos"]):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[b]
 
     out_planes = []
     for c in comps:

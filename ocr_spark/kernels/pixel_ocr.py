@@ -116,56 +116,61 @@ def detect_words(img: np.ndarray, *, ink_threshold: int = 128):
     return boxes
 
 
-def _cell_to_glyph(cell: np.ndarray, scale: int) -> np.ndarray:
-    """ink cell -> (7, 5) bool: pad to the exact glyph-cell size, then
-    average-pool by the integer scale."""
-    h, w = GLYPH_H * scale, GLYPH_W * scale
-    padded = np.zeros((h, w), dtype=bool)
-    ch, cw = min(cell.shape[0], h), min(cell.shape[1], w)
-    padded[:ch, :cw] = cell[:ch, :cw]
-    pooled = padded.reshape(GLYPH_H, scale, GLYPH_W, scale).mean(axis=(1, 3))
-    return pooled >= 0.5
+# vectorized template bank, char-sorted so argmin's first-minimum rule IS
+# the lexicographic tie-break
+_TPL_CHARS = sorted(TEMPLATES)
+_TPL_STACK = np.stack([TEMPLATES[c] for c in _TPL_CHARS])  # (36, 7, 5) bool
+
+# widest empty LEFT border any glyph actually has: bounds the alignment
+# search (a word box can start at most this many font columns inside the
+# first glyph's cell)
+_MAX_LEFT_BORDER = max(
+    int(np.argmax(t.any(axis=0))) for t in _TPL_STACK
+)
 
 
-def _nearest(g: np.ndarray):
-    best, best_d = None, 10 ** 9
-    for ch, tpl in TEMPLATES.items():
-        d = int(np.count_nonzero(g != tpl))
-        if d < best_d or (d == best_d and ch < best):
-            best, best_d = ch, d
-    return best, best_d
+def _word_cells(ink: np.ndarray, off: int, scale: int):
+    """left-pad by ``off``, slice at the glyph pitch, pool to (n, 7, 5)."""
+    pitch = (GLYPH_W + _LETTER_GAP) * scale
+    h = GLYPH_H * scale
+    padded = np.zeros((h, 0), dtype=bool)
+    w = ink.shape[1] + off
+    n = -(-w // pitch)
+    padded = np.zeros((h, n * pitch), dtype=bool)
+    padded[: ink.shape[0], off : off + ink.shape[1]] = ink[:h]
+    cells = padded.reshape(h, n, pitch).transpose(1, 0, 2)[:, :, : GLYPH_W * scale]
+    blank = ~cells.any(axis=(1, 2))
+    pooled = (
+        cells.reshape(n, GLYPH_H, scale, GLYPH_W, scale).mean(axis=(2, 4)) >= 0.5
+    )
+    return pooled, blank
 
 
 def recognize_word(img: np.ndarray, box, *, ink_threshold: int = 128) -> str:
-    """word box -> text via per-glyph nearest-template matching.
+    """word box -> text via nearest-template matching over glyph cells.
 
     The box's left edge is the first INK column, which for glyphs with
     empty border columns ('i', '1', ...) is offset inside the glyph cell;
     alignment is recovered by a grid search over left paddings (<= 2*scale
     border columns), keeping the offset with the smallest total template
-    distance — the standard grid-alignment trick, fully deterministic.
-    """
+    distance — fully deterministic, and each offset evaluates the WHOLE
+    word as one (n_cells, 36) tensor distance."""
     x0, y0, x1, y1 = box
     ink = img[y0:y1, x0:x1] < ink_threshold
     scale = max((y1 - y0) // GLYPH_H, 1)
-    pitch = (GLYPH_W + _LETTER_GAP) * scale
 
     best_chars, best_total = [], 10 ** 9
-    for off in range(2 * scale + 1):
-        padded = np.pad(ink, ((0, 0), (off, 0)))
-        chars, total = [], 0
-        x = 0
-        while x < padded.shape[1]:
-            cell = padded[:, x : x + GLYPH_W * scale]
-            if cell.any():
-                ch, d = _nearest(_cell_to_glyph(cell, scale))
-                chars.append(ch)
-                total += d
-            else:
-                total += GLYPH_H * GLYPH_W  # dropped glyph: worst penalty
-            x += pitch
+    for off in range(_MAX_LEFT_BORDER * scale + 1):
+        pooled, blank = _word_cells(ink, off, scale)
+        d = (pooled[:, None] ^ _TPL_STACK[None]).sum(axis=(2, 3))  # (n, 36)
+        cell_best = d.argmin(axis=1)
+        cell_dist = d[np.arange(len(d)), cell_best]
+        total = int(cell_dist[~blank].sum()) + int(blank.sum()) * GLYPH_H * GLYPH_W
         if total < best_total:
-            best_chars, best_total = chars, total
+            best_total = total
+            best_chars = [_TPL_CHARS[i] for i, b in zip(cell_best, blank) if not b]
+            if best_total == 0:  # exact template hit: unbeatable
+                break
     return "".join(best_chars)
 
 

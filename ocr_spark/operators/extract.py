@@ -168,6 +168,51 @@ def _extract_code_doc(text_in: str, lang: str):
     return "", "\n\n".join(p["text"] for p in paragraphs), spans
 
 
+def _extract_image_doc(blob: bytes):
+    """REAL image page (PNG/JPEG of rendered text): decode the codec
+    (kernels/imagecodec.py), detect word boxes from ink projections and
+    recognize glyph cells by template matching (kernels/pixel_ocr.py) —
+    the detect->recognize path on actual pixels, no fixture logits."""
+    from ..kernels.imagecodec import jpeg_decode, png_decode
+    from ..kernels.pixel_ocr import ocr_page
+
+    img = png_decode(blob) if blob[:4] == b"\x89PNG" else jpeg_decode(blob)
+    if img.ndim == 3:
+        img = img.mean(axis=2).astype("uint8")
+
+    # group detected words into lines by their band top (the detector
+    # emits reading order: bands top-to-bottom, words left-to-right)
+    lines: list[dict] = []
+    for (x0, y0, x1, y1), word in ocr_page(img):
+        if not lines or abs(y0 - lines[-1]["y0"]) > 1e-9:
+            lines.append({"y0": y0, "y1": y1, "x0": x0, "x1": x1, "words": []})
+        cur = lines[-1]
+        cur["words"].append(word)
+        cur["x0"] = min(cur["x0"], x0)
+        cur["x1"] = max(cur["x1"], x1)
+        cur["y1"] = max(cur["y1"], y1)
+
+    spans = []
+    texts = []
+    for i, line in enumerate(lines):
+        text = " ".join(line["words"])
+        texts.append(text)
+        spans.append(
+            {
+                "seq": i,
+                "kind": "ocr",
+                "section": "",
+                "text": text,
+                "x0": line["x0"],
+                "y0": line["y0"],
+                "x1": line["x1"],
+                "y1": line["y1"],
+                "score": 1.0,
+            }
+        )
+    return "", "\n".join(texts), spans
+
+
 def _extract_pdf_doc(blob: bytes):
     """Real PDF bytes -> (title, text, spans).
 
@@ -305,6 +350,8 @@ def extract_batch(pdf, decode_method: str = "greedy"):
             blob = bytes(html) if html is not None else b""
             if blob.startswith(b"%PDF-"):
                 plans.append(("html", _extract_pdf_doc(blob)))
+            elif blob[:4] == b"\x89PNG" or blob[:2] == b"\xff\xd8":
+                plans.append(("html", _extract_image_doc(blob)))
             elif looks_like_docx(blob):
                 plans.append(("html", _extract_docx_doc(blob)))
             elif blob.startswith(PAYLOAD_MAGIC):

@@ -89,6 +89,10 @@ def is_code_doc(doc_id: int) -> bool:
     return doc_id % 20 == 12
 
 
+def is_image_doc(doc_id: int) -> bool:
+    return doc_id % 20 == 8
+
+
 def code_lang_of(doc_id: int) -> str:
     return "python" if (doc_id // 20) % 2 == 0 else "java"
 
@@ -214,6 +218,35 @@ def _code_doc(doc_id: int, words: list[str], lang: str):
     return src.encode("utf-8"), src
 
 
+def _image_doc(doc_id: int, words: list[str]):
+    """REAL image page: the html column carries PNG (even doc_id//20) or
+    baseline-JPEG q90 bytes of a rendered text page (5x7 dot-matrix font).
+    The extractor must DECODE the codec, DETECT word boxes from ink
+    projections and RECOGNIZE glyphs by template matching
+    (kernels/pixel_ocr.py) — no fixture logits anywhere on this route.
+    Expected text is the font-sanitized rendition by construction."""
+    from ..kernels.imagecodec import jpeg_encode, png_encode
+    from ..kernels.pixel_ocr import render_text_image, sanitize_for_font
+
+    lines = []
+    wi = 0
+    for _ in range(3):
+        lines.append(" ".join(words[(wi + k) % max(len(words), 1)] if words else "empty" for k in range(4)))
+        wi += 4
+    clean = [sanitize_for_font(l) for l in lines]
+    # JPEG for 1 in 4 image docs (its pure-Python entropy decode costs
+    # ~10 ms/page — measured floor; PNG is ~0.2 ms), fixed scale 2; PNG
+    # varies scale 2/3 to keep exercising the detector's scale inference
+    if (doc_id // 20) % 4 == 1:
+        img = render_text_image(lines, scale=2)
+        blob = jpeg_encode(img, quality=90)
+    else:
+        img = render_text_image(lines, scale=2 + doc_id % 2)
+        blob = png_encode(img)
+    expected = "\n".join(l for l in clean if l.strip())
+    return blob, expected
+
+
 def _payload_doc(doc_id: int, words: list[str]):
     """Build one payload page: word boxes on a line/paragraph grid.
 
@@ -264,6 +297,8 @@ def synth_page(doc_id: int, text: str, lang: str):
         from .pdf_synth import build_pdf
 
         html, expected = build_pdf(doc_id, text)
+    elif is_image_doc(doc_id):
+        html, expected = _image_doc(doc_id, words)
     elif is_docx_doc(doc_id):
         html, expected = _docx_doc(doc_id, words)
     elif is_code_doc(doc_id):
