@@ -8,7 +8,7 @@ and the expected main content is known **by construction** (the golden is
 not derived by running the extractor).
 
 Page flavors (by doc_id % 20):
-- HTML pages (75%): seeded-grammar page with title, nav/header/footer/aside/
+- HTML pages (70%): seeded-grammar page with title, nav/header/footer/aside/
   script boilerplate, content paragraphs, a list, a table; expected text =
   the content parts (already whitespace-collapsed by construction).
 - payload pages (5%, % 20 == 0): the html column carries a ``%OCRPAYLOAD%``
@@ -19,6 +19,10 @@ Page flavors (by doc_id % 20):
 - REAL PDF pages (5%, % 20 == 5): genuine PDF bytes from sources/pdf_synth
   (xref table or xref-stream/ObjStm variants, Flate/AHx filters) parsed by
   kernels/pdf_parse -> pdf_layout grouping.
+- REAL image pages (5%, % 20 == 8): PNG (75%) or baseline-JPEG (25%)
+  bytes of rendered 5x7-font text; extraction decodes the codec, detects
+  word boxes from ink projections and template-matches glyphs
+  (kernels/pixel_ocr.py) — the detect->recognize path on actual pixels.
 - markdown/plain-text pages (5%, % 20 == 10), python/java source pages
   (5%, % 20 == 12), real .docx pages (5%, % 20 == 15) — the remaining S5
   parser-dispatch routes.
