@@ -159,3 +159,22 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {a_name}")
         spark.sql(f"DROP TABLE IF EXISTS {b_name}")
+
+
+def test_partitioned_output_prunes_on_read(spark, tmp_path):
+    """The extracted table written partitionBy(lang) must partition-prune:
+    a lang filter reaches the scan as a PartitionFilter, so a 100 TB
+    corpus reads only the matching directories."""
+    from ocr_spark.operators.extract import extract_pages
+    from ocr_spark.sources.pages import pages_df
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "extracted_by_lang")
+    extract_pages(pages_df(spark, SF_SMOKE)).write.partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).where("lang = 'en'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() > 0
+    # and the filter prunes: reading a nonexistent partition scans nothing
+    none = spark.read.parquet(out).where("lang = 'xx'")
+    assert none.count() == 0
