@@ -157,6 +157,35 @@ def png_decode(blob: bytes) -> np.ndarray:
     return arr.reshape(height, width, planes)
 
 
+def png_dimensions(blob: bytes) -> tuple[int, int]:
+    """(height, width) from the fixed-offset IHDR — no decode."""
+    if not blob.startswith(_PNG_SIG) or blob[12:16] != b"IHDR":
+        raise CodecError("not a PNG")
+    w, h = struct.unpack(">II", blob[16:24])
+    return h, w
+
+
+def jpeg_dimensions(blob: bytes) -> tuple[int, int]:
+    """(height, width) from the SOF marker — a marker scan, no decode."""
+    if blob[:2] != b"\xff\xd8":
+        raise CodecError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        if marker in (0xD8,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            h, w = struct.unpack(">HH", blob[pos + 5 : pos + 9])
+            return h, w
+        pos += 2 + seg_len
+    raise CodecError("no SOF marker")
+
+
 # ===========================================================================
 # JPEG (baseline)
 # ===========================================================================

@@ -224,7 +224,9 @@ def duration_to_words(parts: list[tuple[int, str]], lang: str = "en") -> str:
 
 _MONEY_RE = re.compile(r"([$€£])(\d+(?:\.\d+)?)")
 _TIME_RE = re.compile(r"\b(\d{1,2}):([0-5]\d)\b")
-_ORDINAL_RE = re.compile(r"\b(\d+)\s*(st|nd|rd|th|er|ère|ème|ième|eme)\b")
+# suffix ADJACENT to the digits: '1st'/'10ème' are ordinals, '10 st'
+# (stone) and 'le 1 er' are not — a \s* here corrupted English text
+_ORDINAL_RE = re.compile(r"\b(\d+)(st|nd|rd|th|er|ère|ème|ième|eme)\b")
 _DECIMAL_RE = re.compile(r"\b(\d+\.\d+)\b")
 _INT_RE = re.compile(r"\b(\d+)\b")
 _DUR_RE = re.compile(r"\b\d+\s*(?:min|sec|h)\b(?:\s*\d+\s*(?:min|sec|h)\b)*")
@@ -235,9 +237,30 @@ _FR_MONEY_UNITS = {"$": "dollar", "€": "euro", "£": "livre"}
 
 def _money_fr(amount: str, currency: str, lang: str) -> str:
     unit = _FR_MONEY_UNITS.get(currency, "dollar")
-    whole = int(amount.partition(".")[0])
-    out = int_to_words_fr(whole, belgian=(lang == "be")) + " " + unit
-    return out + ("s" if whole != 1 else "")
+    belgian = lang == "be"
+    whole_s, _, frac = amount.partition(".")
+    whole = int(whole_s)
+    out = int_to_words_fr(whole, belgian=belgian) + " " + unit
+    out += "s" if whole != 1 else ""
+    if frac:
+        c = int(frac.ljust(2, "0")[:2])
+        if c:
+            out += (
+                " "
+                + int_to_words_fr(c, belgian=belgian)
+                + (" centimes" if c != 1 else " centime")
+            )
+    return out
+
+
+def time_to_words_fr(hh: int, mm: int, *, belgian: bool = False) -> str:
+    """14:30 -> 'quatorze heures trente'; 1:00 -> 'une heure';
+    9:05 -> 'neuf heures cinq'."""
+    out = int_to_words_fr(hh, feminine=True, belgian=belgian)
+    out += " heures" if hh != 1 else " heure"
+    if mm:
+        out += " " + int_to_words_fr(mm, feminine=True, belgian=belgian)
+    return out
 
 
 def normalize_numbers(text: str, lang: str = "en") -> str:
@@ -250,6 +273,12 @@ def normalize_numbers(text: str, lang: str = "en") -> str:
         text = _DUR_RE.sub(
             lambda m: duration_to_words(
                 [(int(n), u) for n, u in _DUR_PART_RE.findall(m.group(0))], lang
+            ),
+            text,
+        )
+        text = _TIME_RE.sub(
+            lambda m: time_to_words_fr(
+                int(m.group(1)), int(m.group(2)), belgian=belgian
             ),
             text,
         )

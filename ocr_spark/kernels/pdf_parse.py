@@ -329,7 +329,7 @@ class Document:
                 off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
                 if kind == b"n":
                     self.offsets.setdefault(start + i, int(off))
-                pos += 20 if entry[18:20] in (b"\r\n", b" \r", b" \n") or len(entry) == 20 else 20
+                pos += 20  # xref entries are fixed 20-byte records
 
     def _load_xref_stream(self, stm: Stream):
         d = stm.dict
@@ -635,10 +635,6 @@ def _apply(m, x, y):
 
 
 _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
-
-_CONTENT_TOKEN_RE = re.compile(
-    rb"\(|<<|<|\[|\]|>>|/[^\s()<>\[\]{}/%]*|[+-]?(?:\d+\.?\d*|\.\d+)|[A-Za-z'\"*]+"
-)
 
 
 def _tokenize_content(data: bytes):

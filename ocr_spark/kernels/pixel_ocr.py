@@ -43,17 +43,11 @@ def sanitize_for_font(text: str) -> str:
 
 
 def render_text_image(lines: list[str], *, scale: int = 2) -> np.ndarray:
-    """text lines -> (H, W) uint8 grayscale page (ink 0, paper 255)."""
+    """text lines -> (H, W) uint8 grayscale page (ink 0, paper 255).
+
+    Every char (including space, which renders blank) occupies one glyph
+    cell at a fixed pitch, so line width = n_chars * pitch - letter_gap."""
     lines = [sanitize_for_font(l) for l in lines]
-    widths = []
-    for line in lines:
-        w = 0
-        for i, ch in enumerate(line):
-            w += GLYPH_W + (_LETTER_GAP if i < len(line) - 1 else 0)
-            if ch == " ":
-                w += _WORD_GAP - GLYPH_W - _LETTER_GAP + (GLYPH_W + _LETTER_GAP)
-        widths.append(w)
-    # simpler: compute width as glyph count * pitch (space renders blank)
     pitch = GLYPH_W + _LETTER_GAP
     widths = [max(len(l), 1) * pitch - _LETTER_GAP for l in lines]
     page_w = max(widths) + 2 * _MARGIN
@@ -133,7 +127,6 @@ def _word_cells(ink: np.ndarray, off: int, scale: int):
     """left-pad by ``off``, slice at the glyph pitch, pool to (n, 7, 5)."""
     pitch = (GLYPH_W + _LETTER_GAP) * scale
     h = GLYPH_H * scale
-    padded = np.zeros((h, 0), dtype=bool)
     w = ink.shape[1] + off
     n = -(-w // pitch)
     padded = np.zeros((h, n * pitch), dtype=bool)

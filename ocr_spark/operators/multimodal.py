@@ -72,22 +72,28 @@ def blob_metadata(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id"
                     "riff" if b[:4] == b"RIFF" else "unknown"
                 )
                 if kind in ("png", "jpeg"):
-                    # REAL width/height via the native codecs; corrupt
-                    # image bytes degrade to the deterministic stand-in
+                    # REAL width/height from the header probe — metadata
+                    # must never pay the full decode (the JPEG entropy
+                    # decode costs ~10ms/page; the SOF scan is microseconds);
+                    # corrupt bytes degrade to the deterministic stand-in
+                    from ..kernels.imagecodec import jpeg_dimensions, png_dimensions
+
                     try:
-                        img = decode_image(b)
+                        h, w = (
+                            png_dimensions(b) if kind == "png" else jpeg_dimensions(b)
+                        )
                     except Exception:
-                        img = fake_decode(b)
+                        h, w = fake_decode(b).shape[:2]
                 else:
-                    img = fake_decode(b)
+                    h, w = fake_decode(b).shape[:2]
                 rows.append(
                     {
                         "blob_id": int(bid),
                         "n_bytes": len(b),
                         "sha256": hashlib.sha256(b).hexdigest(),
                         "kind": kind,
-                        "width": img.shape[1],
-                        "height": img.shape[0],
+                        "width": w,
+                        "height": h,
                         "n_frames": 1,
                     }
                 )

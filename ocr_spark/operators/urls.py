@@ -28,13 +28,19 @@ _TRACKING = ("fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid")
 
 
 def canonical_url(url: str) -> str:
+    url = url.strip()
+    if not url:
+        return ""
     try:
-        parts = urlsplit(url.strip())
+        parts = urlsplit(url)
+        # .hostname/.port validate lazily and can ALSO raise (e.g. port
+        # 99999 or 'abc' — routine in crawl data), so they stay inside the
+        # guard: one malformed URL must never fail the task
+        host = parts.hostname.lower() if parts.hostname else ""
+        port = parts.port
     except ValueError:
-        return url.strip()
+        return url
     scheme = parts.scheme.lower()
-    host = parts.hostname.lower() if parts.hostname else ""
-    port = parts.port
     if port and not (
         (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
     ):

@@ -36,15 +36,20 @@ _CRLF2 = b"\r\n\r\n"
 
 def _split_gzip_members(blob: bytes):
     """Yield decompressed gzip members of a multi-member stream (the
-    Common-Crawl per-record convention); non-gzip input yields itself."""
+    Common-Crawl per-record convention); non-gzip input yields itself.
+
+    Works on a memoryview: a per-member ``blob[pos:]`` byte copy would make
+    a 1 GB 50k-record .warc.gz cost O(members x size) in memcpy alone."""
     if blob[:2] != b"\x1f\x8b":
         yield blob
         return
+    view = memoryview(blob)
     pos = 0
-    while pos < len(blob) and blob[pos : pos + 2] == b"\x1f\x8b":
+    n = len(blob)
+    while pos < n and bytes(view[pos : pos + 2]) == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        yield d.decompress(blob[pos:])
-        consumed = len(blob) - pos - len(d.unused_data)
+        yield d.decompress(view[pos:])
+        consumed = n - pos - len(d.unused_data)
         if consumed <= 0:
             break
         pos += consumed
@@ -120,6 +125,27 @@ def parse_warc(blob: bytes):
     return out
 
 
+def _warc_pages_gen(batches):
+    """Shared mapInPandas body for the batch and streaming WARC readers:
+    binaryFile content rows -> pages rows."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for blob in pdf["content"]:
+            for rec in parse_warc(bytes(blob)):
+                rows.append(
+                    {
+                        "url": rec["url"],
+                        "warc_ts": rec["warc_ts"],
+                        "html": rec["html"],
+                        "text": "",
+                        "lang": "",
+                    }
+                )
+        yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
 def read_warc_pages(spark, path: str):
     """WARC file(s) -> pages DataFrame (BASELINE.json input_hint schema).
 
@@ -130,26 +156,7 @@ def read_warc_pages(spark, path: str):
     from ..sources.pages import PAGES_SCHEMA
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for blob in pdf["content"]:
-                for rec in parse_warc(bytes(blob)):
-                    rows.append(
-                        {
-                            "url": rec["url"],
-                            "warc_ts": rec["warc_ts"],
-                            "html": rec["html"],
-                            "text": "",
-                            "lang": "",
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
-
-    return files.mapInPandas(gen, schema=PAGES_SCHEMA)
+    return files.mapInPandas(_warc_pages_gen, schema=PAGES_SCHEMA)
 
 
 def write_warc(records, *, per_record_gzip: bool = True, with_http: bool = True) -> bytes:
@@ -215,25 +222,7 @@ def stream_warc_pages(spark, warc_dir: str, *, max_files_per_trigger: int | None
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(warc_dir).select("content")
 
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for blob in pdf["content"]:
-                for rec in parse_warc(bytes(blob)):
-                    rows.append(
-                        {
-                            "url": rec["url"],
-                            "warc_ts": rec["warc_ts"],
-                            "html": rec["html"],
-                            "text": "",
-                            "lang": "",
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
-
-    return files.mapInPandas(gen, schema=PAGES_SCHEMA)
+    return files.mapInPandas(_warc_pages_gen, schema=PAGES_SCHEMA)
 
 
 def run_streaming_warc_extract(spark, warc_dir: str, out_dir: str, checkpoint_dir: str):

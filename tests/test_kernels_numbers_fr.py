@@ -103,3 +103,17 @@ def test_fr_sentence():
         normalize_numbers("les 3 petits cochons et 1.5 litre", lang="fr")
         == "les trois petits cochons et un virgule cinq litre"
     )
+
+
+def test_fr_money_cents_and_time():
+    assert normalize_numbers("$2.50", lang="fr") == "deux dollars cinquante centimes"
+    assert normalize_numbers("14:30", lang="fr") == "quatorze heures trente"
+    assert normalize_numbers("1:00", lang="fr") == "une heure"
+    assert normalize_numbers("9:05", lang="fr") == "neuf heures cinq"
+
+
+def test_en_ordinal_requires_adjacent_suffix():
+    # '10 st' (stones) and 'le 1 er' must NOT become ordinals
+    assert normalize_numbers("weighs 10 st today") == "weighs ten st today"
+    assert normalize_numbers("le 1 er prix", lang="fr") == "le un er prix"
+    assert normalize_numbers("the 3rd time") == "the third time"

@@ -148,3 +148,10 @@ def test_training_pipeline_v2_gates_repetitive_docs(spark):
     )
     sig = repetition_signals(docs).first()
     assert sig.top_word_frac > 0.5  # would be dropped by the v2 gate
+
+
+def test_canonical_url_invalid_ports_never_raise():
+    """Crawl reality: invalid ports must degrade, not kill the task."""
+    assert canonical_url("http://example.com:99999/x") == "http://example.com:99999/x"
+    assert canonical_url("http://example.com:abc/x") == "http://example.com:abc/x"
+    assert canonical_url("") == ""
