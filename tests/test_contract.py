@@ -117,3 +117,19 @@ def test_training_pipeline_composition(spark):
     rows = df.collect()
     assert len(rows) > 100
     assert all(r.n_copies >= 1 and r.n_chars >= 40 for r in rows)
+
+
+def test_all_fixture_oracles_have_fixtures():
+    """Every FIXTURE_ORACLES entry must have its committed parquet — a
+    missing one silently degrades that query to rows-only."""
+    import os
+
+    from ocr_spark.contract import FIXTURE_DIR, FIXTURE_ORACLES, ORACLE_SQL, QUERIES
+
+    for name in FIXTURE_ORACLES:
+        path = os.path.join(FIXTURE_DIR, name + ".parquet")
+        assert os.path.isdir(path), f"fixture missing: {name}"
+        assert name in ORACLE_SQL, f"oracle not registered: {name}"
+    # and every query has SOME oracle
+    missing = [q for q in QUERIES if q not in ORACLE_SQL]
+    assert missing == [], f"queries without oracle: {missing}"

@@ -192,3 +192,45 @@ def test_decode_image_boundary():
     assert (decode_image(ic.png_encode(img)) == img).all()
     with pytest.raises(NotImplementedError):
         decode_image(b"RIFF....WEBP")
+
+
+def test_jpeg_decoder_never_hangs_on_fuzz():
+    """Random, truncated, and bit-flipped JPEG bytes must either decode or
+    raise CodecError quickly — never hang or corrupt state."""
+    import time
+
+    rng = np.random.RandomState(123)
+    base = ic.jpeg_encode(_grad(24, 32), quality=80)
+    t0 = time.time()
+    for i in range(60):
+        k = i % 3
+        if k == 0:
+            blob = bytes(rng.randint(0, 256, rng.randint(4, 400), dtype=np.uint8))
+        elif k == 1:
+            blob = base[: rng.randint(2, len(base))]
+        else:
+            b = bytearray(base)
+            for _ in range(5):
+                b[rng.randint(2, len(b))] ^= 1 << rng.randint(0, 8)
+            blob = bytes(b)
+        try:
+            ic.jpeg_decode(blob)
+        except Exception:
+            pass
+    assert time.time() - t0 < 30
+
+
+def test_png_decoder_never_hangs_on_fuzz():
+    rng = np.random.RandomState(321)
+    base = ic.png_encode(_grad(16, 16))
+    for i in range(60):
+        if i % 2 == 0:
+            blob = base[: rng.randint(8, len(base))]
+        else:
+            b = bytearray(base)
+            b[rng.randint(8, len(b))] ^= 0xFF
+            blob = bytes(b)
+        try:
+            ic.png_decode(blob)
+        except Exception:
+            pass

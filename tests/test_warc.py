@@ -127,3 +127,35 @@ def test_streaming_warc_extraction_exactly_once(spark, tmp_path):
     texts = {r.url: r.text for r in final.collect()}
     for url, _, _, expected in recs:
         assert texts[url] == expected
+
+
+def test_warc_parse_fuzz_never_crashes():
+    """Random bytes, lying content-lengths, and header mutations parse to
+    a (possibly empty) record list — never an exception."""
+    import numpy as np
+
+    from ocr_spark.sources.warc import parse_warc
+
+    rng = np.random.RandomState(7)
+    base = write_warc(
+        [("https://x.example/a", None, b"<p>a</p>")], per_record_gzip=False
+    )
+    lying = base.replace(b"Content-Length:", b"Content-Length: 99999 #", 1)
+    cases = [
+        bytes(rng.randint(0, 256, 300, dtype=np.uint8)),
+        b"WARC/1.0\r\nContent-Length: -5\r\n\r\nxxx",
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\n",  # no length
+        lying,
+        base[: len(base) // 2],
+        b"\x1f\x8b" + bytes(rng.randint(0, 256, 50, dtype=np.uint8)),  # torn gzip
+    ]
+    for blob in cases:
+        try:
+            recs = parse_warc(blob)
+        except Exception as e:
+            # torn gzip may legitimately raise zlib.error; nothing else may
+            import zlib as _z
+
+            assert isinstance(e, _z.error), (blob[:20], e)
+            continue
+        assert isinstance(recs, list)
