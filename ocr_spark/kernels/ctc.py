@@ -267,6 +267,23 @@ def ctc_beam_decode_batch(
         new_h_prev[ei, ej] = new_h[ei, ej]
         new_h[ei, ej] = new_h[ei, ej] * P + ch[ei, ej].astype(np.uint64) + np.uint64(1)
 
+        # beams must stay DISTINCT prefixes (the merge relies on it): when
+        # beam_width exceeds the finite candidates, -inf merged-away
+        # duplicates get selected; give them unique sentinel identities so
+        # they can never pm-match (and never win — their mass is -inf)
+        dead = ~np.isfinite(np.logaddexp(new_pb, new_pnb))
+        if dead.any():
+            di, dj = np.nonzero(dead)
+            sent = (
+                np.uint64(0xDEAD0000DEAD0001)
+                + np.uint64(t + 1) * np.uint64(0x100000001)
+                + dj.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            )
+            new_h[di, dj] = sent
+            new_h_prev[di, dj] = 0
+            new_len[di, dj] = 0
+            new_last[di, dj] = -1
+
         # sequences already past their valid length keep their state
         active = (t < lengths)[:, None]
         pb = np.where(active, new_pb, pb)

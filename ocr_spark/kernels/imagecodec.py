@@ -346,13 +346,18 @@ def _destuff_segments(scan: bytes) -> list[bytes]:
 
 
 class _SegReader:
-    """16-bit-peek bit reader over a destuffed entropy segment."""
+    """16-bit-peek bit reader over a destuffed entropy segment.
 
-    __slots__ = ("data", "bitpos")
+    Reading past the data (+ one byte of legal final padding) raises
+    CodecError — the zero padding would otherwise decode as valid Huffman
+    symbols FOREVER, turning a truncated/corrupt scan into a hang."""
+
+    __slots__ = ("data", "bitpos", "limit")
 
     def __init__(self, seg: bytes):
         self.data = seg + b"\x00\x00\x00\x00"
         self.bitpos = 0
+        self.limit = len(seg) * 8 + 8
 
     def peek16(self) -> int:
         i = self.bitpos >> 3
@@ -364,6 +369,8 @@ class _SegReader:
             return 0
         v = self.peek16() >> (16 - n)
         self.bitpos += n
+        if self.bitpos > self.limit:
+            raise CodecError("truncated entropy data")
         return v
 
     def decode(self, table: np.ndarray) -> int:
@@ -371,6 +378,8 @@ class _SegReader:
         if e == 0:
             raise CodecError("bad Huffman code")
         self.bitpos += e >> 8
+        if self.bitpos > self.limit:
+            raise CodecError("truncated entropy data")
         return e & 0xFF
 
     def decode_with_extra(self, table: np.ndarray, extra_of) -> tuple[int, int]:
@@ -385,12 +394,17 @@ class _SegReader:
         n = extra_of(sym)
         if n == 0:
             self.bitpos += length
-            return sym, 0
-        if length + n <= 16:
+        elif length + n <= 16:
             self.bitpos += length + n
+            if self.bitpos > self.limit:
+                raise CodecError("truncated entropy data")
             return sym, (p >> (16 - length - n)) & ((1 << n) - 1)
-        self.bitpos += length
-        return sym, self.read_bits(n)
+        else:
+            self.bitpos += length
+            return sym, self.read_bits(n)
+        if self.bitpos > self.limit:
+            raise CodecError("truncated entropy data")
+        return sym, 0
 
 
 def jpeg_decode(blob: bytes) -> np.ndarray:
@@ -459,6 +473,11 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
         pos += 2 + seg_len
     if comps is None or scan is None:
         raise CodecError("missing SOF/SOS")
+    # sanity cap: a corrupt header claiming huge dimensions must not turn
+    # into a multi-GB allocation + a 56M-iteration python loop (one bad
+    # blob would stall the whole Spark task far beyond any except-guard)
+    if h_img * w_img > 64_000_000 or h_img == 0 or w_img == 0:
+        raise CodecError(f"implausible dimensions {w_img}x{h_img}")
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -597,8 +616,13 @@ def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
 
-    q_luma = _quality_scale(_QT_LUMA, quality)
-    q_chroma = _quality_scale(_QT_CHROMA, quality)
+    # quality-scale the NATURAL-order Annex K tables, then keep them in
+    # ZIGZAG order: the DQT segment is zigzag-serialized per the spec, and
+    # the quantization below divides zigzag-ordered coefficients — a
+    # natural-order table there shuffles the frequency weighting (and makes
+    # the emitted file lie to spec-conforming decoders)
+    q_luma = _quality_scale(_QT_LUMA, quality)[_ZIGZAG]
+    q_chroma = _quality_scale(_QT_CHROMA, quality)[_ZIGZAG]
     enc_dc = [_build_huffman_encode(*_DC_LUMA), _build_huffman_encode(*_DC_CHROMA)]
     enc_ac = [_build_huffman_encode(*_AC_LUMA), _build_huffman_encode(*_AC_CHROMA)]
 
@@ -638,7 +662,7 @@ def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
                 block = padded[ci][my : my + 8, mx : mx + 8] - 128.0
                 coef = _A @ block @ _A.T
                 zz = coef.reshape(-1)[_ZIGZAG]
-                quant = np.round(zz / q[np.arange(64)]).astype(np.int64)
+                quant = np.round(zz / q).astype(np.int64)
                 # DC
                 diff = int(quant[0]) - dc_pred[ci]
                 dc_pred[ci] = int(quant[0])

@@ -153,8 +153,10 @@ def _parse_literal_string(data: bytes, pos: int):
 
 def _parse_hex_string(data: bytes, pos: int):
     # pos at '<' (single)
-    end = data.index(b">", pos)
-    hx = re.sub(rb"\s", b"", data[pos + 1 : end])
+    end = data.find(b">", pos)
+    if end < 0:
+        raise PdfError("unterminated hex string")
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[pos + 1 : end])
     if len(hx) % 2:
         hx += b"0"
     return bytes.fromhex(hx.decode("ascii")), end + 1
@@ -465,7 +467,10 @@ def decode_stream(stm: Stream, doc: Document) -> bytes:
     for f, p in zip(filters, params):
         p = doc.resolve(p) or {}
         if f == "/FlateDecode":
-            data = zlib.decompress(data)
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:  # corrupt stream: honor the PdfError contract
+                raise PdfError(f"bad Flate stream: {e}") from None
             pred = int(doc.resolve(p.get("/Predictor", 1)) or 1)
             if pred >= 10:
                 data = _png_unpredict(data, int(doc.resolve(p.get("/Columns", 1))))
@@ -817,9 +822,15 @@ def interpret_content(
             elif op == "TJ" and operands:
                 show(operands[-1])
             elif op == "q":
-                ctm_stack.append(ctm)
+                # q saves the FULL graphics state — the text parameters
+                # (Tf/Tc/Tw/Tz/TL/Ts) restore on Q too, or styled q..Q
+                # spans would leak font size/spacing into later runs
+                ctm_stack.append((ctm, font, size, leading, tc, tw, th, rise))
             elif op == "Q":
-                ctm = ctm_stack.pop() if ctm_stack else _ID
+                if ctm_stack:
+                    ctm, font, size, leading, tc, tw, th, rise = ctm_stack.pop()
+                else:
+                    ctm = _ID
             elif op == "cm" and len(operands) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in operands[-6:]), ctm)
             elif op == "Do" and operands and xobjects and doc is not None:
@@ -910,6 +921,8 @@ def parse_pdf_pages(data: bytes) -> list[dict]:
         media = doc.resolve(page.get("/MediaBox", inh.get("/MediaBox", [0, 0, 612, 792])))
         mx0, my0, mx1, my1 = [float(doc.resolve(v)) for v in media]
         page_w, page_h = mx1 - mx0, my1 - my0
+        if page_w <= 0 or page_h <= 0:
+            raise PdfError(f"degenerate MediaBox {media}")
 
         resources = doc.resolve(page.get("/Resources", inh.get("/Resources", {}))) or {}
         font_dict = doc.resolve(resources.get("/Font", {})) or {}

@@ -234,3 +234,33 @@ def test_png_decoder_never_hangs_on_fuzz():
             ic.png_decode(blob)
         except Exception:
             pass
+
+
+def test_jpeg_implausible_dimensions_rejected():
+    """A corrupt header claiming 60000x60000 must raise, not allocate GBs
+    and spin 56M python iterations (self-review find)."""
+    import struct
+
+    blob = bytearray(ic.jpeg_encode(_grad(16, 16), quality=80))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 5 : i + 9] = struct.pack(">HH", 60000, 60000)
+    with pytest.raises(ic.CodecError, match="implausible"):
+        ic.jpeg_decode(bytes(blob))
+
+
+def test_jpeg_truncated_scan_raises_not_garbage():
+    blob = ic.jpeg_encode(_grad(64, 64), quality=90)
+    sos = blob.find(b"\xff\xda")
+    cut = blob[: sos + 200]  # keep header, tear most of the scan
+    with pytest.raises(ic.CodecError):
+        ic.jpeg_decode(cut)
+
+
+def test_jpeg_encoder_dqt_is_zigzag_ordered():
+    """The DQT segment serializes in zigzag order per the spec — a natural-
+    order table misweights frequencies for any conforming decoder."""
+    blob = ic.jpeg_encode(_grad(8, 8), quality=50)
+    i = blob.find(b"\xff\xdb")
+    payload = blob[i + 5 : i + 5 + 64]
+    expected = ic._QT_LUMA[ic._ZIGZAG]  # quality 50 = table as-is
+    assert list(payload) == [int(v) for v in expected]

@@ -130,3 +130,21 @@ def test_beam_batch_roundtrips_synth_logits():
     lens = np.array([j.shape[0] for j in jobs])
     toks, _ = ctc.ctc_beam_decode_batch(batch, lens)
     assert [ctc.decode_tokens(tk, vocab) for tk in toks] == texts
+
+
+def test_beam_batch_tiny_vocab_wide_beam():
+    """beam_width > finite candidates (tiny vocab): merged-away duplicates
+    must not re-enter the beam and corrupt the merge (self-review find)."""
+    import numpy as np
+
+    from ocr_spark.kernels import ctc
+
+    rng = np.random.RandomState(0)
+    for trial in range(150):
+        t = rng.randint(2, 8)
+        v = rng.randint(2, 4)
+        logits = rng.randn(1, t, v) * 2
+        tb, sb = ctc.ctc_beam_decode_batch(logits, beam_width=4)
+        (toks, score), *_ = ctc.ctc_beam_decode(logits[0], beam_width=4)
+        assert toks == tb[0], trial
+        assert abs(score - sb[0]) < 1e-9, trial

@@ -348,3 +348,50 @@ def test_cid_without_tounicode_is_unreadable_not_crash():
     pages = parse_pdf_pages(_mini_pdf(objs))
     # two 2-byte codes -> two replacement glyphs, still positioned
     assert pages[0]["blocks"][0]["text"] == "��"
+
+
+def test_degenerate_mediabox_raises_pdferror():
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 0 0] >>",
+        3: b"<< /Type /Page /Parent 2 0 R >>",
+    }
+    with pytest.raises(PdfError, match="MediaBox"):
+        parse_pdf_pages(_mini_pdf(objs))
+
+
+def test_corrupt_flate_and_hex_raise_pdferror():
+    bad_stream = b"<< /Length 8 /Filter /FlateDecode >>\nstream\nnotflate\nendstream"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: bad_stream,
+    }
+    with pytest.raises(PdfError, match="Flate"):
+        parse_pdf_pages(_mini_pdf(objs))
+    with pytest.raises(PdfError, match="hex"):
+        parse_value(b"<48656", 0)
+
+
+def test_q_restores_text_state():
+    """q/Q must save the TEXT state too: a font change inside q..Q may not
+    leak into later runs (self-review find)."""
+    content = (
+        b"BT /F1 10 Tf 72 700 Td (ten) Tj ET\n"
+        b"q BT /F1 24 Tf 72 650 Td (twentyfour) Tj ET Q\n"
+        b"BT 72 600 Td (stillten) Tj ET"
+    )
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> >>"
+        ),
+        4: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+    }
+    blocks = parse_pdf_pages(_mini_pdf(objs))[0]["blocks"]
+    sizes = {b["text"]: b["font_size"] for b in blocks}
+    assert sizes == {"ten": 10, "twentyfour": 24, "stillten": 10}
