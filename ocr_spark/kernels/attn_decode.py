@@ -100,17 +100,28 @@ def attn_greedy_decode_batch(
 
     steps = np.zeros(n, dtype=np.int64)
     for _ in range(max_length):
-        # windowed monotonic mask (crnn_arch.py:680-698)
-        center = np.maximum(attn_mask_offset, main_att)
-        center = np.minimum(center, mem_lengths - attn_mask_win_len + attn_mask_offset)
-        center = center[:, None]
-        win = (center - attn_mask_offset <= pos) & (
-            pos <= center + attn_mask_win_len - attn_mask_offset
-        )
-        mask = win & pad_mask
+        # compute only the ACTIVE rows: a straggler sequence must not keep
+        # re-running the (N, T, H) attention for 63 finished neighbors
+        act = np.flatnonzero(~finished)
+        if len(act) == 0:
+            break
+        a_mem = memory[act]
+        a_proj = mem_proj[act]
+        a_len = mem_lengths[act]
+        a_main = main_att[act]
+        a_pos = pos[:, : memory.shape[1]]
 
-        state_proj = h @ weights.h2h + weights.h2h_b  # (N, H)
-        energies = np.tanh(mem_proj + state_proj[:, None, :]) @ weights.score
+        # windowed monotonic mask (crnn_arch.py:680-698)
+        center = np.maximum(attn_mask_offset, a_main)
+        center = np.minimum(center, a_len - attn_mask_win_len + attn_mask_offset)
+        center = center[:, None]
+        win = (center - attn_mask_offset <= a_pos) & (
+            a_pos <= center + attn_mask_win_len - attn_mask_offset
+        )
+        mask = win & pad_mask[act]
+
+        state_proj = h[act] @ weights.h2h + weights.h2h_b
+        energies = np.tanh(a_proj + state_proj[:, None, :]) @ weights.score
         energies = energies[:, :, 0]
         energies = np.where(mask, energies, -np.inf)
         # guard: a fully-masked row (tiny memory) attends its first frame
@@ -121,31 +132,32 @@ def attn_greedy_decode_batch(
         attn = np.exp(e)
         attn /= attn.sum(axis=1, keepdims=True)
 
-        context = (attn[:, :, None] * memory).sum(axis=1)  # (N, D)
-        one_hot = np.zeros((n, weights.vocab))
-        one_hot[np.arange(n), prev] = 1.0
-        h, c = _lstm_step(np.concatenate([context, one_hot], axis=1), h, c, weights)
-        logits = h @ weights.out_w + weights.out_b
+        context = (attn[:, :, None] * a_mem).sum(axis=1)
+        one_hot = np.zeros((len(act), weights.vocab))
+        one_hot[np.arange(len(act)), prev[act]] = 1.0
+        h_new, c_new = _lstm_step(
+            np.concatenate([context, one_hot], axis=1), h[act], c[act], weights
+        )
+        h[act] = h_new
+        c[act] = c_new
+        logits = h_new @ weights.out_w + weights.out_b
 
         # the read head advances FIRST, then forces EOS once it passes the
         # memory (reference order: crnn_arch.py:705-720, using per-sequence
         # true lengths where the batch=1 reference uses the padded T)
-        main_att = np.maximum(attn.argmax(axis=1), main_att + 1)
-        past_end = main_att >= mem_lengths
+        new_main = np.maximum(attn.argmax(axis=1), a_main + 1)
+        main_att[act] = new_main
+        past_end = new_main >= a_len
         nxt = np.where(past_end, eos, logits.argmax(axis=1))
 
-        for i in range(n):
-            if finished[i]:
-                continue
-            attn_trace[i].append(attn[i])
+        for k, i in enumerate(act):
+            attn_trace[i].append(attn[k])
             steps[i] += 1
-            if nxt[i] == eos:
+            if nxt[k] == eos:
                 finished[i] = True
             else:
-                tokens[i].append(int(nxt[i]))
-        prev = np.where(finished, eos, nxt)
-        if finished.all():
-            break
+                tokens[i].append(int(nxt[k]))
+                prev[i] = nxt[k]
 
     return tokens, steps, [np.array(a) for a in attn_trace]
 

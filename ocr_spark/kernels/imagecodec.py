@@ -78,6 +78,9 @@ def png_encode(img: np.ndarray) -> bytes:
 
 
 def _png_unfilter(data: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Per-row unfilter. Sub is a per-lane cumulative sum (vectorized);
+    Average/Paeth iterate per PIXEL with vectorized bpp lanes (real-world
+    PNGs lean on these filters — a per-byte python loop was ~bpp x slower)."""
     stride = w * bpp
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
@@ -88,24 +91,32 @@ def _png_unfilter(data: bytes, w: int, h: int, bpp: int) -> np.ndarray:
         pos += 1 + stride
         if ftype == 0:
             pass
-        elif ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 1:  # Sub: per-lane cumsum (mod distributes over +)
+            row = np.cumsum(row.reshape(w, bpp), axis=0).reshape(stride) & 0xFF
         elif ftype == 2:  # Up
             row = (row + prev) & 0xFF
         elif ftype == 3:  # Average
-            for i in range(stride):
-                left = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+            rp = row.reshape(w, bpp)
+            pp = prev.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            for i in range(w):
+                left = (rp[i] + ((left + pp[i]) >> 1)) & 0xFF
+                rp[i] = left
+            row = rp.reshape(stride)
         elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
+            rp = row.reshape(w, bpp)
+            pp = prev.reshape(w, bpp)
+            a = np.zeros(bpp, dtype=np.int32)
+            c = np.zeros(bpp, dtype=np.int32)
+            for i in range(w):
+                b = pp[i]
                 p = a + b - c
-                pa, pb_, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb_ and pa <= pc) else (b if pb_ <= pc else c)
-                row[i] = (row[i] + pred) & 0xFF
+                pa, pb_, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb_) & (pa <= pc), a, np.where(pb_ <= pc, b, c))
+                a = (rp[i] + pred) & 0xFF
+                rp[i] = a
+                c = b
+            row = rp.reshape(stride)
         else:
             raise CodecError(f"bad PNG filter {ftype}")
         out[r] = row.astype(np.uint8)

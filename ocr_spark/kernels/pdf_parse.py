@@ -231,7 +231,11 @@ def _parse_dict(data: bytes, pos: int):
 
 
 def _png_unpredict(data: bytes, columns: int) -> bytes:
-    """PNG row unfilter (predictors 10-15): filters None/Sub/Up/Avg/Paeth."""
+    """PNG row unfilter (predictors 10-15): filters None/Sub/Up/Avg/Paeth.
+
+    Deliberately duplicates the bpp=1 case of imagecodec._png_unfilter:
+    this module stays numpy-free (pure-bytes kernel), and xref-stream rows
+    are tiny (a few bytes x a few thousand rows)."""
     row_len = columns
     out = bytearray()
     prev = bytearray(row_len)
