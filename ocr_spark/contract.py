@@ -275,10 +275,15 @@ def q_distinct_agg(spark, sf):  # distinct aggregation
 def q_events_hourly(spark, sf):  # event-time bucket aggregation
     e = _t(spark, sf, "events")
     bucket = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("long")
+    # avg from the EXACT decimal sum (a raw double avg adds in partition-
+    # dependent order; near a 1e-4 rounding boundary the oracle hash flips)
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)"))
     return e.groupBy(bucket.alias("hour_epoch"), F.col("event_type")).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.round(
+            dec_sum.cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_value"),
+        dec_sum.cast("double").alias("sum_value"),
     )
 
 
@@ -307,10 +312,13 @@ def q_emission_filter(spark, sf):  # P6/X3 near-duplicate emission gate
     w = Window.partitionBy("lang").orderBy("doc_id")
     prev = F.lag(t).over(w)
     base_ok = (F.length(t) > 0) & t.contains(" ") & t.rlike("[a-zA-Z]")
-    near_dup = F.when(
-        prev.isNotNull() & (F.length(prev) > 0),
-        (F.levenshtein(t, prev) / F.length(prev)) < 0.2,
-    ).otherwise(F.lit(False))  # empty prev: d/0 -> (d != 0) >= 0.2, never near
+    near_dup = F.coalesce(
+        F.when(
+            prev.isNotNull() & (F.length(prev) > 0),
+            (F.levenshtein(t, prev) / F.length(prev)) < 0.2,
+        ).otherwise(F.lit(False)),
+        F.lit(False),  # NULL text: levenshtein(NULL,..) is NULL; the oracle
+    )                  # coalesces to FALSE — match it (empty prev: never near)
     return d.select(
         "doc_id",
         "lang",
@@ -972,7 +980,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                event_type,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(avg(value), 4) AS avg_value,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     """,
@@ -983,8 +991,10 @@ ORACLE_SQL: dict[str, str] = {
         SELECT p_partkey,
                trim(regexp_replace(regexp_replace(lower(p_name),
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS decoded,
-               CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(p_name),
-                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS INT) AS n_words
+               CAST(CASE WHEN trim(regexp_replace(regexp_replace(lower(p_name),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) = '' THEN 0
+                    ELSE len(string_split(trim(regexp_replace(regexp_replace(lower(p_name),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) END AS INT) AS n_words
         FROM part
     """,
     "pandas_udf_lev": """

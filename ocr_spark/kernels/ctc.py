@@ -46,6 +46,18 @@ def collapse_repeats_drop_blank(path: np.ndarray, blank: int = 0) -> list[int]:
     return collapsed[collapsed != blank].astype(np.int64).tolist()
 
 
+def pad_batch(jobs: list, feat_dim: int):
+    """Zero-pad variable-length (T_i, V) arrays into one (N, T_max, V) batch
+    plus a lengths vector (the reference's pad_batch, base_ocr.py:210-211).
+    Shared by the extract, recognize, and attention decode stages."""
+    if not jobs:
+        return np.zeros((0, 1, feat_dim)), np.zeros((0,), dtype=np.int64)
+    t_max = max(j.shape[0] for j in jobs)
+    batch = np.stack([np.pad(j, ((0, t_max - j.shape[0]), (0, 0))) for j in jobs])
+    lengths = np.array([j.shape[0] for j in jobs], dtype=np.int64)
+    return batch, lengths
+
+
 def ctc_greedy_decode_batch(logits: np.ndarray, lengths=None, blank: int = 0):
     """Vectorized greedy decode over a padded (N, T, V) batch.
 

@@ -70,26 +70,15 @@ def _sanitize(text: str, index: dict) -> str:
 
 
 def _extract_html_doc(html: bytes):
-    title, paragraphs, text = extract_page(html)
-    spans = []
-    n = max(len(paragraphs), 1)
-    for i, para in enumerate(paragraphs):
-        from ..kernels.html_extract import render_paragraph
+    from ..kernels.html_extract import render_paragraph
 
-        spans.append(
-            {
-                "seq": i,
-                "kind": para["type"],
-                "section": " > ".join(para.get("section", [])),
-                "text": render_paragraph(para),
-                # pseudo-box: document-order banding (FIXTURES.md §1)
-                "x0": 0.05,
-                "y0": i / n,
-                "x1": 0.95,
-                "y1": (i + 1) / n,
-                "score": 1.0,
-            }
-        )
+    title, paragraphs, text = extract_page(html)
+    spans = _banded_spans(
+        [
+            (para["type"], " > ".join(para.get("section", [])), render_paragraph(para))
+            for para in paragraphs
+        ]
+    )
     return title or "", text, spans
 
 
@@ -98,24 +87,18 @@ def _extract_md_doc(blob: bytes):
     as the HTML path; title = first heading if any."""
     text_in = blob.decode("utf-8", errors="replace")
     paragraphs = parse_markdown(text_in)
-    spans = []
-    n = max(len(paragraphs), 1)
-    for i, para in enumerate(paragraphs):
-        spans.append(
-            {
-                "seq": i,
-                "kind": para["type"],
+    spans = _banded_spans(
+        [
+            (
+                para["type"],
                 # skipped heading levels pad the stack with "" — drop them
                 # from the breadcrumb
-                "section": " > ".join(s for s in para.get("section", []) if s),
-                "text": render_md_paragraph(para),
-                "x0": 0.05,
-                "y0": i / n,
-                "x1": 0.95,
-                "y1": (i + 1) / n,
-                "score": 1.0,
-            }
-        )
+                " > ".join(s for s in para.get("section", []) if s),
+                render_md_paragraph(para),
+            )
+            for para in paragraphs
+        ]
+    )
     title = next(
         (s for para in paragraphs for s in para.get("section", []) if s), ""
     )
@@ -319,9 +302,7 @@ def _decode_jobs(all_jobs, method: str = "greedy", num_beams: int = 10):
     vocab, _ = _get_vocab()
     if not all_jobs:
         return [], np.zeros((0,))
-    t_max = max(j.shape[0] for j in all_jobs)
-    batch = np.stack([np.pad(j, ((0, t_max - j.shape[0]), (0, 0))) for j in all_jobs])
-    lengths = np.array([j.shape[0] for j in all_jobs])
+    batch, lengths = ctc_kernel.pad_batch(all_jobs, len(vocab))
     if method == "beam":
         # numpy-batched prefix beam over the whole chunk (VERDICT r01
         # item 9); exact-equal to the per-sequence reference-shaped decoder

@@ -114,7 +114,8 @@ def blob_features(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id"
         for pdf in batches:
             blobs = [bytes(b) if b is not None else b"" for b in pdf[blob_col]]
             imgs = np.stack([fake_decode(b, h=8, w=8, c=3) for b in blobs]) if blobs else np.zeros((0, 8, 8, 3))
-            flat = imgs.reshape(len(blobs), -1).astype(np.float64) / 255.0
+            # explicit size: reshape(0, -1) raises on empty batches
+            flat = imgs.reshape(len(blobs), 8 * 8 * 3).astype(np.float64) / 255.0
             # mean-pool into `dim` buckets (stand-in for an embedding head)
             pooled = flat.reshape(len(blobs), dim, -1).mean(axis=2).astype(np.float32)
             yield pd.DataFrame(

@@ -44,11 +44,7 @@ def ctc_roundtrip(parts: DataFrame, *, beam: bool = False) -> DataFrame:
                     decoded.append(ctc_kernel.decode_tokens(tokens, vocab))
                     scores.append(score)
             else:
-                t_max = max((j.shape[0] for j in jobs), default=1)
-                batch = np.stack(
-                    [np.pad(j, ((0, t_max - j.shape[0]), (0, 0))) for j in jobs]
-                ) if jobs else np.zeros((0, 1, len(vocab)))
-                lengths = np.array([j.shape[0] for j in jobs])
+                batch, lengths = ctc_kernel.pad_batch(jobs, len(vocab))
                 tokens, scores = ctc_kernel.ctc_greedy_decode_batch(batch, lengths)
                 decoded = [ctc_kernel.decode_tokens(t, vocab) for t in tokens]
             yield pd.DataFrame(
@@ -97,13 +93,7 @@ def attn_decode_table(parts: DataFrame, *, max_length: int = 48) -> DataFrame:
                 ad.synth_memory_for_text(t, index, memory_dim=len(vocab))
                 for t in texts
             ]
-            t_max = max((m.shape[0] for m in mems), default=1)
-            batch = (
-                np.stack([np.pad(m, ((0, t_max - m.shape[0]), (0, 0))) for m in mems])
-                if mems
-                else np.zeros((0, 1, len(vocab)))
-            )
-            lengths = np.array([m.shape[0] for m in mems])
+            batch, lengths = ctc_kernel.pad_batch(mems, len(vocab))
             tokens, steps, _ = ad.attn_greedy_decode_batch(
                 batch, lengths, weights, sos=sos, eos=eos, max_length=max_length
             )

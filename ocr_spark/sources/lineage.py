@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-LINEAGE_COLS = ("url", "partition_id", "commit_id", "n_spans", "out_sha256")
 
 
 def lineage_of(extracted: DataFrame, commit_id: int) -> DataFrame:

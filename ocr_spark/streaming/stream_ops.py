@@ -56,10 +56,17 @@ def emitted_text_gate(texts, emitted: set, last_k: list, *, k: int = 5, max_dist
     return keep
 
 
-def dedup_texts_stateful(frames_df):
+def dedup_texts_stateful(frames_df, *, max_emitted: int = 4096):
     """Streaming stateful text dedup: one state per stream_id holding the
     emitted set + last-k window. Input: streaming DF with columns
-    (stream_id string, frame_id long, text string)."""
+    (stream_id string, frame_id long, text string).
+
+    Per-key state is BOUNDED: the emitted set keeps insertion order and
+    evicts its oldest entries beyond ``max_emitted`` — a long-lived stream
+    must not grow its state row (and the per-batch serialize cost) without
+    limit. Eviction means a text can re-emit after max_emitted distinct
+    newer texts — the same sliding-memory contract as RepetitionGate's
+    memory_ttl."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def fn(key, pdf_iter, state):
@@ -67,10 +74,11 @@ def dedup_texts_stateful(frames_df):
 
         if state.exists:
             (emitted_list, last_k, seen) = state.get
-            emitted = set(emitted_list)
+            emitted_order = list(emitted_list)
+            emitted = set(emitted_order)
             last_k = list(last_k)
         else:
-            emitted, last_k, seen = set(), [], 0
+            emitted_order, emitted, last_k, seen = [], set(), [], 0
 
         # concat all Arrow chunks first: per-chunk sorting would process
         # frames out of global frame_id order when a key spans chunks
@@ -80,9 +88,15 @@ def dedup_texts_stateful(frames_df):
                 columns=["stream_id", "frame_id", "text"]
             )
         ).sort_values("frame_id", kind="stable")
+        before = set(emitted)
         keep = emitted_text_gate(pdf["text"].tolist(), emitted, last_k)
+        emitted_order.extend(
+            dict.fromkeys(t for t in pdf["text"] if t in emitted and t not in before)
+        )
+        if len(emitted_order) > max_emitted:
+            emitted_order = emitted_order[-max_emitted:]
         seen += len(pdf)
-        state.update((sorted(emitted), last_k[-5:], seen))
+        state.update((emitted_order, last_k[-5:], seen))
         yield pd.DataFrame(
             {
                 "stream_id": pdf["stream_id"],
@@ -196,8 +210,15 @@ class RepetitionGate:
                 if iou >= best_iou:
                     best, best_iou = i, iou
             if best is None:
-                self.waiting.append([list(box), 1, 0])
-                matched.append(True)
+                if self.n_repeat <= 1:
+                    # 'seen in >= n_repeat consecutive frames' already holds
+                    # on first sighting — emit immediately, never park it
+                    emitted.append(list(box))
+                    self.memory.append([list(box), 0])
+                    mem_seen.append(True)
+                else:
+                    self.waiting.append([list(box), 1, 0])
+                    matched.append(True)
             else:
                 w = self.waiting[best]
                 w[0], w[1], w[2] = list(box), w[1] + 1, 0
