@@ -432,6 +432,15 @@ def q_flagship_extract(spark, sf):
     )
 
 
+def q_charset_sniff(spark, sf):  # BOM/meta charset detection over pages
+    """Per-page charset report (kernels/encoding.py): the corpus carries
+    windows-1252+meta and UTF-16-LE+BOM HTML flavors, so every sniff
+    source (bom/meta/utf8) appears; deterministic -> fixture oracle."""
+    from .operators.extract import sniff_charsets
+
+    return sniff_charsets(pages_df(spark, sf))
+
+
 def q_pdf_extract(spark, sf):  # D9/S5: real PDF byte-parsing route (round 2)
     """Only the %PDF- pages of the corpus, through the byte-level parser
     (kernels/pdf_parse.py) and the W8/W9 layout kernels; sha256(text) makes
@@ -690,6 +699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
+    "charset_sniff": q_charset_sniff,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "lsh_ann": q_lsh_ann,
@@ -1069,6 +1079,7 @@ FIXTURE_DIR = _os.path.abspath(
 FIXTURE_ORACLES = [
     "flagship_extract",
     "pdf_extract",
+    "charset_sniff",
     "minhash_pairs",
     "simhash_pairs",
     "lsh_ann",

@@ -461,7 +461,10 @@ def extract_page(html_bytes: bytes, *, origin: str | None = None, max_link_densi
     north_star boilerplate classifier); None keeps the pure structural-strip
     golden semantics.
     """
-    html = html_bytes.decode("utf-8", errors="replace")
+    from .encoding import decode_bytes
+
+    html, _, _ = decode_bytes(html_bytes)  # BOM/meta-charset aware (crawl
+    # pages are ~10-20% non-UTF-8); valid UTF-8 decodes exactly as before
     title, cleaned = prepare_html(html, origin=origin, **opts)
     paragraphs = extract_paragraphs(cleaned, title=title or "html")
     if max_link_density is not None:

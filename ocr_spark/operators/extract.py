@@ -40,6 +40,7 @@ from ..kernels.md_extract import (
     render_md_paragraph,
 )
 from ..kernels.doc_parsers import looks_like_docx, sniff_code_lang
+from ..kernels.encoding import decode_bytes, detect_bom
 from ..kernels.sort import sort_boxes_xywh
 from ..sources.pages import PAYLOAD_MAGIC
 
@@ -85,7 +86,7 @@ def _extract_html_doc(html: bytes):
 def _extract_md_doc(blob: bytes):
     """Markdown / plain-text page (S5 dispatch fallback): same span shape
     as the HTML path; title = first heading if any."""
-    text_in = blob.decode("utf-8", errors="replace")
+    text_in = decode_bytes(blob)[0]
     paragraphs = parse_markdown(text_in)
     spans = _banded_spans(
         [
@@ -329,6 +330,11 @@ def extract_batch(pdf, decode_method: str = "greedy"):
         # row still commits, so the url is not retried forever)
         try:
             blob = bytes(html) if html is not None else b""
+            # BOM-marked text (UTF-16/32 crawl pages): the byte-level tag
+            # sniffers below can't see through NUL-interleaved encodings,
+            # so decode first and dispatch on the UTF-8 re-encoding
+            if detect_bom(blob) is not None:
+                blob = decode_bytes(blob)[0].encode("utf-8")
             if blob.startswith(b"%PDF-"):
                 plans.append(("html", _extract_pdf_doc(blob)))
             elif blob[:4] == b"\x89PNG" or blob[:2] == b"\xff\xd8":
@@ -348,7 +354,7 @@ def extract_batch(pdf, decode_method: str = "greedy"):
                 # S5 dispatch: code / markdown / plain-text page (the
                 # reference's py/java/md/txt parser routes,
                 # parsers/__init__.py:53-201)
-                text_in = blob.decode("utf-8", errors="replace")
+                text_in = decode_bytes(blob)[0]
                 lang = sniff_code_lang(text_in)
                 if lang:
                     plans.append(("html", _extract_code_doc(text_in, lang)))
@@ -403,6 +409,42 @@ def extract_batch(pdf, decode_method: str = "greedy"):
         out["n_spans"].append(len(spans))
 
     return pd.DataFrame(out)
+
+
+CHARSET_SCHEMA = "url string, encoding string, source string, n_chars int"
+
+
+def sniff_charsets(pages_df):
+    """Per-page charset detection report: (url, encoding, source, n_chars).
+
+    ``source`` is bom|meta|utf8|fallback (kernels/encoding.py order);
+    ``n_chars`` is the decoded-character count. One narrow mapInPandas
+    stage, zero shuffles — the same single-python-stage shape as the
+    flagship, so it composes into ingest audits at crawl scale."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.encoding import decode_bytes
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                blob = bytes(html) if html is not None else b""
+                text, codec, source = decode_bytes(blob)
+                rows.append(
+                    {
+                        "url": url,
+                        "encoding": codec,
+                        "source": source,
+                        "n_chars": len(text),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "encoding", "source", "n_chars"]
+            )
+
+    return pages_df.select("url", "html").mapInPandas(gen, schema=CHARSET_SCHEMA)
 
 
 def extract_pages(pages_df, *, decode_method: str = "greedy"):

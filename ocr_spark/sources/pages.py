@@ -26,6 +26,9 @@ Page flavors (by doc_id % 20):
 - markdown/plain-text pages (5%, % 20 == 10), python/java source pages
   (5%, % 20 == 12), real .docx pages (5%, % 20 == 15) — the remaining S5
   parser-dispatch routes.
+- non-UTF-8 HTML (10%): windows-1252 with a ``<meta charset>`` declaration
+  (% 20 == 2) and UTF-16-LE with BOM (% 20 == 14) — the charset-sniff
+  path (kernels/encoding.py) that real crawls hit on 10-20% of pages.
 
 Skew by design: 30% of urls land on one mega-host (``host0``) to exercise
 the salt-based skew mitigation required by the north_rule.
@@ -105,8 +108,31 @@ def _chunk(words: list[str], n: int) -> list[list[str]]:
     return [words[i : i + n] for i in range(0, len(words), n)] or [["empty"]]
 
 
+# fixed non-ASCII content for the charset flavors: accented Western text
+# (cp1252-encodable) and beyond-Latin-1 text (Greek/CJK, UTF-16 territory)
+_CP1252_EXTRA = "café naïve déjà vu résumé «détail»"
+_UTF16_EXTRA = "Ωmega Δelta 网页 données"
+
+
+def charset_of(doc_id: int) -> str | None:
+    """Charset flavor for HTML pages: windows-1252 + meta declaration
+    (doc_id % 20 == 2), UTF-16-LE + BOM (doc_id % 20 == 14), else UTF-8.
+    Real crawls are ~10-20% non-UTF-8; these two flavors keep the
+    BOM/meta sniff (kernels/encoding.py) on the flagship path."""
+    if doc_id % 20 == 2:
+        return "cp1252"
+    if doc_id % 20 == 14:
+        return "utf-16"
+    return None
+
+
 def _html_doc(doc_id: int, words: list[str], lang: str):
     """Build one HTML page + its expected extracted text (by construction)."""
+    charset = charset_of(doc_id)
+    if charset == "cp1252":
+        # every word must survive the single-byte encode; '?' replacements
+        # flow identically into the page AND the expected golden
+        words = [w.encode("cp1252", "replace").decode("cp1252") for w in words]
     paras = _chunk(words, WORDS_PER_PARA)[:PARAS_PER_DOC]
     para_texts = [" ".join(p) for p in paras]
     title = f"Document {doc_id}"
@@ -141,10 +167,17 @@ def _html_doc(doc_id: int, words: list[str], lang: str):
     expected_parts.append(
         "\n".join(f"key: {k} | val: {v}" for k, v in table_rows)
     )
+    if charset == "cp1252":
+        body_parts.append(f"<p>{_CP1252_EXTRA}</p>")
+        expected_parts.append(_CP1252_EXTRA)
+    elif charset == "utf-16":
+        body_parts.append(f"<p>{_UTF16_EXTRA}</p>")
+        expected_parts.append(_UTF16_EXTRA)
 
+    meta = '<meta charset="windows-1252">' if charset == "cp1252" else ""
     html = (
         "<!DOCTYPE html><html><head>"
-        f"<title>{title}</title>"
+        f"{meta}<title>{title}</title>"
         "<script>window.track && window.track();</script>"
         "<style>body{margin:0}</style>"
         "</head><body>"
@@ -155,6 +188,10 @@ def _html_doc(doc_id: int, words: list[str], lang: str):
         f"<footer><p>footer legal text {doc_id % 3}</p></footer>"
         "</body></html>"
     )
+    if charset == "cp1252":
+        return html.encode("cp1252"), "\n\n".join(expected_parts)
+    if charset == "utf-16":
+        return b"\xff\xfe" + html.encode("utf-16-le"), "\n\n".join(expected_parts)
     return html.encode("utf-8"), "\n\n".join(expected_parts)
 
 

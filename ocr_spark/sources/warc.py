@@ -88,17 +88,71 @@ def _parse_records(raw: bytes):
         pos = body_at + length
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode a Transfer-Encoding: chunked body (size-line in hex, CRLF,
+    chunk bytes, CRLF, ... 0-size terminator). Malformed framing returns
+    the bytes decoded so far plus nothing — never raises."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()  # drop extensions
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out += body[eol + 2 : eol + 2 + size]
+        pos = eol + 2 + size + 2  # skip chunk + trailing CRLF
+    return bytes(out)
+
+
+def _decode_http_body(body: bytes, headers: dict) -> bytes:
+    """Apply Transfer-Encoding / Content-Encoding (real crawls store the
+    wire bytes: ~gzip on most text responses). Decode failures degrade to
+    the raw bytes — extraction's junk guard handles the rest."""
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").strip().lower()
+    try:
+        if enc in ("gzip", "x-gzip"):
+            return zlib.decompress(body, wbits=16 + zlib.MAX_WBITS)
+        if enc == "deflate":
+            try:
+                return zlib.decompress(body)  # zlib-wrapped (RFC-correct)
+            except zlib.error:
+                return zlib.decompress(body, wbits=-zlib.MAX_WBITS)  # raw
+    except zlib.error:
+        return body
+    return body
+
+
 def _strip_http_envelope(payload: bytes) -> bytes:
     """response records carry the full HTTP message; the page bytes start
-    after the first blank line."""
-    if payload[:5] in (b"HTTP/", b"http/"):
-        cut = payload.find(_CRLF2)
-        if cut >= 0:
-            return payload[cut + 4 :]
+    after the first blank line. Transfer-Encoding: chunked is de-chunked
+    and Content-Encoding: gzip/deflate decompressed (the crawler stores
+    wire bytes; a compressed body passed through as 'html' would dispatch
+    as binary junk)."""
+    if payload[:5] not in (b"HTTP/", b"http/"):
+        return payload
+    cut = payload.find(_CRLF2)
+    if cut >= 0:
+        head, body = payload[:cut], payload[cut + 4 :]
+    else:
         cut = payload.find(b"\n\n")
-        if cut >= 0:
-            return payload[cut + 2 :]
-    return payload
+        if cut < 0:
+            return payload
+        head, body = payload[:cut], payload[cut + 2 :]
+    headers = {}
+    for line in head.splitlines()[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+    return _decode_http_body(body, headers)
 
 
 def parse_warc(blob: bytes):
@@ -159,16 +213,45 @@ def read_warc_pages(spark, path: str):
     return files.mapInPandas(_warc_pages_gen, schema=PAGES_SCHEMA)
 
 
-def write_warc(records, *, per_record_gzip: bool = True, with_http: bool = True) -> bytes:
+def write_warc(
+    records,
+    *,
+    per_record_gzip: bool = True,
+    with_http: bool = True,
+    body_encoding: str | None = None,
+    chunked: bool = False,
+) -> bytes:
     """records of (url, warc_ts, html_bytes) -> deterministic WARC bytes
-    (fixed gzip mtime so tests are byte-stable)."""
+    (fixed gzip mtime so tests are byte-stable). ``body_encoding='gzip'``
+    compresses each HTTP body (Content-Encoding header set); ``chunked``
+    wraps the (possibly compressed) body in Transfer-Encoding chunking —
+    both wire shapes real crawls store verbatim."""
     out = bytearray()
     for i, (url, ts, html) in enumerate(records):
         if with_http:
+            body = html
+            extra = b""
+            if body_encoding == "gzip":
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(body)
+                body = buf.getvalue()
+                extra += b"Content-Encoding: gzip\r\n"
+            if chunked:
+                mid = max(len(body) // 2, 1)
+                chunks = [body[:mid], body[mid:]] if body else []
+                body = (
+                    b"".join(
+                        b"%x\r\n" % len(c) + c + b"\r\n" for c in chunks if c
+                    )
+                    + b"0\r\n\r\n"
+                )
+                extra += b"Transfer-Encoding: chunked\r\n"
             payload = (
                 b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                + b"Content-Length: %d\r\n\r\n" % len(html)
-                + html
+                + extra
+                + b"Content-Length: %d\r\n\r\n" % len(body)
+                + body
             )
         else:
             payload = html
