@@ -70,9 +70,12 @@ def run_extract_job(
     # previous run died in between, and its urls would be re-extracted (the
     # anti-join only sees lineage) producing duplicates in the output table.
     # Single-writer assumption (Iceberg-style): roll orphans back at start.
+    # (compaction commits — entries with "replaces" — are maintenance
+    # rewrites of already-lineage-covered rows, not extraction transactions:
+    # rolling one back after its sources were expired would lose data)
     lin_ids = {s["commit_id"] for s in lin_tbl.snapshots}
     for snap in out_tbl.snapshots:
-        if snap["commit_id"] not in lin_ids:
+        if snap["commit_id"] not in lin_ids and not snap.get("replaces"):
             out_tbl.rollback(snap["commit_id"])
 
     lineage = lin_tbl.read(spark)

@@ -75,11 +75,70 @@ class ManifestTable:
             [s for s in self._load_manifest() if s["commit_id"] != commit_id]
         )
 
-    def read(self, spark):
-        manifest = self._load_manifest()
-        if not manifest:
+    def _visible(self, manifest: list[dict], as_of: int | None = None) -> list[dict]:
+        """Snapshot resolution: entries replaced by a later compaction are
+        hidden; ``as_of`` restricts to the view as of that commit id (the
+        replacing entry falls outside the window, so the originals show)."""
+        if as_of is not None:
+            manifest = [s for s in manifest if s["commit_id"] <= as_of]
+        replaced: set[int] = set()
+        for s in manifest:
+            replaced.update(s.get("replaces", []))
+        return [s for s in manifest if s["commit_id"] not in replaced]
+
+    def read(self, spark, as_of: int | None = None):
+        """Current view, or the historical snapshot ``as_of`` a commit id
+        (Iceberg time travel: VERSION AS OF). Returns None for an empty
+        view."""
+        vis = self._visible(self._load_manifest(), as_of)
+        if not vis:
             return None
-        return spark.read.parquet(*[s["path"] for s in manifest])
+        return spark.read.parquet(*[s["path"] for s in vis])
+
+    def compact(self, spark, target_partitions: int = 1) -> int | None:
+        """Rewrite the current view as ONE new commit (Iceberg
+        rewrite_data_files): at crawl scale a commit-per-micro-batch table
+        accumulates millions of small files and every read pays the
+        listing + open cost; compaction folds them into ``target_partitions``
+        files. History is preserved — the replaced commits stay in the
+        manifest (hidden from the current view, still served by
+        ``read(as_of=...)``) until ``expire()``. Returns the new commit id,
+        or None when there is nothing to fold."""
+        manifest = self._load_manifest()
+        vis = self._visible(manifest)
+        if len(vis) <= 1:
+            return None
+        cid = self.next_commit_id()
+        df = spark.read.parquet(*[s["path"] for s in vis])
+        path = os.path.join(self.data_dir, f"commit={cid}")
+        df.coalesce(target_partitions).write.mode("overwrite").parquet(path)
+        manifest.append(
+            {
+                "commit_id": cid,
+                "path": path,
+                "ts": time.time(),
+                "replaces": sorted(s["commit_id"] for s in vis),
+            }
+        )
+        self._save_manifest(manifest)
+        return cid
+
+    def expire(self) -> list[int]:
+        """Iceberg expire_snapshots: physically delete every data directory
+        hidden from the CURRENT view and drop its manifest entry. Trades
+        time travel (reads as_of < the compaction) for storage — the
+        maintenance companion to ``compact``. Returns the expired ids."""
+        import shutil
+
+        manifest = self._load_manifest()
+        visible = {s["commit_id"] for s in self._visible(manifest)}
+        expired = [s for s in manifest if s["commit_id"] not in visible]
+        # manifest first: a crash between the two steps leaves orphan
+        # directories (harmless, never read) rather than dangling entries
+        self._save_manifest([s for s in manifest if s["commit_id"] in visible])
+        for s in expired:
+            shutil.rmtree(s["path"], ignore_errors=True)
+        return sorted(s["commit_id"] for s in expired)
 
     def exists(self) -> bool:
         return bool(self._load_manifest())

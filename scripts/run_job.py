@@ -32,14 +32,34 @@ def main():
     ap.add_argument("--salt-partitions", type=int, default=None)
     ap.add_argument("--decode", choices=["greedy", "beam"], default="greedy")
     ap.add_argument("--cpus", type=int, default=None, help="local-mode cores")
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="maintenance mode: fold the extracted table's commits into one "
+        "(time travel preserved) and expire the replaced snapshots",
+    )
+    ap.add_argument(
+        "--compact-partitions",
+        type=int,
+        default=8,
+        help="output file count for --compact",
+    )
     args = ap.parse_args()
 
     from ocr_spark.plans.pipeline import run_extract_job
     from ocr_spark.plans.session import get_spark
+    from ocr_spark.sources.catalog import ManifestTable
     from ocr_spark.sources.pages import pages_df
 
     spark = get_spark("ocr_spark_job", cpus=args.cpus)
     try:
+        if args.compact:
+            for name in ("extracted", "lineage"):
+                tbl = ManifestTable(os.path.join(args.output, name))
+                cid = tbl.compact(spark, target_partitions=args.compact_partitions)
+                expired = tbl.expire() if cid is not None else []
+                print(f"compacted {name}: commit={cid} expired={expired}")
+            return
         if args.synth_sf:
             pages = pages_df(spark, args.synth_sf)
         elif args.warc:

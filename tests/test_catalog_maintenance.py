@@ -1,0 +1,142 @@
+"""ManifestTable time travel, compaction, snapshot expiry, and their
+interaction with the resumable extraction job (Iceberg maintenance analog:
+at 10^12 docs a commit-per-batch table accumulates millions of small files
+— compaction + expiry is what keeps reads O(view), not O(history))."""
+
+import glob
+import os
+
+import pytest
+
+from ocr_spark.sources.catalog import ManifestTable
+
+
+def _mk(spark, tmp_path, n_commits=3, rows_per=4):
+    tbl = ManifestTable(str(tmp_path / "tbl"))
+    for c in range(n_commits):
+        df = spark.createDataFrame(
+            [(c * 100 + i, f"v{c}_{i}") for i in range(rows_per)], "id long, v string"
+        )
+        tbl.append(df, c)
+    return tbl
+
+
+def _ids(spark, df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_time_travel_as_of(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    assert len(_ids(spark, tbl.read(spark))) == 12
+    assert _ids(spark, tbl.read(spark, as_of=0)) == [0, 1, 2, 3]
+    assert len(_ids(spark, tbl.read(spark, as_of=1))) == 8
+    assert tbl.read(spark, as_of=-1) is None
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    before = _ids(spark, tbl.read(spark))
+    files_before = glob.glob(f"{tbl.data_dir}/commit=*/*.parquet")
+    cid = tbl.compact(spark, target_partitions=1)
+    assert cid == 3
+    after = _ids(spark, tbl.read(spark))
+    assert after == before
+    # current view is served by exactly one data file
+    vis = tbl._visible(tbl.snapshots)
+    assert len(vis) == 1 and vis[0]["commit_id"] == 3
+    files_now = glob.glob(f"{vis[0]['path']}/*.parquet")
+    assert len(files_now) == 1 < len(files_before)
+
+
+def test_compact_keeps_time_travel_until_expire(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.compact(spark)
+    # pre-compaction snapshots still readable (replacing entry is outside
+    # the as_of window, so the originals resolve)
+    assert _ids(spark, tbl.read(spark, as_of=0)) == [0, 1, 2, 3]
+    assert len(_ids(spark, tbl.read(spark, as_of=2))) == 12
+    expired = tbl.expire()
+    assert expired == [0, 1, 2]
+    # current view intact; history gone (both manifest and directories)
+    assert len(_ids(spark, tbl.read(spark))) == 12
+    assert tbl.read(spark, as_of=0) is None
+    assert not os.path.isdir(os.path.join(tbl.data_dir, "commit=0"))
+
+
+def test_compact_noop_on_single_commit(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "tbl"))
+    tbl.append(spark.createDataFrame([(1, "a")], "id long, v string"), 0)
+    assert tbl.compact(spark) is None
+    assert tbl.expire() == []
+    assert _ids(spark, tbl.read(spark)) == [1]
+
+
+def test_double_compact_folds_again(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.compact(spark)
+    tbl.append(
+        spark.createDataFrame([(999, "late")], "id long, v string"), 4
+    )
+    cid = tbl.compact(spark)
+    assert cid == 5
+    assert len(_ids(spark, tbl.read(spark))) == 13
+    vis = tbl._visible(tbl.snapshots)
+    assert [s["commit_id"] for s in vis] == [5]
+
+
+def test_job_resume_survives_compaction(spark, tmp_path):
+    """compact+expire BOTH tables, then re-run the job: the anti-join must
+    still see every done url (zero re-extraction), and the output must
+    stay golden."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.pipeline import run_extract_job
+    from ocr_spark.sources.pages import pages_df
+
+    out_root = str(tmp_path / "wh")
+    pages = pages_df(spark, "/root/testdata/sf0.001")
+    # two real commits: first half by hash, then the rest
+    first = pages.where(F.crc32("url") % 2 == 0)
+    c0, m0 = run_extract_job(spark, first, out_root)
+    c1, m1 = run_extract_job(spark, pages, out_root)
+    assert m0["docs"] + m1["docs"] == 500
+
+    for name in ("extracted", "lineage"):
+        tbl = ManifestTable(f"{out_root}/{name}")
+        cid = tbl.compact(spark, target_partitions=2)
+        assert cid is not None
+        tbl.expire()
+
+    c2, m2 = run_extract_job(spark, pages, out_root)
+    assert m2["docs"] == 0  # nothing re-extracted
+    exp = pages_df(spark, "/root/testdata/sf0.001", with_expected=True).select(
+        "url", "expected_text"
+    )
+    j = ManifestTable(f"{out_root}/extracted").read(spark).join(exp, "url")
+    assert j.count() == 500
+    assert j.filter(F.col("text") == F.col("expected_text")).count() == 500
+
+
+def test_reconciliation_never_rolls_back_compaction(spark, tmp_path):
+    """Crash window: extracted was compacted+expired but lineage was NOT
+    yet compacted. The start-of-job reconciliation must not roll back the
+    compaction entry (its id is missing from lineage ids by construction)
+    — doing so after expiry would silently lose every row."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.pipeline import run_extract_job
+    from ocr_spark.sources.pages import pages_df
+
+    out_root = str(tmp_path / "wh")
+    pages = pages_df(spark, "/root/testdata/sf0.001")
+    run_extract_job(spark, pages.where(F.crc32("url") % 2 == 0), out_root)
+    run_extract_job(spark, pages, out_root)
+
+    out_tbl = ManifestTable(f"{out_root}/extracted")
+    out_tbl.compact(spark)
+    out_tbl.expire()
+    # lineage untouched: simulates dying between the two maintenance steps
+
+    _, m = run_extract_job(spark, pages, out_root)
+    assert m["docs"] == 0
+    assert out_tbl.read(spark).count() == 500
