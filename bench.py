@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "repetition",
     "bpe_tokens",
     "url_canon",
+    "line_dedup",
+    "charset_sniff",
 ]
 
 

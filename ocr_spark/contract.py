@@ -172,6 +172,24 @@ def q_dedup_exact(spark, sf):  # dedup: exact (hash-groupBy)
     return dedup_ops.exact_duplicates(_t(spark, sf, "documents"))
 
 
+def q_line_dedup(spark, sf):  # CCNet/RefinedWeb cross-doc line boilerplate
+    """Documents enriched with deterministic boilerplate lines (a nav line
+    on every doc, one of two share/footer lines by parity) -> lines whose
+    normalized form spans >= 3 docs are dropped everywhere, text
+    reassembled in order."""
+    d = _t(spark, sf, "documents")
+    shared = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("Share this page on social media")
+    ).otherwise(F.lit("Copyright Example Site. All rights reserved."))
+    enriched = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit("Home | About | Contact"), F.col("text"), shared
+        ).alias("text"),
+    )
+    return dedup_ops.line_boilerplate_dedup(enriched, min_df=3)
+
+
 def q_fingerprint(spark, sf):  # fingerprinting (md5 of normalized text)
     return ta.fingerprint(_t(spark, sf, "documents"))
 
@@ -678,6 +696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "levenshtein": q_levenshtein,
     "group_concat": q_group_concat,
     "dedup_exact": q_dedup_exact,
+    "line_dedup": q_line_dedup,
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -823,6 +842,37 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_docs,
                min(doc_id) AS canonical_doc_id
         FROM documents GROUP BY 1
+    """,
+    "line_dedup": """
+        WITH enriched AS (
+            SELECT doc_id,
+                   'Home | About | Contact' || chr(10) || text || chr(10) ||
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'Share this page on social media'
+                        ELSE 'Copyright Example Site. All rights reserved.'
+                   END AS text
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS pos
+            FROM enriched
+        ),
+        normed AS (
+            SELECT doc_id, pos, line, trim(lower(line)) AS norm FROM lines
+        ),
+        boiler AS (
+            SELECT norm FROM normed WHERE len(norm) > 0
+            GROUP BY norm HAVING count(DISTINCT doc_id) >= 3
+        )
+        SELECT n.doc_id,
+               coalesce(string_agg(CASE WHEN b.norm IS NULL THEN n.line END,
+                                   chr(10) ORDER BY n.pos), '') AS clean_text,
+               CAST(count(*) FILTER (WHERE b.norm IS NULL) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (WHERE b.norm IS NOT NULL) AS BIGINT) AS n_removed
+        FROM normed n LEFT JOIN boiler b USING (norm)
+        GROUP BY n.doc_id
     """,
     "fingerprint": f"""
         SELECT doc_id, md5({_NORM_TEXT}) AS fp,

@@ -406,3 +406,74 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
         f"dedup_clusters did not converge in {max_iters} rounds — "
         "component diameter too large; raise max_iters"
     )
+
+
+def line_boilerplate_dedup(
+    docs: DataFrame,
+    *,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document LINE dedup (the CCNet/RefinedWeb boilerplate pass):
+    a line whose normalized form appears in >= ``min_df`` distinct
+    documents is boilerplate (cookie banners, nav footers, share bars) and
+    is dropped from every document; remaining lines reassemble in their
+    original order.
+
+    Plan shape at 100 TB: posexplode -> one groupBy on the normalized
+    line (map-side partial agg; the distinct-doc count uses the
+    (norm, doc_id) pre-aggregate so no count-distinct shuffle of raw
+    postings) -> left_anti join of lines against the high-df tail -> one
+    groupBy(doc) reassembly. The df table is Zipf-headed, but the join key
+    carries only lines ALREADY reduced to distinct norms, and the anti
+    join's build side is the (small) boilerplate tail — the same
+    hot-head/broadcast stance as ngram_jaccard_pairs.
+
+    Output: (doc_id, clean_text, n_kept, n_removed) — empty/whitespace
+    lines are never counted as boilerplate and are always kept.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.lower(F.col("line"))))
+
+    # distinct-per-doc first (map-side combine), then the df count — two
+    # partial-agg friendly groupBys instead of one countDistinct shuffle
+    dfreq = (
+        lines.where(F.length("norm") > 0)
+        .select("norm", "doc_id")
+        .distinct()
+        .groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    boiler = F.broadcast(
+        dfreq.where(F.col("df") >= F.lit(min_df))
+        .select("norm")
+        .withColumn("_boiler", F.lit(True))
+    )
+
+    # left join + flag (not left_anti): a document whose EVERY line is
+    # boilerplate must still emit a row (empty clean_text), and the
+    # removed-count needs the dropped lines
+    kept = lines.join(boiler, "norm", "left").withColumn(
+        "keep", F.col("_boiler").isNull()
+    )
+
+    # collect_list skips the NULL structs of dropped lines; array_sort on
+    # (pos, line) structs restores document order before the join
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        F.sum((~F.col("keep")).cast("int")).cast("long").alias("n_removed"),
+    )

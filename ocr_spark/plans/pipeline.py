@@ -31,21 +31,75 @@ from ..sources.lineage import lineage_of, pending_pages
 
 SALT = 0x5CA1AB1E
 
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/]+)"
+
+
+def selective_salt(
+    pages: DataFrame,
+    salt_partitions: int,
+    *,
+    factor: float = 1.0,
+    max_hot_hosts: int = 64,
+) -> DataFrame:
+    """Two-pass SELECTIVE skew mitigation: shuffle only mega-host rows.
+
+    A blanket ``repartition`` moves every byte of the corpus; at 100 TB
+    that is the single largest exchange in the job, paid even when 99% of
+    hosts are already well-spread. Instead: a cheap counting pass over the
+    url column (parquet column pruning makes this a url-only scan) finds
+    hosts whose row count alone would overflow one partition slot
+    (count > factor * total / salt_partitions, capped at the
+    ``max_hot_hosts`` largest); only THOSE rows are hash-salted across
+    ``salt_partitions``, the cold tail keeps its scan partitioning and
+    flows scan -> extract with no exchange at all.
+
+    The standard two-job skew pattern: the per-host counts are
+    localCheckpoint()ed so the scan+groupBy runs once, then two tiny jobs
+    (total, hot list) run against the checkpoint.
+    """
+    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
+    counts = (
+        pages.select(host.alias("host")).groupBy("host").count().localCheckpoint()
+    )
+    total = counts.agg(F.sum("count")).first()[0] or 0
+    if not total:
+        return pages
+    threshold = factor * total / salt_partitions
+    hot = [
+        r["host"]
+        for r in counts.where(F.col("count") > threshold)
+        .orderBy(F.desc("count"), "host")
+        .limit(max_hot_hosts)
+        .collect()
+    ]
+    if not hot:
+        return pages
+    is_hot = host.isin(hot)
+    salted = pages.where(is_hot).repartition(
+        salt_partitions, F.xxhash64(F.col("url"), F.lit(SALT))
+    )
+    return salted.unionByName(pages.where(~is_hot))
+
 
 def extract_plan(
     pages: DataFrame,
     *,
     lineage: DataFrame | None = None,
     salt_partitions: int | None = None,
+    salt_mode: str = "all",
     decode_method: str = "greedy",
 ) -> DataFrame:
     """Build the (lazy) extraction DataFrame: resume filter + salted
-    repartition + single-pass extraction."""
+    repartition + single-pass extraction. ``salt_mode='selective'``
+    shuffles only detected mega-host rows (see selective_salt)."""
     pending = pending_pages(pages, lineage)
     if salt_partitions:
-        pending = pending.repartition(
-            salt_partitions, F.xxhash64(F.col("url"), F.lit(SALT))
-        )
+        if salt_mode == "selective":
+            pending = selective_salt(pending, salt_partitions)
+        else:
+            pending = pending.repartition(
+                salt_partitions, F.xxhash64(F.col("url"), F.lit(SALT))
+            )
     return extract_pages(pending, decode_method=decode_method)
 
 
@@ -55,6 +109,7 @@ def run_extract_job(
     out_root: str,
     *,
     salt_partitions: int | None = None,
+    salt_mode: str = "all",
     decode_method: str = "greedy",
 ):
     """Execute one commit: extract pending pages, append output + lineage.
@@ -83,6 +138,7 @@ def run_extract_job(
         pages,
         lineage=lineage,
         salt_partitions=salt_partitions,
+        salt_mode=salt_mode,
         decode_method=decode_method,
     )
 

@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--synth-sf", help="synthesize pages from this sf dir instead")
     ap.add_argument("--output", required=True, help="warehouse root for commits")
     ap.add_argument("--salt-partitions", type=int, default=None)
+    ap.add_argument(
+        "--salt-mode",
+        choices=["all", "selective"],
+        default="all",
+        help="'selective' shuffles only detected mega-host rows (two-pass "
+        "skew pattern); 'all' repartitions the whole input",
+    )
     ap.add_argument("--decode", choices=["greedy", "beam"], default="greedy")
     ap.add_argument("--cpus", type=int, default=None, help="local-mode cores")
     ap.add_argument(
@@ -76,6 +83,7 @@ def main():
             pages,
             args.output,
             salt_partitions=args.salt_partitions,
+            salt_mode=args.salt_mode,
             decode_method=args.decode,
         )
         print(f"commit={commit_id} metrics={metrics}")
