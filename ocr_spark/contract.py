@@ -450,6 +450,37 @@ def q_flagship_extract(spark, sf):
     )
 
 
+def q_host_stats(spark, sf):  # per-host crawl rollup (politeness/skew audit)
+    """The audit table a crawl operator reads before picking salt targets:
+    per host, doc counts and payload-kind mix. The Spark side parses urls
+    and sniffs REAL page bytes (magic numbers); the oracle re-derives the
+    same facts from the corpus construction arithmetic (doc_id residues) —
+    two independent derivations that must agree row-for-row."""
+    from .plans.pipeline import _HOST_RE
+
+    pages = pages_df(spark, sf)
+    is_pdf = F.expr("substring(html, 1, 5) = X'255044462D'")  # %PDF-
+    is_img = F.expr(
+        "substring(html, 1, 4) = X'89504E47' OR substring(html, 1, 2) = X'FFD8'"
+    )
+    is_payload = F.expr("substring(html, 1, 12) = X'254F43525041594C4F414425'")
+    return (
+        pages.select(
+            F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+            is_pdf.cast("int").alias("pdf"),
+            is_img.cast("int").alias("img"),
+            is_payload.cast("int").alias("pay"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pdf").cast("long").alias("n_pdf"),
+            F.sum("img").cast("long").alias("n_image"),
+            F.sum("pay").cast("long").alias("n_payload"),
+        )
+    )
+
+
 def q_charset_sniff(spark, sf):  # BOM/meta charset detection over pages
     """Per-page charset report (kernels/encoding.py): the corpus carries
     windows-1252+meta and UTF-16-LE+BOM HTML flavors, so every sniff
@@ -715,6 +746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_dup_pairs": q_embed_dup_pairs,
     "revenue_topk": q_revenue_topk,
     "supplier_geo": q_supplier_geo,
+    "host_stats": q_host_stats,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -841,6 +873,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT md5({_NORM_TEXT}) AS fp,
                CAST(count(*) AS BIGINT) AS n_docs,
                min(doc_id) AS canonical_doc_id
+        FROM documents GROUP BY 1
+    """,
+    "host_stats": """
+        SELECT CASE WHEN doc_id % 10 < 3 THEN 'host0.example'
+                    ELSE 'host' || CAST(1 + doc_id % 37 AS VARCHAR) || '.example'
+               END AS host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE doc_id % 20 = 5) AS BIGINT) AS n_pdf,
+               CAST(count(*) FILTER (WHERE doc_id % 20 = 8) AS BIGINT) AS n_image,
+               CAST(count(*) FILTER (WHERE doc_id % 20 = 0) AS BIGINT) AS n_payload
         FROM documents GROUP BY 1
     """,
     "line_dedup": """
