@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "url_canon",
     "line_dedup",
     "charset_sniff",
+    "c4_clean",
+    "pii_redact",
+    "ngram_spans",
+    "hash_embed",
+    "bigram_lm",
 ]
 
 

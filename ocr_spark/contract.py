@@ -253,6 +253,94 @@ def q_bpe_tokens(spark, sf):  # F11: distributed-count BPE train + encode
     return bpe_encode_table(docs, ranks)
 
 
+def q_c4_clean(spark, sf):  # C4-style line/page cleaning (Raffel et al. 2020)
+    """Deterministically messied pages (6 synthesized lines per doc: good
+    sentences, an unterminated line, a javascript notice, and residue-gated
+    short / brace / lorem-ipsum lines) -> C4 line+page filters."""
+    from .operators.corpus_filters import c4_line_clean
+
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    k = F.col("doc_id")
+    l1 = F.concat(F.substring(t, 1, 60), F.lit("."))
+    l2 = F.substring(t, 61, 40)
+    l3 = F.concat(
+        F.lit("please enable javascript to view "), F.substring(t, 1, 12), F.lit(".")
+    )
+    l4 = F.when(k % 5 == 0, F.lit("too short.")).otherwise(
+        F.concat(F.substring(t, 101, 50), F.lit("!"))
+    )
+    l5 = F.when(k % 7 == 0, F.lit("uses { braces } badly.")).otherwise(
+        F.concat(F.substring(t, 151, 45), F.lit("?"))
+    )
+    l6 = F.when(k % 11 == 0, F.lit("standard lorem ipsum filler text.")).otherwise(
+        F.concat(F.substring(t, 201, 30), F.lit("."))
+    )
+    messy = d.select("doc_id", F.concat_ws("\n", l1, l2, l3, l4, l5, l6).alias("text"))
+    return c4_line_clean(messy)
+
+
+def q_pii_redact(spark, sf):  # PII regex redaction with per-class counts
+    from .operators.corpus_filters import pii_redact
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    tail = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), (k % 50).cast("string"),
+                F.lit("@mail"), (k % 5).cast("string"), F.lit(".org now"),
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit(" call 415-555-"), F.lpad((k % 10000).cast("string"), 4, "0"),
+                F.lit(" or visit 192.168."), (k % 256).cast("string"),
+                F.lit("."), (k % 100).cast("string"),
+            ),
+        )
+        .otherwise(F.lit(" no pii in this one"))
+    )
+    messy = d.select("doc_id", F.concat(F.substring(F.col("text"), 1, 80), tail).alias("text"))
+    return pii_redact(messy).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "redacted_text"
+    )
+
+
+def q_ngram_spans(spark, sf):  # Lee et al. cross-doc duplicated n-grams
+    from .operators.corpus_filters import dup_ngram_spans
+
+    d = _t(spark, sf, "documents")
+    boiler = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit(" subscribe to our newsletter for daily updates today"),
+    ).otherwise(F.lit(""))
+    messy = d.select(
+        "doc_id", F.concat(F.substring(F.col("text"), 1, 200), boiler).alias("text")
+    )
+    return dup_ngram_spans(messy, n=5)
+
+
+def q_hash_embed(spark, sf):  # hashing-trick signed bag-of-words embedding
+    from .operators.corpus_filters import hash_embedding
+
+    d = _t(spark, sf, "documents")
+    return hash_embedding(
+        d.select("doc_id", F.substring(F.col("text"), 1, 300).alias("text")), dim=16
+    )
+
+
+def q_bigram_lm(spark, sf):  # char-bigram LM plausibility score
+    from .operators.corpus_filters import bigram_lm_score
+
+    d = _t(spark, sf, "documents")
+    return bigram_lm_score(
+        d.select("doc_id", F.substring(F.col("text"), 1, 300).alias("text"))
+    )
+
+
 def q_jaccard_pairs(spark, sf):  # near-dup: 3-gram-shingle Jaccard (exact, prefix-filtered)
     return dedup_ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
@@ -747,6 +835,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_topk": q_revenue_topk,
     "supplier_geo": q_supplier_geo,
     "host_stats": q_host_stats,
+    "c4_clean": q_c4_clean,
+    "pii_redact": q_pii_redact,
+    "ngram_spans": q_ngram_spans,
+    "hash_embed": q_hash_embed,
+    "bigram_lm": q_bigram_lm,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -1147,6 +1240,123 @@ ORACLE_SQL: dict[str, str] = {
                row_number() OVER (PARTITION BY url ORDER BY (x1 - x0) * (y1 - y0) DESC, box_id) AS area_rank,
                row_number() OVER (PARTITION BY url ORDER BY (x0 + x1) / 2 + (y0 + y1) / 2 ASC, box_id) AS center_rank
         FROM b
+    """,
+    # corpus filters: same deterministic messy-input synthesis as the Spark
+    # queries, independent list-lambda/RE2 derivations of the operators
+    "c4_clean": r"""
+        WITH messy AS (SELECT doc_id,
+               substr(text, 1, 60) || '.' AS l1,
+               substr(text, 61, 40) AS l2,
+               'please enable javascript to view ' || substr(text, 1, 12) || '.' AS l3,
+               CASE WHEN doc_id % 5 = 0 THEN 'too short.'
+                    ELSE substr(text, 101, 50) || '!' END AS l4,
+               CASE WHEN doc_id % 7 = 0 THEN 'uses { braces } badly.'
+                    ELSE substr(text, 151, 45) || '?' END AS l5,
+               CASE WHEN doc_id % 11 = 0 THEN 'standard lorem ipsum filler text.'
+                    ELSE substr(text, 201, 30) || '.' END AS l6
+             FROM documents),
+        pages AS (SELECT doc_id,
+               l1 || chr(10) || l2 || chr(10) || l3 || chr(10) || l4
+                  || chr(10) || l5 || chr(10) || l6 AS text FROM messy),
+        lined AS (SELECT doc_id, text,
+               list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lines FROM pages),
+        kept AS (SELECT doc_id, text, lines,
+               list_filter(lines, ln -> regexp_matches(ln, '[.!?"]$')
+                   AND len(list_filter(string_split_regex(ln, '\s+'), w -> w <> '')) >= 3
+                   AND NOT contains(lower(ln), 'javascript')) AS k FROM lined)
+        SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(k) AS INT) AS n_kept,
+               list_aggregate(k, 'string_agg', chr(10)) AS clean_text
+        FROM kept
+        WHERE NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{') AND len(k) >= 3
+    """,
+    "pii_redact": r"""
+        WITH messy AS (SELECT doc_id, substr(text, 1, 80) ||
+               CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id % 50 AS VARCHAR)
+                        || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.org now'
+                    WHEN doc_id % 3 = 1 THEN ' call 415-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' or visit 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST(doc_id % 100 AS VARCHAR)
+                    ELSE ' no pii in this one' END AS text FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+          CAST(len(regexp_extract_all(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+          regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted_text
+        FROM messy
+    """,
+    "ngram_spans": r"""
+        WITH messy AS (SELECT doc_id, substr(text, 1, 200) ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' subscribe to our newsletter for daily updates today'
+                    ELSE '' END AS text FROM documents),
+        toks AS (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS t
+             FROM messy),
+        grams AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+               THEN list_transform(range(1, len(t) - 3),
+                    i -> list_aggregate(t[CAST(i AS INT):CAST(i AS INT) + 4],
+                                        'string_agg', ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM toks),
+        per_doc AS (SELECT doc_id, ngram, CAST(count(*) AS BIGINT) AS n_occ
+             FROM grams GROUP BY 1, 2),
+        flagged AS (SELECT doc_id, n_occ,
+               count(*) OVER (PARTITION BY ngram) AS doc_freq FROM per_doc)
+        SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_ngrams,
+               CAST(sum(CASE WHEN doc_freq > 1 THEN n_occ ELSE 0 END) AS BIGINT) AS n_dup,
+               round(sum(CASE WHEN doc_freq > 1 THEN n_occ ELSE 0 END) / sum(n_occ), 4)
+                   AS dup_ratio
+        FROM flagged GROUP BY doc_id
+    """,
+    "hash_embed": r"""
+        WITH toks AS (SELECT doc_id,
+               list_filter(string_split_regex(trim(substr(text, 1, 300)), '\s+'),
+                           w -> w <> '') AS t FROM documents),
+        h AS (SELECT doc_id, len(t) AS n_tokens,
+               list_transform(t, w -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007)) AS hs FROM toks)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               list_aggregate(list_transform(range(0, 16),
+                   b -> CAST(coalesce(list_sum(list_transform(hs,
+                        x -> CASE WHEN x % 16 = b
+                                  THEN (CASE WHEN x % 32 < 16 THEN 1 ELSE -1 END)
+                                  ELSE 0 END)), 0) AS VARCHAR)),
+                   'string_agg', ',') AS emb_csv
+        FROM h
+    """,
+    "bigram_lm": r"""
+        WITH toks AS (SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(substr(text, 1, 300))), '\s+'),
+                           w -> w <> '') AS t FROM documents),
+        per AS (SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(t,
+                    w -> CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END)), 0)
+                    AS BIGINT) AS n_bigrams,
+               CAST(coalesce(list_sum(list_transform(t,
+                    w -> len(list_filter(
+                        list_transform(range(1, len(w)), i -> substr(w, CAST(i AS INT), 2)),
+                        b -> list_contains(['th','he','in','er','an','re','on','at','en',
+                                            'nd','ti','es','or','te','of','ed','is','it',
+                                            'al','ar','st','to','nt','ng','se','ha','as',
+                                            'ou','io','le'], b))))), 0)
+                    AS BIGINT) AS n_known
+             FROM toks)
+        SELECT doc_id, n_bigrams, n_known,
+               CASE WHEN n_bigrams > 0 THEN round(n_known / n_bigrams, 4) END
+                   AS bigram_score
+        FROM per
     """,
 }
 

@@ -1,0 +1,291 @@
+"""Corpus-filter operators for LLM training-data pipelines.
+
+Five first-class operators a 100 TB web corpus needs beyond dedup:
+
+- :func:`c4_line_clean` — C4-style line cleaning (Raffel et al. 2020 §2.2):
+  keep lines ending in terminal punctuation with >= min_words words and no
+  "javascript"; drop whole pages containing "lorem ipsum" or "{" or with
+  fewer than min_lines surviving lines.
+- :func:`pii_redact` — regex redaction of emails / phone numbers / IPv4
+  addresses with per-class counts (RefinedWeb/Dolma-style PII pass).
+- :func:`dup_ngram_spans` — cross-document duplicated word-n-gram detection
+  (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+  Better"): per-doc count of n-grams whose corpus-wide document frequency
+  exceeds 1.
+- :func:`hash_embedding` — deterministic signed feature-hash embedding
+  (hashing-trick bag-of-words, Weinberger et al. 2009) with a portable
+  polynomial token hash, entirely shuffle-free.
+- :func:`bigram_lm_score` — character-bigram language-model plausibility
+  score against a fixed common-English bigram table (cheap fluency gate,
+  CCNet-style quality signal without model weights).
+
+Scale notes (the part that matters at 100 TB):
+
+- c4/pii/hash/bigram are PER-ROW Column programs: zero exchanges, fully
+  whole-stage-codegen'd, filters still push down past them. A 1000-executor
+  run is embarrassingly parallel.
+- dup_ngram_spans is the only shuffling operator: posexplode (narrow) ->
+  ONE hash exchange on the n-gram key for a window count, then a groupBy
+  that AQE coalesces. Boilerplate n-grams are hot keys on the *probe* rows
+  of the same exchange; the per-key state is a single counter (no buffering
+  of rows), so skew degrades network balance, not memory. For mega-hot
+  boilerplate use the two-level partial-agg + broadcast-tail pattern of
+  ``dedup.line_boilerplate_dedup``.
+
+Everything is expressible in ANSI-ish SQL, so each operator has a hard
+DuckDB oracle in ``contract.ORACLE_SQL`` (independent derivation, not a
+fixture).
+
+Reference analogs: the cleaners pipeline
+(/root/reference/utils/text/cleaners.py:83-269) and the emission-filter
+quality gates (/root/reference/models/ocr/base_ocr.py:679-725); the
+corpus-level passes themselves follow the published C4 / Lee-et-al /
+hashing-trick recipes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+#: modulus / multiplier of the portable polynomial token hash. Chosen so the
+#: same fold is exact in any engine with 64-bit integers (31-base poly mod a
+#: prime < 2^30, so acc*31 + 127 < 2^35 never overflows).
+POLY_MOD = 1_000_000_007
+POLY_MULT = 31
+
+#: 30 most common English character bigrams (public frequency tables);
+#: the "LM" of bigram_lm_score.
+COMMON_BIGRAMS = (
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+)
+
+
+def _tokens(text: Column) -> Column:
+    """Whitespace-run tokens with empties removed (matches token_count)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
+
+
+def _poly_hash(token: Column) -> Column:
+    """Portable polynomial hash: fold acc*31 + ascii(ch) mod 1e9+7 over the
+    characters, acc0 = 0. DuckDB mirror:
+    ``list_reduce(list_prepend(0, list_transform(split(w,''), c -> ascii(c))),
+    (a, b) -> (a * 31 + b) % 1000000007)``."""
+    chars = F.filter(F.split(token, ""), lambda c: c != "")
+    codes = F.transform(chars, F.ascii)
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * POLY_MULT + x.cast("long")) % POLY_MOD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. C4-style line cleaning
+# ---------------------------------------------------------------------------
+
+def c4_line_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2), line rules then page rules.
+
+    Line kept iff it ends in ``. ! ? "`` after trim, has >= min_words
+    whitespace words, and does not contain "javascript" (case-insensitive).
+    Page kept iff its lowercased text contains neither "lorem ipsum" nor
+    "{" and >= min_lines lines survive. (C4 proper uses 5 sentences; the
+    threshold is a parameter here.)
+
+    Pure per-row Column program — no shuffle, no Python.
+    """
+    t = F.col(text_col)
+    # NB: lambda wrapper is load-bearing — F.trim has an optional 2nd param
+    # (trimStr), so passing it bare makes transform() feed it the element
+    # INDEX as the trim string
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != "")) >= min_words)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    out = df.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.lower(t).alias("_lt"),
+    )
+    return (
+        out.where(
+            ~F.col("_lt").contains("lorem ipsum")
+            & ~F.col("_lt").contains("{")
+            & (F.col("n_kept") >= min_lines)
+        )
+        .drop("_lt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (no lookaround) so the DuckDB oracle runs the SAME patterns.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails -> [EMAIL], phones -> [PHONE], IPv4 -> [IP], with
+    per-class match counts (counted BEFORE redaction; email first so an
+    address's host part is never re-matched as a phone/IP).
+
+    Per-row regexp Column program — no shuffle, no Python. At 100 TB this
+    runs inside the same codegen stage as the scan.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
+    red = F.regexp_replace(red, PHONE_RE, "[PHONE]")
+    red = F.regexp_replace(red, IPV4_RE, "[IP]")
+    return df.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)),
+            "n_phones": F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)),
+            "n_ips": F.size(
+                F.regexp_extract_all(F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), F.lit(IPV4_RE), 0)
+            ),
+            "redacted_text": red,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. duplicated n-gram spans (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def dup_ngram_spans(df: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+    """Per-doc count of word n-grams that occur in more than one document
+    corpus-wide (the detection half of exact-substring dedup, Lee et al.
+    2022; span *removal* composes with split_text downstream).
+
+    Plan: narrow posexplode of per-doc n-grams -> ONE exchange on
+    (ngram) for a two-level count (distinct docs per n-gram) -> groupBy
+    doc_id. n-gram *document* frequency (not occurrence count) is used so a
+    phrase repeated within a single page is not flagged as cross-doc
+    boilerplate.
+    """
+    toks = _tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select("doc_id", F.explode(grams).alias("ngram"))
+    # distinct docs per (doc, ngram) first: partial agg keeps the exchange
+    # carrying one row per (doc, ngram), not one per occurrence
+    per_doc = exploded.groupBy("doc_id", "ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    w = Window.partitionBy("ngram")
+    flagged = per_doc.withColumn("doc_freq", F.count(F.lit(1)).over(w))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("doc_freq") > 1, F.col("n_occ")).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_ngrams"), 4).alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. hash embeddings (hashing trick)
+# ---------------------------------------------------------------------------
+
+def hash_embedding(df: DataFrame, dim: int = 16, text_col: str = "text") -> DataFrame:
+    """Signed feature-hash bag-of-words embedding (Weinberger et al. 2009):
+    token -> h = poly_hash(token); bucket = h % dim; sign = +1 if
+    h % (2*dim) < dim else -1; emb[bucket] += sign.
+
+    Integer output (exact in any engine); emitted as a CSV string so the
+    value-hash compare is byte-stable. Entirely per-row: NO shuffle — the
+    per-bucket sums are computed by a transform over sequence(0, dim-1),
+    O(dim * n_tokens) JVM work, zero exchanges.
+    """
+    toks = _tokens(F.col(text_col))
+    hashes = F.transform(toks, _poly_hash)
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h % dim == b.cast("long"), F.when(h % (2 * dim) < dim, 1).otherwise(-1))
+            .otherwise(0)
+            .cast("long"),
+        ),
+    )
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_join(F.transform(emb, lambda v: v.cast("string")), ",").alias("emb_csv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. char-bigram LM score
+# ---------------------------------------------------------------------------
+
+def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fluency score = fraction of word-internal character bigrams found in
+    a fixed common-English bigram table. Per-row, shuffle-free; the bigram
+    table is a Column literal (no broadcast needed at any scale).
+    """
+    common = F.array(*[F.lit(b) for b in COMMON_BIGRAMS])
+    toks = _tokens(F.lower(F.col(text_col)))
+
+    def _bigrams(tok: Column) -> Column:
+        return F.when(
+            F.length(tok) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.length(tok) - 1),
+                lambda i: F.substring(tok, i, F.lit(2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    n_bigrams = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.size(_bigrams(t))
+    )
+    n_known = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.size(F.filter(_bigrams(t), lambda b: F.array_contains(common, b))),
+    )
+    return df.select(
+        "doc_id",
+        n_bigrams.alias("n_bigrams"),
+        n_known.alias("n_known"),
+        F.round(
+            F.when(n_bigrams > 0, n_known / n_bigrams), 4
+        ).alias("bigram_score"),
+    )

@@ -1,0 +1,128 @@
+"""Corpus-filter operators: unit semantics + DuckDB oracle parity at
+smoke scale (the same compare the driver runs at sf0.01)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from ocr_spark.operators import corpus_filters as cf
+from tests.conftest import SF_SMOKE
+
+NEW_QUERIES = ["c4_clean", "pii_redact", "ngram_spans", "hash_embed", "bigram_lm"]
+
+
+# ---------------------------------------------------------------------------
+# unit semantics
+# ---------------------------------------------------------------------------
+
+def test_c4_line_and_page_rules(spark):
+    df = spark.createDataFrame(
+        [
+            # 3 good lines + 1 unterminated + 1 short + 1 javascript
+            (0, "Good line with five words.\nno terminal punct here\n"
+                "too short.\nplease enable javascript now ok.\n"
+                "Another good line here!\nThird good line is here?"),
+            (1, "lorem ipsum dolor sit amet.\nGood line here one.\n"
+                "Good line here two.\nGood line here three."),   # page drop
+            (2, "var x = { a: 1 }.\nGood line here one.\n"
+                "Good line here two.\nGood line here three."),   # page drop
+            (3, "Only one good line here.\nsecond has no punct\nthird short."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cf.c4_line_clean(df).collect()}
+    assert set(rows) == {0}  # 1,2 page-dropped; 3 below min_lines
+    assert rows[0].n_lines == 6
+    assert rows[0].n_kept == 3
+    assert rows[0].clean_text.split("\n") == [
+        "Good line with five words.",
+        "Another good line here!",
+        "Third good line is here?",
+    ]
+
+
+def test_pii_redact_counts_and_text(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@sub.ex.org then call 415-555-0042 via 10.0.0.1 twice 10.0.0.2"),
+            (1, "nothing sensitive here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cf.pii_redact(df).collect()}
+    assert (rows[0].n_emails, rows[0].n_phones, rows[0].n_ips) == (1, 1, 2)
+    assert rows[0].redacted_text == "mail [EMAIL] then call [PHONE] via [IP] twice [IP]"
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (0, 0, 0)
+    assert rows[1].redacted_text == rows[1].text
+
+
+def test_dup_ngram_uses_document_frequency(spark):
+    # doc 2 repeats its own 5-gram twice but shares nothing cross-doc:
+    # within-doc repetition must NOT count as duplication (doc_freq == 1)
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon other words"),
+            (2, "p q r s t p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cf.dup_ngram_spans(df, n=5).collect()}
+    assert rows[0].n_ngrams == 2 and rows[0].n_dup == 1
+    assert rows[1].n_ngrams == 3 and rows[1].n_dup == 1
+    assert rows[2].n_ngrams == 6 and rows[2].n_dup == 0
+    assert rows[2].dup_ratio == 0.0
+
+
+def test_hash_embedding_matches_python_fold(spark):
+    def poly(w):
+        acc = 0
+        for ch in w:
+            acc = (acc * cf.POLY_MULT + ord(ch)) % cf.POLY_MOD
+        return acc
+
+    text = "spark scan merge spark"
+    df = spark.createDataFrame([(0, text), (1, "  ")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in cf.hash_embedding(df, dim=16).collect()}
+    expected = [0] * 16
+    for w in text.split():
+        h = poly(w)
+        expected[h % 16] += 1 if h % 32 < 16 else -1
+    assert rows[0].n_tokens == 4
+    assert rows[0].emb_csv == ",".join(str(v) for v in expected)
+    # blank doc: zero tokens, all-zero embedding (no NULL lanes)
+    assert rows[1].n_tokens == 0
+    assert rows[1].emb_csv == ",".join(["0"] * 16)
+
+
+def test_bigram_lm_known_and_unknown(spark):
+    df = spark.createDataFrame(
+        [(0, "THE the"), (1, "zzzz"), (2, "a a a")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in cf.bigram_lm_score(df).collect()}
+    # 'the' -> th, he (both in the table); case-folded
+    assert (rows[0].n_bigrams, rows[0].n_known, rows[0].bigram_score) == (4, 4, 1.0)
+    assert (rows[1].n_bigrams, rows[1].n_known, rows[1].bigram_score) == (3, 0, 0.0)
+    # single-char tokens yield no bigrams -> NULL score, not a crash
+    assert rows[2].n_bigrams == 0 and rows[2].bigram_score is None
+
+
+# ---------------------------------------------------------------------------
+# oracle parity at smoke scale (the driver's compare, run locally)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_oracle_parity_smoke(spark, name):
+    got = entry_mod.queries()[name](spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    exp = con.sql(entry_mod.oracle_sql()[name]).df()
+    assert sorted(got.columns) == sorted(exp.columns)
+    got = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
+    exp = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns)).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    for col in got.columns:
+        assert got[col].tolist() == exp[col].tolist(), f"{name}.{col} mismatch"

@@ -178,3 +178,23 @@ def test_partitioned_output_prunes_on_read(spark, tmp_path):
     # and the filter prunes: reading a nonexistent partition scans nothing
     none = spark.read.parquet(out).where("lang = 'xx'")
     assert none.count() == 0
+
+
+def test_corpus_filters_are_exchange_free(spark):
+    """c4/pii/hash-embed/bigram-lm are per-row Column programs: their plans
+    must contain NO exchange and NO python runner — at 100 TB they run
+    inside the scan's codegen stage."""
+    for name in ["c4_clean", "pii_redact", "hash_embed", "bigram_lm"]:
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "Exchange" not in plan, name
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_ngram_spans_single_shuffle_key(spark):
+    """dup_ngram_spans shuffles ONLY on the n-gram key: the window count and
+    doc_id re-aggregation must not add a second wide dependency chain on a
+    different key before AQE (explode itself is narrow)."""
+    plan = _plan(QUERIES["ngram_spans"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") <= 3  # ngram agg + window + doc agg
+    assert "Generate explode" in plan
+    assert "MapInPandas" not in plan
