@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "ngram_spans",
     "hash_embed",
     "bigram_lm",
+    "dup_spans",
+    "decontaminate",
+    "stratified_sample",
 ]
 
 

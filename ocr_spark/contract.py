@@ -341,6 +341,41 @@ def q_bigram_lm(spark, sf):  # char-bigram LM plausibility score
     )
 
 
+def q_dup_spans(spark, sf):  # Lee et al. duplicated-span REMOVAL
+    """Same messy input as ngram_spans; removes every token covered by a
+    cross-doc duplicated 5-gram and returns the rebuilt text per doc."""
+    from .operators.corpus_filters import dup_span_removal
+
+    d = _t(spark, sf, "documents")
+    boiler = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit(" subscribe to our newsletter for daily updates today"),
+    ).otherwise(F.lit(""))
+    messy = d.select(
+        "doc_id", F.concat(F.substring(F.col("text"), 1, 200), boiler).alias("text")
+    )
+    return dup_span_removal(messy, n=5)
+
+
+def q_decontaminate(spark, sf):  # benchmark n-gram decontamination
+    """Benchmark passages are synthesized from every 97th doc's chars
+    21..140; docs sharing any word 8-gram with a passage are flagged.
+    The tiny benchmark-gram side is broadcast (plan-asserted)."""
+    from .operators.corpus_filters import decontaminate
+
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0).select(
+        F.substring(F.col("text"), 21, 120).alias("passage")
+    )
+    return decontaminate(d, bench, n=8)
+
+
+def q_stratified_sample(spark, sf):  # deterministic per-language sampling
+    from .operators.corpus_filters import stratified_sample
+
+    return stratified_sample(_t(spark, sf, "documents"), frac=0.25, strata_col="lang")
+
+
 def q_jaccard_pairs(spark, sf):  # near-dup: 3-gram-shingle Jaccard (exact, prefix-filtered)
     return dedup_ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
@@ -840,6 +875,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_spans": q_ngram_spans,
     "hash_embed": q_hash_embed,
     "bigram_lm": q_bigram_lm,
+    "dup_spans": q_dup_spans,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -1357,6 +1395,72 @@ ORACLE_SQL: dict[str, str] = {
                CASE WHEN n_bigrams > 0 THEN round(n_known / n_bigrams, 4) END
                    AS bigram_score
         FROM per
+    """,
+    "dup_spans": r"""
+        WITH messy AS (SELECT doc_id, substr(text, 1, 200) ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' subscribe to our newsletter for daily updates today'
+                    ELSE '' END AS text FROM documents),
+        toks AS (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS t
+             FROM messy),
+        grams AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               list_aggregate(t[CAST(u.i AS INT):CAST(u.i AS INT) + 4],
+                              'string_agg', ' ') AS ngram
+             FROM toks, unnest(CASE WHEN len(t) >= 5 THEN range(1, len(t) - 3)
+                               ELSE CAST([] AS BIGINT[]) END) AS u(i)),
+        per AS (SELECT doc_id, ngram, list(pos) AS starts FROM grams GROUP BY 1, 2),
+        flagged AS (SELECT doc_id, starts,
+               count(*) OVER (PARTITION BY ngram) AS doc_freq FROM per),
+        dup AS (SELECT doc_id, flatten(list(starts)) AS dup_starts
+             FROM flagged WHERE doc_freq > 1 GROUP BY doc_id),
+        joined AS (SELECT toks.doc_id, t,
+               coalesce(dup_starts, CAST([] AS BIGINT[])) AS ds
+             FROM toks LEFT JOIN dup ON toks.doc_id = dup.doc_id),
+        rebuilt AS (SELECT doc_id, t,
+               list_filter(range(1, len(t) + 1),
+                   i -> len(list_filter(ds, s -> s <= i AND i < s + 5)) = 0) AS kept
+             FROM joined)
+        SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+               CAST(len(t) - len(kept) AS INT) AS n_removed,
+               coalesce(list_aggregate(list_transform(kept, i -> t[CAST(i AS INT)]),
+                        'string_agg', ' '), '') AS clean_text
+        FROM rebuilt
+    """,
+    "decontaminate": r"""
+        WITH bench AS (SELECT substr(text, 21, 120) AS passage
+             FROM documents WHERE doc_id % 97 = 0),
+        btoks AS (SELECT list_filter(string_split_regex(trim(passage), '\s+'),
+                         w -> w <> '') AS t FROM bench),
+        bgrams AS (SELECT DISTINCT
+               list_aggregate(t[CAST(u.i AS INT):CAST(u.i AS INT) + 7],
+                              'string_agg', ' ') AS ngram
+             FROM btoks, unnest(CASE WHEN len(t) >= 8 THEN range(1, len(t) - 6)
+                                ELSE CAST([] AS BIGINT[]) END) AS u(i)),
+        dtoks AS (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS t
+             FROM documents),
+        dgrams AS (SELECT DISTINCT doc_id,
+               list_aggregate(t[CAST(u.i AS INT):CAST(u.i AS INT) + 7],
+                              'string_agg', ' ') AS ngram
+             FROM dtoks, unnest(CASE WHEN len(t) >= 8 THEN range(1, len(t) - 6)
+                                ELSE CAST([] AS BIGINT[]) END) AS u(i)),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+             FROM dgrams JOIN bgrams USING (ngram) GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS is_contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    "stratified_sample": r"""
+        WITH r AS (SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296 ASC,
+                            doc_id ASC) AS sample_rank,
+               count(*) OVER (PARTITION BY lang) AS n_stratum
+             FROM documents)
+        SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank,
+               CAST(n_stratum AS BIGINT) AS n_stratum
+        FROM r WHERE sample_rank <= ceil(n_stratum * 0.25)
     """,
 }
 

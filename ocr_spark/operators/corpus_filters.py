@@ -289,3 +289,152 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(n_bigrams > 0, n_known / n_bigrams), 4
         ).alias("bigram_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. duplicated-span removal (the second half of Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def dup_span_removal(df: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+    """Remove every token covered by a word n-gram that occurs in more than
+    one document (the removal half of exact-substring dedup; detection is
+    :func:`dup_ngram_spans`). A token at index i is covered iff some
+    duplicated n-gram starts in [i-n+1, i].
+
+    Plan: posexplode n-grams with start positions (narrow) -> groupBy
+    (doc_id, ngram) partial agg -> ONE window exchange on ngram for document
+    frequency -> groupBy doc_id to collect duplicated starts -> equi-join
+    back to the docs on doc_id (docs that lost nothing keep n_removed = 0
+    via the left join). Rebuild is a per-row filter over token indices —
+    no Python anywhere.
+    """
+    toks = _tokens(F.col(text_col))
+    src = df.select("doc_id", toks.alias("t"))
+    grams = src.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("t") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.array_join(F.slice("t", i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "ngram"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "ngram")
+    per = grams.groupBy("doc_id", "ngram").agg(F.collect_list("pos").alias("starts"))
+    w = Window.partitionBy("ngram")
+    dup = (
+        per.withColumn("doc_freq", F.count(F.lit(1)).over(w))
+        .where(F.col("doc_freq") > 1)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.flatten(F.collect_list("starts"))).alias("dup_starts"))
+    )
+    joined = src.join(dup, "doc_id", "left").withColumn(
+        "dup_starts",
+        F.coalesce(F.col("dup_starts"), F.array().cast("array<bigint>")),
+    )
+    idxs = F.sequence(F.lit(1), F.size("t"))
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("dup_starts"), lambda s: (s <= i) & (i < s + n)
+    )
+    kept = F.filter(
+        F.transform(idxs, lambda i: F.struct(i.alias("i"), F.element_at("t", i).alias("w"))),
+        lambda st: ~covered(st["i"].cast("bigint")),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).alias("n_removed"),
+        F.array_join(F.transform(kept, lambda st: st["w"]), " ").alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. benchmark decontamination (GPT-3 appendix C / Dolma style)
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str = "passage",
+) -> DataFrame:
+    """Flag documents sharing any word n-gram with a benchmark/eval set.
+
+    The benchmark side is tiny by construction (eval suites are KBs, the
+    corpus is TBs), so its distinct n-grams are BROADCAST and the overlap
+    check is a broadcast semi-join on the n-gram key — zero shuffle of the
+    corpus side. Returns every input doc with the count of distinct
+    contaminated n-grams and a boolean flag.
+    """
+
+    def _grams(col, k):
+        toks = _tokens(col)
+        return F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        benchmark.select(F.explode(_grams(F.col(bench_text_col), n)).alias("ngram"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        "doc_id", F.explode_outer(F.array_distinct(_grams(F.col(text_col), n))).alias("ngram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "ngram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        df.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: Knuth multiplicative constant — a portable deterministic shuffle key
+KNUTH = 2_654_435_761
+U31 = 2_147_483_648
+U32 = 4_294_967_296
+
+
+def stratified_sample(
+    df: DataFrame, frac: float = 0.25, strata_col: str = "lang"
+) -> DataFrame:
+    """Keep ceil(frac * |stratum|) docs per stratum, chosen by a
+    deterministic multiplicative-hash shuffle key
+    ((doc_id mod 2^31) * KNUTH mod 2^32) — reproducible across engines and
+    runs, unlike rand()-based sampling, and overflow-free in 64-bit integer
+    arithmetic for any doc_id (the pre-mod bounds the product under 2^63,
+    which matters under Spark ANSI mode at 10^12-doc ids; key collisions
+    past 2^31 docs only affect ordering and are broken by doc_id). One
+    window exchange on the stratum key.
+
+    The mixture-sampling shape of training-corpus curation (per-domain /
+    per-language token budgets): swap frac for a per-stratum map to weight
+    domains differently.
+    """
+    key = ((F.col("doc_id") % F.lit(U31)) * F.lit(KNUTH)) % F.lit(U32)
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col("doc_id").asc())
+    cnt = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_stratum", F.count(F.lit(1)).over(cnt).cast("long"))
+        .where(F.col("sample_rank") <= F.ceil(F.col("n_stratum") * frac))
+        .select("doc_id", strata_col, "sample_rank", "n_stratum")
+    )

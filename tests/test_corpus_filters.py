@@ -8,7 +8,8 @@ import __spark_entry__ as entry_mod
 from ocr_spark.operators import corpus_filters as cf
 from tests.conftest import SF_SMOKE
 
-NEW_QUERIES = ["c4_clean", "pii_redact", "ngram_spans", "hash_embed", "bigram_lm"]
+NEW_QUERIES = ["c4_clean", "pii_redact", "ngram_spans", "hash_embed", "bigram_lm",
+               "dup_spans", "decontaminate", "stratified_sample"]
 
 
 # ---------------------------------------------------------------------------
@@ -126,3 +127,60 @@ def test_oracle_parity_smoke(spark, name):
     assert len(got) == len(exp) > 0
     for col in got.columns:
         assert got[col].tolist() == exp[col].tolist(), f"{name}.{col} mismatch"
+
+
+def test_dup_span_removal_rebuilds_text(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon unique tail words"),
+            (1, "prefix bit alpha beta gamma delta epsilon more stuff"),
+            (2, "independent text with no shared five gram runs at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cf.dup_span_removal(df, n=5).collect()}
+    # the shared 5-gram covers tokens 1-5 of doc 0 and 3-7 of doc 1
+    assert rows[0].n_removed == 5
+    assert rows[0].clean_text == "unique tail words"
+    assert rows[1].n_removed == 5
+    assert rows[1].clean_text == "prefix bit more stuff"
+    assert rows[2].n_removed == 0
+    assert rows[2].clean_text == df.where("doc_id=2").first().text
+    # full coverage -> empty string, not NULL
+    both = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in cf.dup_span_removal(both, n=5).collect()}
+    assert out[0].clean_text == "" and out[0].n_removed == 5
+
+
+def test_decontaminate_flags_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "q w e r t y u i o p extra words beyond the passage"),
+            (1, "totally clean document with no benchmark overlap at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("q w e r t y u i o p",)], "passage string")
+    rows = {r.doc_id: r for r in cf.decontaminate(docs, bench, n=8).collect()}
+    assert rows[0].is_contaminated and rows[0].n_hits == 3  # 3 distinct 8-grams
+    assert not rows[1].is_contaminated and rows[1].n_hits == 0
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(40)],
+        "doc_id long, lang string",
+    )
+    a = sorted(r.doc_id for r in cf.stratified_sample(df, frac=0.25).collect())
+    b = sorted(r.doc_id for r in cf.stratified_sample(df, frac=0.25).collect())
+    assert a == b  # deterministic, not rand()
+    out = cf.stratified_sample(df, frac=0.25).groupBy("lang").count().collect()
+    assert {r.lang: r["count"] for r in out} == {"en": 5, "fr": 5}
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    df = entry_mod.queries()["decontaminate"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
