@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "dup_spans",
     "decontaminate",
     "stratified_sample",
+    "url_latest",
+    "url_changes",
+    "token_budget",
 ]
 
 

@@ -376,6 +376,55 @@ def q_stratified_sample(spark, sf):  # deterministic per-language sampling
     return stratified_sample(_t(spark, sf, "documents"), frac=0.25, strata_col="lang")
 
 
+def _snapshots(spark, sf) -> DataFrame:
+    """Multi-snapshot crawl table synthesized from documents: 1-3 captures
+    per url (doc_id % 3 + 1), alternating content fingerprints."""
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    v = F.explode(F.sequence(F.lit(0), (k % 3).cast("int"))).alias("v")
+    s = d.select("doc_id", "text", v)
+    return s.select(
+        F.concat(
+            F.lit("https://host"), (k % 50).cast("string"),
+            F.lit(".example/p/"), k.cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) + F.col("v") * 86400 + k % 1000)
+        .cast("long")
+        .alias("warc_epoch"),
+        F.md5(
+            F.concat(
+                F.substring(F.col("text"), 1, 50),
+                F.when((k + F.col("v")) % 2 == 0, F.lit(" rev")).otherwise(F.lit("")),
+            )
+        ).alias("fingerprint"),
+    )
+
+
+def q_url_latest(spark, sf):  # cross-crawl dedup: newest snapshot per url
+    from .operators.crawl_history import latest_snapshot
+
+    return latest_snapshot(_snapshots(spark, sf))
+
+
+def q_url_changes(spark, sf):  # per-url crawl timeline / change detection
+    from .operators.crawl_history import snapshot_changes
+
+    return snapshot_changes(_snapshots(spark, sf))
+
+
+def q_token_budget(spark, sf):  # greedy quality-ordered token budget per lang
+    from .operators.corpus_filters import token_budget_sample
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") * 37) % 100).cast("long").alias("quality"),
+        ta.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return token_budget_sample(scored, budget=3000, strata_col="lang")
+
+
 def q_jaccard_pairs(spark, sf):  # near-dup: 3-gram-shingle Jaccard (exact, prefix-filtered)
     return dedup_ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
@@ -878,6 +927,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_spans": q_dup_spans,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
+    "url_latest": q_url_latest,
+    "url_changes": q_url_changes,
+    "token_budget": q_token_budget,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -1461,6 +1513,56 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank,
                CAST(n_stratum AS BIGINT) AS n_stratum
         FROM r WHERE sample_rank <= ceil(n_stratum * 0.25)
+    """,
+    "url_latest": """
+        WITH snaps AS (SELECT
+               'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               CAST(1700000000 + u.v * 86400 + doc_id % 1000 AS BIGINT) AS warc_epoch,
+               md5(substr(text, 1, 50) ||
+                   CASE WHEN (doc_id + u.v) % 2 = 0 THEN ' rev' ELSE '' END)
+                   AS fingerprint
+             FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(v)),
+        r AS (SELECT url, warc_epoch, fingerprint,
+               row_number() OVER (PARTITION BY url
+                   ORDER BY warc_epoch DESC, fingerprint ASC) AS rn
+             FROM snaps)
+        SELECT url, warc_epoch, fingerprint FROM r WHERE rn = 1
+    """,
+    "url_changes": """
+        WITH snaps AS (SELECT
+               'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               CAST(1700000000 + u.v * 86400 + doc_id % 1000 AS BIGINT) AS warc_epoch,
+               md5(substr(text, 1, 50) ||
+                   CASE WHEN (doc_id + u.v) % 2 = 0 THEN ' rev' ELSE '' END)
+                   AS fingerprint
+             FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(v)),
+        lagged AS (SELECT url, warc_epoch, fingerprint,
+               lag(fingerprint) OVER (PARTITION BY url
+                   ORDER BY warc_epoch ASC, fingerprint ASC) AS prev
+             FROM snaps)
+        SELECT url, CAST(count(*) AS BIGINT) AS n_snapshots,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> fingerprint
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+               CAST(min(warc_epoch) AS BIGINT) AS first_epoch,
+               CAST(max(warc_epoch) AS BIGINT) AS last_epoch
+        FROM lagged GROUP BY url
+    """,
+    "token_budget": r"""
+        WITH scored AS (SELECT doc_id, lang,
+               CAST((doc_id * 37) % 100 AS BIGINT) AS quality,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> w <> '')) AS BIGINT) AS n_tokens
+             FROM documents),
+        cum AS (SELECT doc_id, lang, quality, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY quality DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+             FROM scored)
+        SELECT doc_id, lang, quality, n_tokens, cum_tokens
+        FROM cum WHERE cum_tokens <= 3000
     """,
 }
 

@@ -438,3 +438,35 @@ def stratified_sample(
         .where(F.col("sample_rank") <= F.ceil(F.col("n_stratum") * frac))
         .select("doc_id", strata_col, "sample_rank", "n_stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. token-budget sampling (greedy quality-ordered prefix per stratum)
+# ---------------------------------------------------------------------------
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "lang",
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Within each stratum, take docs in descending quality order until the
+    cumulative token count would exceed the budget (greedy prefix; the doc
+    that crosses the line is excluded). The deterministic doc_id tie-break
+    makes the sample reproducible.
+
+    This is the mixture-curation step after scoring: "give me the best
+    N-token slice per language/domain". One window exchange on the stratum
+    key; the running sum and the filter share that partitioning.
+    """
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.desc(quality_col), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(tokens_col).over(w).cast("long"))
+        .where(F.col("cum_tokens") <= budget)
+        .select("doc_id", strata_col, quality_col, tokens_col, "cum_tokens")
+    )

@@ -1,0 +1,102 @@
+"""Crawl-history operators (latest snapshot per url, cross-crawl change
+stats) and the token-budget sampler: unit semantics, plan shape, and
+DuckDB oracle parity at smoke scale."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from ocr_spark.operators import crawl_history as ch
+from ocr_spark.operators.corpus_filters import token_budget_sample
+from tests.conftest import SF_SMOKE
+
+NEW_QUERIES = ["url_latest", "url_changes", "token_budget"]
+
+
+# ---------------------------------------------------------------------------
+# unit semantics
+# ---------------------------------------------------------------------------
+
+def _snaps(spark):
+    return spark.createDataFrame(
+        [
+            # url a: 3 snapshots, content changes once (f1 -> f1 -> f2)
+            ("a", 100, "f1"),
+            ("a", 200, "f1"),
+            ("a", 300, "f2"),
+            # url b: 1 snapshot
+            ("b", 150, "g1"),
+            # url c: duplicate capture time — fingerprint tie-break
+            ("c", 100, "h2"),
+            ("c", 100, "h1"),
+        ],
+        "url string, warc_epoch long, fingerprint string",
+    )
+
+
+def test_latest_snapshot_per_url(spark):
+    rows = {r.url: r for r in ch.latest_snapshot(_snaps(spark)).collect()}
+    assert rows["a"].warc_epoch == 300 and rows["a"].fingerprint == "f2"
+    assert rows["b"].warc_epoch == 150
+    # tie on epoch resolved by fingerprint asc — deterministic on replay
+    assert rows["c"].fingerprint == "h1"
+
+
+def test_snapshot_changes_stats(spark):
+    rows = {r.url: r for r in ch.snapshot_changes(_snaps(spark)).collect()}
+    a = rows["a"]
+    assert (a.n_snapshots, a.n_changes, a.first_epoch, a.last_epoch) == (3, 1, 100, 300)
+    b = rows["b"]
+    # a single snapshot is never a "change"
+    assert (b.n_snapshots, b.n_changes) == (1, 0)
+    c = rows["c"]
+    # h1 -> h2 in (epoch, fingerprint) order = one change
+    assert (c.n_snapshots, c.n_changes) == (2, 1)
+
+
+def test_snapshot_changes_single_exchange(spark):
+    """The lag window and the groupBy share the url hash partitioning —
+    one Exchange total, reused by both (no second shuffle)."""
+    plan = ch.snapshot_changes(_snaps(spark))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(url") == 1
+
+
+def test_token_budget_greedy_prefix(spark):
+    df = spark.createDataFrame(
+        [
+            # lang en: quality order 9,8,7 with tokens 40,50,30; budget 100
+            (0, "en", 9, 40),
+            (1, "en", 8, 50),
+            (2, "en", 7, 30),   # 40+50+30=120 > 100 -> excluded
+            # lang fr: single doc exactly at budget
+            (3, "fr", 5, 100),
+            # lang de: first doc already over budget -> empty stratum
+            (4, "de", 5, 101),
+        ],
+        "doc_id long, lang string, quality long, n_tokens long",
+    )
+    got = {r.doc_id: r for r in token_budget_sample(df, budget=100).collect()}
+    assert set(got) == {0, 1, 3}
+    assert got[1].cum_tokens == 90
+    assert got[3].cum_tokens == 100
+
+
+# ---------------------------------------------------------------------------
+# oracle parity at smoke scale (the driver's compare, run locally)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_oracle_parity_smoke(spark, name):
+    got = entry_mod.queries()[name](spark, SF_SMOKE).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    exp = con.sql(entry_mod.oracle_sql()[name]).df()
+    assert sorted(got.columns) == sorted(exp.columns)
+    got = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
+    exp = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns)).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    for col in got.columns:
+        assert got[col].tolist() == exp[col].tolist(), f"{name}.{col} mismatch"
