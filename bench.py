@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "url_latest",
     "url_changes",
     "token_budget",
+    "page_links",
+    "link_hosts",
+    "pagerank",
+    "bm25_topk",
 ]
 
 

@@ -425,6 +425,39 @@ def q_token_budget(spark, sf):  # greedy quality-ordered token budget per lang
     return token_budget_sample(scored, budget=3000, strata_col="lang")
 
 
+def q_page_links(spark, sf):  # link graph: byte-level anchor extraction
+    """REAL path: charset-aware decode + anchor scan + RFC-3986 resolution
+    over the raw html bytes. The oracle re-derives every link from the
+    corpus-construction residues (sources/pages.py nav + related-footer
+    blocks) — two independent derivations that must agree row-for-row."""
+    from .operators.link_graph import extract_page_links
+
+    return extract_page_links(pages_df(spark, sf))
+
+
+def q_link_hosts(spark, sf):  # inter-host edge rollup of the link graph
+    from .operators.link_graph import extract_page_links, host_graph
+
+    return host_graph(extract_page_links(pages_df(spark, sf)))
+
+
+def q_pagerank(spark, sf):  # fixed-point integer PageRank over host graph
+    from .operators.link_graph import extract_page_links, host_graph, pagerank_hosts
+
+    edges = host_graph(extract_page_links(pages_df(spark, sf)))
+    return pagerank_hosts(edges).select(
+        "host", F.col("rank").alias("rank_scaled")
+    )
+
+
+def q_bm25_topk(spark, sf):  # corpus keyword search: BM25 top-k
+    from .operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf, "documents"), ["spark", "vector", "merge", "window"], k=15
+    )
+
+
 def q_jaccard_pairs(spark, sf):  # near-dup: 3-gram-shingle Jaccard (exact, prefix-filtered)
     return dedup_ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
@@ -930,6 +963,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_latest": q_url_latest,
     "url_changes": q_url_changes,
     "token_budget": q_token_budget,
+    "page_links": q_page_links,
+    "link_hosts": q_link_hosts,
+    "pagerank": q_pagerank,
+    "bm25_topk": q_bm25_topk,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -1565,6 +1602,129 @@ ORACLE_SQL: dict[str, str] = {
         FROM cum WHERE cum_tokens <= 3000
     """,
 }
+
+
+# -- link-graph oracles: arithmetic re-derivation of the builder's anchors
+# (sources/pages.py: 4 nav links + n_outlinks related-footer links on every
+# HTML-flavor page; residues NON_HTML_RESIDUES carry no anchors)
+
+#: host of doc/target id k per sources/pages.host_of (bare label; the
+#: fully-qualified hostname appends '.example')
+_HOST_SQL = (
+    "CASE WHEN ({k}) % 10 < 3 THEN 'host0' "
+    "ELSE 'host' || CAST(1 + ({k}) % 37 AS VARCHAR) END"
+)
+_FQHOST_SQL = "(" + _HOST_SQL + " || '.example')"
+#: related-footer target id per sources/pages.link_target
+_TARGET_SQL = "((doc_id * 31 + 97 * u.j) % 4096)"
+
+_LINK_SRC_SQL = f"""
+        SELECT doc_id,
+               'https://' || {_HOST_SQL.format(k='doc_id')} || '.example' AS origin,
+               'https://' || {_HOST_SQL.format(k='doc_id')} || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+        WHERE doc_id % 20 NOT IN (0, 5, 8, 10, 12, 15)
+"""
+
+_LINK_REL_SQL = f"""
+        SELECT s.url,
+               'https://' || {_HOST_SQL.format(k=_TARGET_SQL)} || '.example/p/'
+                   || CAST({_TARGET_SQL} AS VARCHAR) AS dst_url,
+               'related ' || CAST(u.j AS VARCHAR) AS anchor,
+               CAST(4 + u.j AS INTEGER) AS pos
+        FROM ({_LINK_SRC_SQL}) s, unnest(range(0, s.doc_id % 3 + 1)) AS u(j)
+"""
+
+#: inter-host edge derivation (nav links are always intra-host, so only
+#: the related-footer links can survive the src<>dst filter)
+_LINK_EDGE_SQL = f"""
+        SELECT {_FQHOST_SQL.format(k='doc_id')} AS src_host,
+               {_FQHOST_SQL.format(k=_TARGET_SQL)} AS dst_host
+        FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(j)
+        WHERE doc_id % 20 NOT IN (0, 5, 8, 10, 12, 15)
+"""
+
+
+def _pagerank_oracle_sql(n_iters: int = 5) -> str:
+    """Unrolled fixed-point PageRank recurrence (integral // at each step),
+    replaying operators/link_graph.pagerank_hosts exactly."""
+    parts = [
+        f"WITH rel AS ({_LINK_EDGE_SQL})",
+        "edges AS (SELECT DISTINCT src_host, dst_host FROM rel"
+        " WHERE src_host <> dst_host)",
+        "nodes AS (SELECT src_host AS host FROM edges"
+        " UNION SELECT dst_host FROM edges)",
+        "outdeg AS (SELECT src_host, count(*) AS outdeg FROM edges"
+        " GROUP BY src_host)",
+        "r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT n.host, "
+            "CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT e.dst_host AS host, SUM(r.pr // o.outdeg) AS s "
+            "FROM edges e JOIN outdeg o ON e.src_host = o.src_host "
+            f"JOIN r{i-1} r ON r.host = e.src_host "
+            "GROUP BY e.dst_host) s ON s.host = n.host)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT host, CAST(pr AS BIGINT) AS rank_scaled FROM r{n_iters}"
+    )
+
+
+ORACLE_SQL["page_links"] = f"""
+        WITH src AS ({_LINK_SRC_SQL}),
+        nav AS (
+            SELECT url, origin || '/nav/' || CAST(u.j AS VARCHAR) AS dst_url,
+                   'Nav ' || CAST(u.j AS VARCHAR) AS anchor,
+                   CAST(u.j AS INTEGER) AS pos
+            FROM src, unnest(range(0, 4)) AS u(j)
+        ),
+        rel AS ({_LINK_REL_SQL})
+        SELECT url, dst_url, anchor, pos FROM nav
+        UNION ALL
+        SELECT url, dst_url, anchor, pos FROM rel
+"""
+
+ORACLE_SQL["link_hosts"] = f"""
+        WITH rel AS ({_LINK_EDGE_SQL})
+        SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        FROM rel WHERE src_host <> dst_host
+        GROUP BY src_host, dst_host
+"""
+
+ORACLE_SQL["pagerank"] = _pagerank_oracle_sql()
+
+ORACLE_SQL["bm25_topk"] = """
+        WITH toks AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> '') AS ts
+             FROM documents),
+        stats AS (SELECT count(*) AS n_docs, sum(len(ts)) AS total_dl
+                  FROM toks),
+        tf AS (SELECT doc_id, len(ts) AS dl, u.term AS term,
+                      count(*) AS tf
+               FROM toks, unnest(ts) AS u(term)
+               WHERE u.term IN ('spark', 'vector', 'merge', 'window')
+               GROUP BY doc_id, len(ts), u.term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (SELECT doc_id,
+               CAST(floor(
+                   (floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1000)
+                       / 1000)
+                   * tf * 2.2
+                   / (tf + 1.2 * (0.25 + 0.75 * dl
+                       / (CAST(total_dl AS DOUBLE) / n_docs)))
+                   * 1000000) AS BIGINT) AS s
+             FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+        SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_scaled
+        FROM scored GROUP BY doc_id
+        ORDER BY score_scaled DESC, doc_id ASC
+        LIMIT 15
+"""
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,191 @@
+"""Web link-graph operators: anchor extraction, host graph, PageRank.
+
+The other half of a crawl corpus besides page text is its LINK STRUCTURE —
+frontier scheduling, spam/host authority, and quality signals (Gopher uses
+inlink counts; Common Crawl publishes a host-level web graph). Three
+first-class operators:
+
+- :func:`extract_page_links` — byte-level anchor extraction from the raw
+  ``html`` column: charset-aware decode (kernels/encoding.py), HTML sniff
+  (non-HTML payloads emit nothing), ``<a href>`` scan, and RFC-3986
+  relative-reference resolution against the page url. One narrow
+  mapInPandas stage, zero shuffles — the same single-python-stage shape as
+  the flagship extractor, so it pipelines with extraction per partition.
+- :func:`host_graph` — the inter-host edge rollup (src_host, dst_host,
+  n_links): one hash exchange on the edge key; intra-host links are
+  dropped (the standard host-graph construction — nav/self links carry no
+  authority signal).
+- :func:`pagerank_hosts` — damped PageRank over the distinct inter-host
+  edges in FIXED-POINT INTEGER arithmetic: ranks are scaled longs and
+  every step uses integral ``div``, so the result is bit-identical under
+  any summation order / partitioning — reproducible across engines
+  (the DuckDB oracle replays the same recurrence) and across cluster
+  sizes, which floating-point PageRank is not.
+
+Scale notes:
+
+- extract_page_links inherits the flagship's partitioning (hash(url));
+  its output is already distributed by src page, so host_graph's groupBy
+  is the FIRST exchange in the chain.
+- pagerank_hosts: edges are distinct (src,dst) pairs with a precomputed
+  out-degree; each iteration is join(ranks, edges on src) -> groupBy(dst).
+  Both sides hash-partition on the same host key, so AQE reuses the
+  exchange; per-iteration state is one long per node. Hot hosts (every
+  page links to a few hubs) skew the groupBy — the per-key state is a
+  single running sum (no row buffering), so skew costs network balance,
+  not memory; the edges DataFrame is cached once, not per iteration.
+- Dangling hosts (no out-links) leak their rank mass — the classic
+  simplified recurrence (Page et al. 1999 §2.5 note); the oracle replays
+  the same choice so the comparison is exact.
+
+Reference analog: the predicted-boxes adjacency used by combine_boxes
+(/root/reference/utils/image/bounding_box/combination.py) is the same
+"build edges, then iterate a per-node fold" shape; here nodes are hosts
+and the fold is the PageRank sum.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlparse
+
+from pyspark.sql import DataFrame, functions as F
+
+LINKS_SCHEMA = "url string, dst_url string, anchor string, pos int"
+
+#: tolerant anchor scanner: double/single/un-quoted href, attrs in any
+#: order, anchor body may span lines and contain inline tags
+_ANCHOR_RE = re.compile(
+    r"<a\s[^>]*?href\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a>",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _page_links(url: str, blob: bytes) -> list[tuple[str, str, int]]:
+    """(dst_url, anchor, pos) anchors of one page; [] for non-HTML bytes."""
+    from ..kernels.encoding import decode_bytes, detect_bom
+    from ..kernels.md_extract import looks_like_html
+
+    if detect_bom(blob) is not None:
+        blob = decode_bytes(blob)[0].encode("utf-8")
+    if not looks_like_html(blob):
+        return []
+    text = decode_bytes(blob)[0]
+    out = []
+    for pos, m in enumerate(_ANCHOR_RE.finditer(text)):
+        href = m.group(2) if m.group(2) is not None else (
+            m.group(3) if m.group(3) is not None else m.group(4)
+        )
+        href = (href or "").strip()
+        if not href or href.startswith(("#", "javascript:", "mailto:")):
+            continue
+        anchor = _WS_RE.sub(" ", _TAG_RE.sub(" ", m.group(5))).strip()
+        try:
+            dst = urljoin(url, href)
+        except ValueError:
+            continue
+        out.append((dst, anchor, pos))
+    return out
+
+
+def extract_page_links(pages_df: DataFrame) -> DataFrame:
+    """pages (url, html) -> one row per anchor (url, dst_url, anchor, pos).
+
+    Single narrow python stage; per-document guard degrades a malformed
+    page to zero links (never fails the task), mirroring extract_batch."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    blob = bytes(html) if html is not None else b""
+                    for dst, anchor, pos in _page_links(url, blob):
+                        rows.append(
+                            {"url": url, "dst_url": dst, "anchor": anchor, "pos": pos}
+                        )
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=["url", "dst_url", "anchor", "pos"])
+
+    return pages_df.select("url", "html").mapInPandas(gen, schema=LINKS_SCHEMA)
+
+
+#: host component of an http(s) url, JVM-side (for the rollup after the
+#: python extraction stage)
+_URL_HOST_RE = r"^https?://([^/:]+)"
+
+
+def host_graph(links_df: DataFrame) -> DataFrame:
+    """links -> inter-host edges (src_host, dst_host, n_links).
+
+    Intra-host edges (nav bars, self-links) are dropped. One hash
+    exchange (the groupBy); host parsing is a codegen'd regexp."""
+    e = links_df.select(
+        F.regexp_extract("url", _URL_HOST_RE, 1).alias("src_host"),
+        F.regexp_extract("dst_url", _URL_HOST_RE, 1).alias("dst_host"),
+    ).where(
+        (F.col("src_host") != "")
+        & (F.col("dst_host") != "")
+        & (F.col("src_host") != F.col("dst_host"))
+    )
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links")
+    )
+
+
+PAGERANK_SCALE = 1_000_000
+PAGERANK_DAMPING_NUM = 85  # 0.85 as a ratio of longs
+PAGERANK_DAMPING_DEN = 100
+
+
+def pagerank_hosts(edges_df: DataFrame, n_iters: int = 5) -> DataFrame:
+    """Fixed-point integer PageRank over distinct (src_host, dst_host)
+    edges -> (host, rank:long).
+
+    Recurrence (all integral, order-independent):
+        r0(v)   = SCALE
+        r_k(v)  = BASE + (85 * sum_{(u,v) in E} (r_{k-1}(u) div outdeg(u))) div 100
+    with BASE = SCALE*15/100. Integral ``div`` at both steps makes every
+    intermediate a long, so the shuffle's reduction order cannot change
+    the result — the determinism the north_rule's byte-identity bar
+    demands, which double-precision PageRank does not provide."""
+    edges = edges_df.select("src_host", "dst_host").distinct()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src_host").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.join(outdeg, "src_host").select("src_host", "dst_host", "outdeg")
+    # fixed iteration count: cache the static sides once
+    e = e.persist()
+    nodes = nodes.persist()
+    base = PAGERANK_SCALE * (PAGERANK_DAMPING_DEN - PAGERANK_DAMPING_NUM) // PAGERANK_DAMPING_DEN
+    ranks = nodes.select("host", F.lit(PAGERANK_SCALE).cast("long").alias("rank"))
+    for _ in range(n_iters):
+        inflow = (
+            e.join(ranks, e.src_host == ranks.host)
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("rank div outdeg").alias("contrib"),
+            )
+            .groupBy("host")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = nodes.join(inflow, "host", "left").select(
+            "host",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({PAGERANK_DAMPING_NUM} * coalesce(s, 0L)) div {PAGERANK_DAMPING_DEN}"
+                )
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    return ranks

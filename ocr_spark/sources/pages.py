@@ -80,6 +80,24 @@ def is_payload_doc(doc_id: int) -> bool:
     return doc_id % 20 == 0
 
 
+#: flavor residues (doc_id % 20) that are NOT routed through _html_doc —
+#: only HTML pages carry nav + related-footer anchors
+NON_HTML_RESIDUES = (0, 5, 8, 10, 12, 15)
+
+#: modulus of the outlink-target id space. Fixed (sf-independent) so the
+#: builder needs no corpus count; targets may be un-crawled urls, exactly
+#: like a real link graph's frontier edges.
+LINK_TARGET_MOD = 4096
+
+
+def n_outlinks(doc_id: int) -> int:
+    return 1 + doc_id % 3
+
+
+def link_target(doc_id: int, j: int) -> int:
+    return (doc_id * 31 + 97 * j) % LINK_TARGET_MOD
+
+
 def is_md_doc(doc_id: int) -> bool:
     return doc_id % 20 == 10
 
@@ -142,6 +160,14 @@ def _html_doc(doc_id: int, words: list[str], lang: str):
     table_rows = [(f"row{r}", str((doc_id + r) % 100)) for r in range(2)]
 
     boiler_nav = "".join(f'<li><a href="/nav/{i}">Nav {i}</a></li>' for i in range(4))
+    # deterministic cross-host outlinks (boilerplate footer, so the golden
+    # extracted text is unchanged): 1-3 absolute links whose targets are a
+    # pure residue function of doc_id — the link-graph oracle re-derives
+    # them arithmetically in SQL (contract.ORACLE_SQL['page_links'])
+    related = " ".join(
+        f'<a href="{url_of(link_target(doc_id, j))}">related {j}</a>'
+        for j in range(n_outlinks(doc_id))
+    )
     body_parts = [f"<h1>{title} heading</h1>"]
     expected_parts = []
     for i, pt in enumerate(para_texts):
@@ -185,7 +211,7 @@ def _html_doc(doc_id: int, words: list[str], lang: str):
         f"<nav><ul>{boiler_nav}</ul></nav>"
         "<div id=\"content\">" + "".join(body_parts) + "</div>"
         f"<aside><p>promo {doc_id % 5} advert</p></aside>"
-        f"<footer><p>footer legal text {doc_id % 3}</p></footer>"
+        f"<footer><p>footer legal text {doc_id % 3}</p><p>{related}</p></footer>"
         "</body></html>"
     )
     if charset == "cp1252":

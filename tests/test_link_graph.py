@@ -1,0 +1,185 @@
+"""Link-graph operators (anchor extraction, host graph, integer PageRank)
+and BM25 search: kernel semantics, hand-computed goldens, plan shape, and
+parallelism-invariance of the fixed-point arithmetic."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.link_graph import (
+    _page_links,
+    extract_page_links,
+    host_graph,
+    pagerank_hosts,
+)
+from ocr_spark.operators.search import bm25_topk
+
+
+# ---------------------------------------------------------------------------
+# anchor extraction kernel
+# ---------------------------------------------------------------------------
+
+def test_anchor_extraction_forms():
+    html = (
+        b"<!DOCTYPE html><html><body>"
+        b'<a href="https://x.example/a">double</a>'
+        b"<a href='https://x.example/b'>single</a>"
+        b"<a href=https://x.example/c>bare</a>"
+        b'<a class="z" href="/rel">rel <b>bold</b> text</a>'
+        b'<a href="#frag">frag</a>'
+        b'<a href="javascript:void(0)">js</a>'
+        b'<a href="mailto:a@b.c">mail</a>'
+        b"</body></html>"
+    )
+    links = _page_links("https://site.example/p/1", html)
+    assert [(d, a) for d, a, _ in links] == [
+        ("https://x.example/a", "double"),
+        ("https://x.example/b", "single"),
+        ("https://x.example/c", "bare"),
+        ("https://site.example/rel", "rel bold text"),
+    ]
+    # pos preserves document order over ALL anchors scanned
+    assert [p for _, _, p in links] == [0, 1, 2, 3]
+
+
+def test_anchor_extraction_skips_non_html():
+    assert _page_links("https://s.example/x", b"%PDF-1.7 junk") == []
+    assert _page_links("https://s.example/x", b"\x89PNG\r\n\x1a\n") == []
+    assert _page_links("https://s.example/x", b"plain words only here") == []
+
+
+def test_anchor_extraction_charset_flavors():
+    # utf-16-le with BOM: decode-then-scan must still see the anchors
+    html = '<!DOCTYPE html><html><body><a href="https://y.example/q">t</a></body></html>'
+    blob = b"\xff\xfe" + html.encode("utf-16-le")
+    assert _page_links("https://s.example/x", blob) == [
+        ("https://y.example/q", "t", 0)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# host graph
+# ---------------------------------------------------------------------------
+
+def _links_df(spark):
+    return spark.createDataFrame(
+        [
+            ("https://a.example/p/1", "https://b.example/x"),
+            ("https://a.example/p/1", "https://b.example/y"),
+            ("https://a.example/p/2", "https://a.example/nav/0"),  # intra-host
+            ("https://b.example/p/3", "https://c.example/z"),
+        ],
+        "url string, dst_url string",
+    ).withColumn("anchor", F.lit("t")).withColumn("pos", F.lit(0))
+
+
+def test_host_graph_drops_intra_host(spark):
+    rows = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_graph(_links_df(spark)).collect()
+    }
+    assert rows == {
+        ("a.example", "b.example"): 2,
+        ("b.example", "c.example"): 1,
+    }
+
+
+# ---------------------------------------------------------------------------
+# fixed-point integer PageRank
+# ---------------------------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src_host string, dst_host string")
+
+
+def test_pagerank_hand_golden(spark):
+    """A->B, A->C, B->C, hand-computed 2-iteration fixed-point recurrence
+    (see operators/link_graph.pagerank_hosts docstring)."""
+    e = _edges(spark, [("A", "B"), ("A", "C"), ("B", "C")])
+    got = {r.host: r.rank for r in pagerank_hosts(e, n_iters=2).collect()}
+    assert got == {"A": 150_000, "B": 213_750, "C": 702_500}
+
+
+def test_pagerank_partition_invariance(spark):
+    """The north-rule reproducibility bar: integral div + integer sums mean
+    ANY partitioning / reduction order gives bit-identical ranks."""
+    pairs = [(f"h{i}", f"h{(i * 7 + 3) % 11}") for i in range(11) for _ in (0, 1)]
+    a = {r.host: r.rank for r in pagerank_hosts(_edges(spark, pairs)).collect()}
+    b = {
+        r.host: r.rank
+        for r in pagerank_hosts(_edges(spark, pairs).repartition(17)).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_dedupes_edges_and_seeds_sources(spark):
+    # duplicate edge rows count once; a pure-source node keeps base rank
+    e = _edges(spark, [("A", "B"), ("A", "B")])
+    got = {r.host: r.rank for r in pagerank_hosts(e, n_iters=1).collect()}
+    assert got["A"] == 150_000  # no inlinks -> base
+    assert got["B"] == 150_000 + (85 * 1_000_000) // 100
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "spark spark spark filler filler filler filler filler"),
+            (1, "spark rare"),
+            (2, "rare filler"),
+            (3, "nothing relevant here at all whatsoever in truth"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_ranking_semantics(spark):
+    # 'rare' (df=2) outscores 'spark' (df=2) at equal tf only via length
+    # norm; doc 1 hits both terms and must rank first
+    rows = bm25_topk(_docs(spark), ["spark", "rare"], k=4).collect()
+    assert rows[0].doc_id == 1
+    assert {r.doc_id for r in rows} == {0, 1, 2}  # doc 3 matches nothing
+    assert all(r.score_scaled > 0 for r in rows)
+
+
+def test_bm25_deterministic_across_partitioning(spark):
+    d = _docs(spark)
+    a = [(r.doc_id, r.score_scaled) for r in bm25_topk(d, ["spark", "rare"]).collect()]
+    b = [
+        (r.doc_id, r.score_scaled)
+        for r in bm25_topk(d.repartition(7), ["spark", "rare"]).collect()
+    ]
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# plan shape (the scale guarantees)
+# ---------------------------------------------------------------------------
+
+def test_extract_links_plan_single_python_stage(spark):
+    pages = spark.createDataFrame(
+        [("u", None, b"<p>a b</p>", "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    plan = (
+        extract_page_links(pages)._jdf.queryExecution().executedPlan().toString()
+    )
+    # same shape as the flagship extractor: one python runner, no shuffles
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+
+
+def test_bm25_plan_broadcasts_stats_and_filters_before_exchange(spark):
+    plan = (
+        bm25_topk(_docs(spark), ["spark", "rare"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan  # dfreq + corpus stats broadcast back
+    # the query-term IN filter must sit below the first hash exchange so
+    # only query-term postings shuffle
+    first_ex = plan.find("Exchange hashpartitioning")
+    assert first_ex != -1 and "spark" in plan[first_ex:]
