@@ -69,7 +69,16 @@ def shingle_sets(docs: DataFrame, *, shingle: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(shingles).alias("sh")).distinct()
+    # dedup is PER DOCUMENT, so array_distinct before the explode does it
+    # map-side: zero exchanges, vs a global (doc_id, sh) distinct() which
+    # shuffles every posting once before any consumer even starts. widen():
+    # shingling is the heavy narrow stage of every dedup plan — a 1-row-group
+    # bench scan would serialize it on one task (no-op at real scale).
+    from ..plans.session import widen
+
+    return widen(docs).select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
+    )
 
 
 def ngram_jaccard_pairs(

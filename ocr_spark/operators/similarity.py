@@ -14,6 +14,7 @@ literal array; ties in top-k break on vec_id.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -23,6 +24,36 @@ def _dot(a, b):
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _const_dots_udf(mat):
+    """Arrow-batched dots of an embedding column against a CONSTANT matrix
+    (hyperplanes / centroids): embedding -> array<double>, one dot per
+    matrix row.
+
+    Replaces per-plane `aggregate(zip_with(...))` Column algebra: Spark's
+    higher-order functions are interpreted per element, and 32 of them per
+    row measured ~4x slower than one Arrow batch through numpy (profiled at
+    sf0.1, BENCH/BASELINE.md round-2 notes). Accumulation is an explicit
+    ascending-j loop — NOT BLAS matmul — so every row's dots are
+    bit-identical regardless of Arrow batch size, partitioning, or BLAS
+    kernel selection; results stay deterministic at any parallelism.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.ascontiguousarray(np.asarray(mat, dtype=np.float64).T)  # dim x out
+
+    @pandas_udf("array<double>")
+    def dots(emb: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        acc = np.zeros((len(M), W.shape[1]))
+        for j in range(W.shape[0]):
+            acc += M[:, j : j + 1] * W[j]
+        return pd.Series(list(acc))
+
+    return dots
 
 
 def _norm(a):
@@ -53,7 +84,9 @@ def brute_force_topk(
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    pairs = embeddings.crossJoin(F.broadcast(q)).where(
+    from ..plans.session import widen
+
+    pairs = widen(embeddings).crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("query_id")
     )
     scored = pairs.select(
@@ -96,34 +129,55 @@ def lsh_bucket_topk(
     are hash-distributed, no hot keys.
     """
 
-    def bucket_structs(emb):
+    # all n_tables*n_planes dots in ONE Arrow batch pass (see _const_dots_udf
+    # for why this beats 32 interpreted higher-order-function dots), then the
+    # cheap bit-packing stays JVM-side on the returned dots array.
+    all_planes = np.vstack(
+        [_hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)]
+    )
+    plane_dots = _const_dots_udf(all_planes)
+
+    def bucket_structs(dots_col):
         per_table = []
         for t in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, seed=42 + 1000 * t)
-            bits = [
-                F.when(
-                    _dot(emb, F.array(*[F.lit(float(v)) for v in plane])) > 0,
-                    F.lit(1),
-                ).otherwise(F.lit(0))
-                * F.lit(2 ** i)
-                for i, plane in enumerate(planes)
-            ]
-            acc = bits[0]
-            for b in bits[1:]:
-                acc = acc + b
+            acc = None
+            for i in range(n_planes):
+                b = F.when(
+                    F.element_at(dots_col, t * n_planes + i + 1) > 0, F.lit(1)
+                ).otherwise(F.lit(0)) * F.lit(2 ** i)
+                acc = b if acc is None else acc + b
             per_table.append(
                 F.struct(F.lit(t).alias("table"), acc.alias("bucket"))
             )
         return F.explode(F.array(*per_table)).alias("tb")
 
-    emb_b = embeddings.select(
-        "vec_id", "embedding", bucket_structs(F.col("embedding"))
-    ).select("vec_id", "embedding", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-    q_b = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        bucket_structs(F.col("embedding")),
-    ).select("query_id", "q_emb", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    from ..plans.session import widen
+
+    emb_b = (
+        widen(embeddings)
+        .select("vec_id", "embedding", plane_dots("embedding").alias("pd"))
+        .select("vec_id", "embedding", bucket_structs(F.col("pd")))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+    )
+    q_b = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            plane_dots("embedding").alias("pd"),
+        )
+        .select("query_id", "q_emb", bucket_structs(F.col("pd")))
+        .select(
+            "query_id",
+            "q_emb",
+            F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+    )
 
     pairs = (
         emb_b.join(F.broadcast(q_b), ["table", "bucket"])
@@ -205,38 +259,36 @@ def ivf_topk(
         embeddings, n_centroids=n_centroids, sample_size=sample_size
     )
 
-    def cent_lit(c):
-        return F.array(*[F.lit(float(v)) for v in c])
+    # all centroid dots in one Arrow pass (fixed-order accumulation — see
+    # _const_dots_udf); centroids are unit-norm, so argmax_c dot(e,c)/|e| ==
+    # argmax_c dot(e,c): no per-row norm needed, well-defined for zero
+    # vectors. The argmax / probe ranking stays JVM-side over the small
+    # dots array.
+    cent_dots = _const_dots_udf(cents)
 
-    def best_cid(emb):
-        # centroids are unit-norm, so argmax_c dot(e,c)/|e| == argmax_c
-        # dot(e,c): skip the per-row norm (16 redundant interpreted HOF
-        # passes) and stay well-defined for zero vectors
-        pairs = F.array(
+    def sim_structs(dots_col):
+        return F.array(
             *[
                 F.struct(
-                    _dot(emb, cent_lit(c)).alias("sim"),
+                    F.element_at(dots_col, i + 1).alias("sim"),
                     F.lit(i).alias("cid"),
                 )
-                for i, c in enumerate(cents)
+                for i in range(len(cents))
             ]
         )
-        return F.array_max(pairs).getField("cid")
 
-    inv = embeddings.select("vec_id", "embedding", best_cid(F.col("embedding")).alias("cid"))
+    from ..plans.session import widen
+
+    inv = widen(embeddings).select(
+        "vec_id",
+        "embedding",
+        F.array_max(sim_structs(cent_dots("embedding"))).getField("cid").alias("cid"),
+    )
 
     q_sims = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.array(
-            *[
-                F.struct(
-                    _dot(F.col("embedding"), cent_lit(c)).alias("sim"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(cents)
-            ]
-        ).alias("cand"),
+        sim_structs(cent_dots("embedding")).alias("cand"),
     )
     probes = q_sims.select(
         "query_id",

@@ -21,8 +21,10 @@ from ..kernels import bpe as bpe_kernel
 def corpus_word_counts(docs: DataFrame, *, lowercase: bool = True) -> DataFrame:
     text = F.lower(F.col("text")) if lowercase else F.col("text")
     words = F.split(F.trim(text), r"\s+")
+    from ..plans.session import widen
+
     return (
-        docs.select(F.explode(words).alias("word"))
+        widen(docs).select(F.explode(words).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -14,6 +14,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def widen(df, min_parts: int | None = None):
+    """Small-scan parallelism guard for heavy per-row operators.
+
+    A bench-SF parquet table is one file with ONE row group, so its scan is
+    a single task no matter what ``spark.sql.files.*`` says — every
+    downstream narrow operator (shingling, hashing, tokenizing) serializes
+    on one core. Repartition up to the session's default parallelism ONLY
+    when the physical scan has fewer partitions; at production scale a scan
+    carries >= cores partitions and this returns the input unchanged (no
+    exchange added to the 100 TB plan).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(app: str = "ocr_spark", cpus: int | None = None, **conf) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
