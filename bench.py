@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "link_hosts",
     "pagerank",
     "bm25_topk",
+    "asof_join",
+    "semdedup",
+    "quality_classifier",
 ]
 
 

@@ -581,6 +581,45 @@ def q_embed_dup_pairs(spark, sf):  # dedup: embedding-cosine near-dup
     )
 
 
+def q_asof_join(spark, sf):  # temporal as-of join (DuckDB ASOF JOIN parity)
+    """For every click event, the newest prior purchase by the same user —
+    the temporal-join staple (feature backfill, price-at-time lookups).
+    Spark has no ASOF JOIN; operators/crawl_history.asof_join builds it as
+    union + running last_value: ONE hash exchange on the key."""
+    from .operators.crawl_history import asof_join
+
+    e = _t(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, buys, key="user_id", ts_col="ts", payload_cols=("value",),
+        prefix="last_purchase_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_purchase_ts",
+        F.round("last_purchase_value", 6).alias("last_purchase_value"),
+    )
+
+
+def q_semdedup(spark, sf):  # semantic dedup over embeddings (SemDeDup)
+    from .operators.similarity import semdedup
+
+    return semdedup(_t(spark, sf, "embeddings"))
+
+
+def q_quality_classifier(spark, sf):  # fasttext-style linear quality filter
+    from .operators.corpus_filters import quality_classifier
+
+    return quality_classifier(_t(spark, sf, "documents"))
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -967,6 +1006,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_hosts": q_link_hosts,
     "pagerank": q_pagerank,
     "bm25_topk": q_bm25_topk,
+    "asof_join": q_asof_join,
+    "semdedup": q_semdedup,
+    "quality_classifier": q_quality_classifier,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -1725,6 +1767,88 @@ ORACLE_SQL["bm25_topk"] = """
         ORDER BY score_scaled DESC, doc_id ASC
         LIMIT 15
 """
+
+
+ORACLE_SQL["asof_join"] = """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), buys AS (
+        SELECT user_id, ts, max(value) AS value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           b.ts AS last_purchase_ts,
+           round(b.value, 6) AS last_purchase_value
+    FROM clicks c ASOF LEFT JOIN buys b
+      ON c.user_id = b.user_id AND c.ts >= b.ts
+"""
+
+
+def _semdedup_oracle_sql() -> str:
+    """Re-derive semdedup in DuckDB: the hyperplane literals are embedded so
+    the bucket assignment is computed independently (list_dot_product fold
+    == the fixed-order numpy accumulation in _const_dots_udf)."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=7)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ",".join(repr(float(v)) for v in p)
+        + f"]) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+        SELECT vec_id, CAST({bits} AS BIGINT) AS bucket,
+               CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ), removed AS (
+        SELECT DISTINCT hi.vec_id
+        FROM b lo JOIN b hi ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+        WHERE round(list_cosine_similarity(lo.e, hi.e), 4) >= 0.9
+    )
+    SELECT b.vec_id, b.bucket, (r.vec_id IS NULL) AS kept
+    FROM b LEFT JOIN removed r ON b.vec_id = r.vec_id
+    """
+
+
+ORACLE_SQL["semdedup"] = _semdedup_oracle_sql()
+
+
+def _quality_classifier_oracle_sql() -> str:
+    """Integer-exact mirror of quality_classifier: same poly hash, same
+    seeded micro-unit weights as a SQL literal list, LONG arithmetic only."""
+    from .operators.corpus_filters import classifier_weights
+
+    wlist = "[" + ",".join(str(w) for w in classifier_weights(64, 11)) + "]"
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(substr(text, 1, 300)), '\s+'),
+                           w -> w <> '') AS t
+        FROM documents
+    ), h AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               list_transform(t, w -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        FROM toks
+    ), s AS (
+        SELECT doc_id, n_tokens,
+               25000 + coalesce(list_sum(list_transform(hs,
+                   x -> (CASE WHEN x % 128 < 64 THEN 1 ELSE -1 END)
+                        * {wlist}[(x % 64) + 1])), 0) AS logit
+        FROM h
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(logit AS BIGINT) AS logit_micro, (logit > 0) AS label
+    FROM s
+    """
+
+
+ORACLE_SQL["quality_classifier"] = _quality_classifier_oracle_sql()
+
 
 
 # --------------------------------------------------------------------------

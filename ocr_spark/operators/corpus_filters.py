@@ -470,3 +470,60 @@ def token_budget_sample(
         .where(F.col("cum_tokens") <= budget)
         .select("doc_id", strata_col, quality_col, tokens_col, "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier (fasttext-style, integer-exact)
+# ---------------------------------------------------------------------------
+
+def classifier_weights(dim: int = 64, seed: int = 11) -> list[int]:
+    """Seeded integer weight vector in micro-units (1e-6): the stand-in for
+    a trained fasttext/logistic quality model's dense layer. Integer so the
+    score is exact in any engine and invariant to summation order."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [int(v) for v in rng.randint(-500_000, 500_001, size=dim)]
+
+
+def quality_classifier(
+    df: DataFrame,
+    *,
+    dim: int = 64,
+    seed: int = 11,
+    bias_micro: int = 25_000,
+    text_col: str = "text",
+    max_chars: int = 300,
+) -> DataFrame:
+    """fasttext-style linear quality classifier (the CCNet / GPT-3
+    "looks-like-Wikipedia" filter shape): hashing-trick bag-of-words ->
+    signed feature counts -> dot with a weight vector -> threshold.
+
+    Weights live in integer micro-units and every token contributes
+    ``sign * W[poly_hash(token) % dim]`` exactly, so the logit is a LONG —
+    bit-identical under any partitioning, batch size, or engine (no float
+    summation anywhere). The whole operator is per-row Column algebra:
+    zero exchanges at any scale; the weight table is a literal (broadcast
+    free). Sign trick matches hash_embedding (Weinberger et al. 2009).
+
+    Output: (doc_id, n_tokens, logit_micro, label) — label = logit > 0.
+    """
+    weights = classifier_weights(dim, seed)
+    warr = F.array(*[F.lit(w).cast("long") for w in weights])
+    toks = _tokens(F.substring(F.col(text_col), 1, max_chars))
+    hashes = F.transform(toks, _poly_hash)
+    contrib = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: acc
+        + F.when(h % (2 * dim) < dim, F.lit(1).cast("long"))
+        .otherwise(F.lit(-1).cast("long"))
+        * F.element_at(warr, (h % dim + 1).cast("int")),
+    )
+    logit = contrib + F.lit(bias_micro).cast("long")
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        logit.alias("logit_micro"),
+        (logit > 0).alias("label"),
+    )

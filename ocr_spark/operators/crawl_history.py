@@ -64,3 +64,83 @@ def snapshot_changes(
         F.min(ts_col).cast("long").alias("first_epoch"),
         F.max(ts_col).cast("long").alias("last_epoch"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "url",
+    ts_col: str = "ts",
+    payload_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: attach to each left row the NEWEST right row with
+    ``right.ts <= left.ts`` for the same key (the temporal join Spark has
+    no built-in for; DuckDB spells it ``ASOF JOIN``, kdb ``aj``).
+
+    Scale shape — union + running last_value, NOT a range join: both sides
+    are tagged and unioned, then one window per key ordered by
+    (ts, side, payload) carries the most recent right payload forward onto
+    each left row.  Exactly ONE hash exchange on the key; per-key state is
+    the window sort only.  A range-join formulation (left ⋈ right ON key
+    AND r.ts <= l.ts, then max) explodes to O(|L|·|R|) per key before
+    aggregation — this stays O(|L|+|R|).
+
+    Determinism with duplicate right timestamps: the window sort ends with
+    the payload struct, so among right rows sharing (key, ts) the GREATEST
+    payload is carried (DuckDB's ASOF picks an arbitrary duplicate — the
+    oracle pre-aggregates max(payload) per (key, ts) to pin the same
+    winner; here the tie-break folds into the one window sort instead of
+    costing a separate groupBy exchange).
+
+    Left rows with no prior right row keep NULL payloads (ASOF LEFT JOIN).
+    Output: all left columns + ``<prefix>ts`` + ``<prefix><payload>``.
+    """
+    payload = list(payload_cols)
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    left_cols = left.columns
+    l_tag = left.select(
+        *left_cols,
+        F.col(ts_col).alias("_ord_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rtypes[ts_col]).alias("_rts"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in payload],
+    )
+    r_tag = right.select(
+        *[
+            F.col(key) if c == key else F.lit(None).cast(ltypes[c]).alias(c)
+            for c in left_cols
+        ],
+        F.col(ts_col).alias("_ord_ts"),
+        F.lit(0).alias("_side"),
+        F.col(ts_col).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    # right sorts BEFORE left at equal ts (_side 0 < 1) -> inclusive <=;
+    # payload struct last -> greatest duplicate wins deterministically
+    w = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.asc("_ord_ts"),
+            F.asc("_side"),
+            F.asc(F.struct(*[f"_r_{c}" for c in payload])),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l_tag.unionByName(r_tag).withColumn(
+        "_match",
+        F.last(
+            F.when(
+                F.col("_side") == 0,
+                F.struct("_rts", *[f"_r_{c}" for c in payload]),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.where(F.col("_side") == 1).select(
+        *left_cols,
+        F.col("_match._rts").alias(f"{prefix}ts"),
+        *[F.col(f"_match._r_{c}").alias(f"{prefix}{c}") for c in payload],
+    )

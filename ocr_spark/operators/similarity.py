@@ -312,3 +312,73 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup —
+    cluster the embedding space, then inside each cluster drop every vector
+    that has a near-identical neighbor (cosine >= ``threshold``), keeping
+    one representative (the lowest vec_id) per near-dup set.
+
+    Cluster here = sign-LSH bucket over ``n_planes`` seeded hyperplanes
+    (deterministic literals, so an independent SQL engine re-derives the
+    same clusters — the paper uses k-means; the dedup semantics inside a
+    cluster are identical and the bucket count 2^n_planes plays the role
+    of k). The within-cluster pair join is SemDeDup's inherent quadratic
+    step; at corpus scale n_planes grows so expected bucket size stays
+    bounded (the paper's k ~ sqrt(N) heuristic), and buckets are
+    hash-distributed with no hot keys.
+
+    Output: (vec_id, bucket, kept) for EVERY input vector.
+    """
+    planes = _hyperplanes(dim, n_planes, seed=seed)
+    plane_dots = _const_dots_udf(np.asarray(planes))
+
+    def bucket_col(dots_col):
+        acc = None
+        for i in range(n_planes):
+            b = F.when(F.element_at(dots_col, i + 1) > 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ) * F.lit(2 ** i)
+            acc = b if acc is None else acc + b
+        return acc.cast("long")
+
+    from ..plans.session import widen
+
+    b = (
+        widen(embeddings)
+        .select("vec_id", "embedding", plane_dots("embedding").alias("_d"))
+        .select("vec_id", "embedding", bucket_col(F.col("_d")).alias("bucket"))
+    )
+    lo = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    hi = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    removed = (
+        lo.join(hi, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), round_to)
+            >= F.lit(threshold)
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        b.join(removed.withColumn("_rm", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.coalesce(~F.col("_rm"), F.lit(True)).alias("kept"),
+        )
+    )
