@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "asof_join",
     "semdedup",
     "quality_classifier",
+    "sequence_pack",
 ]
 
 

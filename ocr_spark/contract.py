@@ -620,6 +620,12 @@ def q_quality_classifier(spark, sf):  # fasttext-style linear quality filter
     return quality_classifier(_t(spark, sf, "documents"))
 
 
+def q_sequence_pack(spark, sf):  # GPT-style concat-and-chunk packing
+    from .operators.corpus_filters import sequence_pack
+
+    return sequence_pack(_t(spark, sf, "documents"))
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -1009,6 +1015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "semdedup": q_semdedup,
     "quality_classifier": q_quality_classifier,
+    "sequence_pack": q_sequence_pack,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -1849,6 +1856,29 @@ def _quality_classifier_oracle_sql() -> str:
 
 ORACLE_SQL["quality_classifier"] = _quality_classifier_oracle_sql()
 
+
+
+ORACLE_SQL["sequence_pack"] = r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                               w -> w <> '')) AS n
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n,
+               sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+           CAST(cum - n AS BIGINT) AS start_offset,
+           CAST(floor((cum - n) / 2048) AS BIGINT) AS seq_id,
+           CAST((cum - n) % 2048 AS BIGINT) AS offset_in_seq,
+           CAST(CASE WHEN n > 0
+                     THEN floor((cum - 1) / 2048) - floor((cum - n) / 2048) + 1
+                     ELSE 0 END AS BIGINT) AS n_seqs_spanned
+    FROM c
+"""
 
 
 # --------------------------------------------------------------------------

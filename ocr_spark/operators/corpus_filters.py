@@ -527,3 +527,55 @@ def quality_classifier(
         logit.alias("logit_micro"),
         (logit > 0).alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+def sequence_pack(
+    df: DataFrame,
+    *,
+    seq_len: int = 2048,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: within each stratum,
+    documents in deterministic doc_id order are laid head-to-tail into one
+    token stream, then cut into fixed ``seq_len`` windows (documents MAY
+    straddle a boundary — the standard pretraining layout, vs. greedy
+    no-split bin packing).
+
+    Emits where each document lands: the sequence its first token falls in,
+    the offset inside that sequence, and how many sequences it spans.
+    Token count is the whitespace token count (matches `token_count`).
+
+    Scale shape: ONE hash exchange on the stratum; the running sum is a
+    window over (stratum, doc_id). In production the stratum key is
+    (lang, shard) so no single stratum exceeds a task; the packing stays
+    deterministic because shard assignment is hash(doc_id) — the layout
+    within a shard depends only on membership, never on partitioning.
+    """
+    n_tok = F.size(_tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w).cast("long")
+    start = (cum - n_tok).cast("long")
+    end_incl = (cum - 1).cast("long")
+    seq_id = F.floor(start / seq_len).cast("long")
+    last_seq = F.floor(end_incl / seq_len).cast("long")
+    return df.select(
+        "doc_id",
+        F.col(strata_col),
+        n_tok.cast("long").alias("n_tokens"),
+        start.alias("start_offset"),
+        seq_id.alias("seq_id"),
+        (start % seq_len).cast("long").alias("offset_in_seq"),
+        F.when(n_tok > 0, last_seq - seq_id + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_seqs_spanned"),
+    )

@@ -123,6 +123,70 @@ class ManifestTable:
         self._save_manifest(manifest)
         return cid
 
+    def merge(self, spark, updates, key: str = "url") -> int | None:
+        """Iceberg MERGE INTO, copy-on-write flavor: upsert ``updates`` by
+        ``key`` (matched rows are replaced, new keys inserted).
+
+        Scale shape — touch only what matched: one column-pruned scan of
+        the key column across visible commits finds which commits contain a
+        matched key (the update side is broadcast — a merge batch is tiny
+        next to the table). UNAFFECTED commits are never read again and
+        keep their files verbatim; the affected commits' surviving rows and
+        the updates land together as ONE new commit whose manifest entry
+        ``replaces`` the affected ids. History is preserved for
+        ``read(as_of=...)`` until ``expire()`` — the same snapshot algebra
+        as ``compact``. Returns the new commit id (None for empty updates).
+        """
+        from pyspark.sql import functions as F
+
+        if updates.rdd.isEmpty():
+            return None
+        manifest = self._load_manifest()
+        vis = self._visible(manifest)
+        upd_keys = updates.select(key).distinct()
+        affected: list[dict] = []
+        if vis:
+            # one job, key column only: parquet column pruning makes this a
+            # fraction of the table bytes even with millions of rows
+            keyed = None
+            for s in vis:
+                part = (
+                    spark.read.parquet(s["path"])
+                    .select(key)
+                    .withColumn("_cid", F.lit(s["commit_id"]))
+                )
+                keyed = part if keyed is None else keyed.unionByName(part)
+            hit_ids = {
+                r["_cid"]
+                for r in keyed.join(F.broadcast(upd_keys), key)
+                .select("_cid")
+                .distinct()
+                .collect()
+            }
+            affected = [s for s in vis if s["commit_id"] in hit_ids]
+        cid = self.next_commit_id()
+        if affected:
+            survivors = spark.read.parquet(*[s["path"] for s in affected]).join(
+                F.broadcast(upd_keys), key, "left_anti"
+            )
+            new_rows = survivors.unionByName(
+                updates.select(*survivors.columns), allowMissingColumns=False
+            )
+        else:
+            new_rows = updates
+        path = os.path.join(self.data_dir, f"commit={cid}")
+        new_rows.write.mode("overwrite").parquet(path)
+        manifest.append(
+            {
+                "commit_id": cid,
+                "path": path,
+                "ts": time.time(),
+                "replaces": sorted(s["commit_id"] for s in affected),
+            }
+        )
+        self._save_manifest(manifest)
+        return cid
+
     def expire(self) -> list[int]:
         """Iceberg expire_snapshots: physically delete every data directory
         hidden from the CURRENT view and drop its manifest entry. Trades

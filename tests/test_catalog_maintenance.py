@@ -140,3 +140,43 @@ def test_reconciliation_never_rolls_back_compaction(spark, tmp_path):
     _, m = run_extract_job(spark, pages, out_root)
     assert m["docs"] == 0
     assert out_tbl.read(spark).count() == 500
+
+
+def test_merge_upserts_and_prunes_untouched_commits(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)  # commits 0,1,2 with ids 0..3,100..103,200..203
+    before = {s["commit_id"]: s["path"] for s in tbl.snapshots}
+    upd = spark.createDataFrame(
+        [(101, "UPDATED"), (999, "INSERTED")], "id long, v string"
+    )
+    cid = tbl.merge(spark, upd, key="id")
+    assert cid == 3
+    cur = {r.id: r.v for r in tbl.read(spark).collect()}
+    assert cur[101] == "UPDATED" and cur[999] == "INSERTED"
+    assert cur[100] == "v1_0" and cur[0] == "v0_0"  # untouched rows survive
+    assert len(cur) == 13  # 12 original + 1 insert
+    # copy-on-write pruning: only commit 1 (which held id=101) was replaced
+    entry = next(s for s in tbl.snapshots if s["commit_id"] == cid)
+    assert entry["replaces"] == [1]
+    # untouched commits keep their exact files
+    after = {s["commit_id"]: s["path"] for s in tbl.snapshots}
+    assert after[0] == before[0] and after[2] == before[2]
+
+
+def test_merge_time_travel_sees_premerge_rows(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    upd = spark.createDataFrame([(101, "UPDATED")], "id long, v string")
+    cid = tbl.merge(spark, upd, key="id")
+    old = {r.id: r.v for r in tbl.read(spark, as_of=cid - 1).collect()}
+    assert old[101] == "v1_1"
+    expired = tbl.expire()
+    assert 1 in expired  # the replaced commit goes when history is dropped
+    assert {r.id: r.v for r in tbl.read(spark).collect()}[101] == "UPDATED"
+
+
+def test_merge_pure_insert_replaces_nothing(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    upd = spark.createDataFrame([(999, "NEW")], "id long, v string")
+    cid = tbl.merge(spark, upd, key="id")
+    entry = next(s for s in tbl.snapshots if s["commit_id"] == cid)
+    assert entry["replaces"] == []
+    assert tbl.read(spark).count() == 13

@@ -181,3 +181,39 @@ class TestQualityClassifier:
             .toString()
         )
         assert "Exchange" not in plan, "per-row operator must not shuffle"
+
+
+class TestSequencePack:
+    def test_boundary_straddle(self, spark):
+        from ocr_spark.operators.corpus_filters import sequence_pack
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, lang="en", text=" ".join(["w"] * 1500)),
+                Row(doc_id=2, lang="en", text=" ".join(["w"] * 1000)),
+                Row(doc_id=3, lang="en", text=""),
+                Row(doc_id=4, lang="fr", text=" ".join(["w"] * 10)),
+            ]
+        )
+        got = {r["doc_id"]: r for r in sequence_pack(docs, seq_len=2048).collect()}
+        assert got[1]["seq_id"] == 0 and got[1]["offset_in_seq"] == 0
+        assert got[1]["n_seqs_spanned"] == 1
+        # doc 2 starts at 1500, ends at 2499 -> straddles seqs 0 and 1
+        assert got[2]["start_offset"] == 1500
+        assert got[2]["n_seqs_spanned"] == 2
+        # empty doc occupies nothing
+        assert got[3]["n_tokens"] == 0 and got[3]["n_seqs_spanned"] == 0
+        # strata are independent streams
+        assert got[4]["start_offset"] == 0 and got[4]["seq_id"] == 0
+
+    def test_single_exchange(self, spark):
+        from ocr_spark.contract import QUERIES
+        from tests.conftest import SF_CORRECT
+
+        plan = (
+            QUERIES["sequence_pack"](spark, SF_CORRECT)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
