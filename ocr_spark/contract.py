@@ -626,6 +626,52 @@ def q_sequence_pack(spark, sf):  # GPT-style concat-and-chunk packing
     return sequence_pack(_t(spark, sf, "documents"))
 
 
+def q_robots_filter(spark, sf):  # robots.txt compliance gate (RFC 9309)
+    """Deterministically constructed robots.txt bodies per host (allow/
+    disallow groups, longest-match, $-anchor, agent-specific override) are
+    PARSED from text by operators/robots.py; the oracle re-derives every
+    verdict ARITHMETICALLY from the corpus-construction residues — two
+    independent derivations, like host_stats."""
+    from .operators.robots import robots_filter
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    h = (F.col("doc_id") % 10).cast("string")
+    r = F.col("doc_id") % 5
+    did = F.col("doc_id").cast("string")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("host"), h, F.lit(".example.com")).alias("host"),
+        F.when(r == 0, F.concat(F.lit("/exactly/page"), did))
+        .when(r == 1, F.concat(F.lit("/private/x"), did))
+        .when(r == 2, F.concat(F.lit("/private/ok/y"), did))
+        .when(r == 3, F.concat(F.lit("/tmp"), h, F.lit("/z")))
+        .otherwise(F.lit("/exact"))
+        .alias("path"),
+    )
+    hosts = urls.select("host").distinct().withColumn(
+        "hnum", F.regexp_extract("host", "host(\\d+)", 1).cast("int")
+    )
+    hn = F.col("hnum").cast("string")
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit(
+                "User-agent: *\n# corpus robots\nDisallow: /private\n"
+                "Allow: /private/ok\nDisallow: /exact$\n"
+            ),
+            F.when(
+                F.col("hnum") % 2 == 0,
+                F.concat(F.lit("Disallow: /tmp"), hn, F.lit("\n")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("hnum") % 3 == 0,
+                F.lit("\nUser-agent: ocrbot\nDisallow: /\n"),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    return robots_filter(urls, robots, agent="ocrbot")
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -1016,6 +1062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "quality_classifier": q_quality_classifier,
     "sequence_pack": q_sequence_pack,
+    "robots_filter": q_robots_filter,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -1857,6 +1904,24 @@ def _quality_classifier_oracle_sql() -> str:
 ORACLE_SQL["quality_classifier"] = _quality_classifier_oracle_sql()
 
 
+
+ORACLE_SQL["robots_filter"] = """
+    SELECT doc_id,
+           'host' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS host,
+           CASE doc_id % 5
+               WHEN 0 THEN '/exactly/page' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/private/ok/y' || CAST(doc_id AS VARCHAR)
+               WHEN 3 THEN '/tmp' || CAST(doc_id % 10 AS VARCHAR) || '/z'
+               ELSE '/exact' END AS path,
+           CASE WHEN (doc_id % 10) % 3 = 0 THEN FALSE   -- ocrbot group: all off
+                WHEN doc_id % 5 = 1 THEN FALSE          -- /private disallow
+                WHEN doc_id % 5 = 4 THEN FALSE          -- /exact$ anchor
+                WHEN doc_id % 5 = 3 AND (doc_id % 10) % 2 = 0
+                     THEN FALSE                         -- even-host /tmpN
+                ELSE TRUE END AS allowed
+    FROM documents
+"""
 
 ORACLE_SQL["sequence_pack"] = r"""
     WITH toks AS (

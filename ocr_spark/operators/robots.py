@@ -1,0 +1,150 @@
+"""robots.txt compliance filtering — the crawl-edge gate every fetch list
+passes through before politeness scheduling.
+
+Two pieces:
+
+- :func:`parse_robots` — RFC 9309 (REP) parser for one robots.txt body:
+  group selection by user-agent (the MOST SPECIFIC matching group's rules
+  apply, and ONLY that group's — a specific group overrides ``*``
+  entirely), Allow/Disallow directives, comments, blank-line group ends.
+  Plain-prefix and ``$``-anchored rules are matched; empty Disallow means
+  "no restriction" and is dropped per the RFC.
+
+- :func:`robots_filter` — distributed longest-match evaluation: robots
+  bodies parse once per host in an Arrow-batched UDF, explode to a
+  (host, allow, prefix, anchored) rule table, equi-join the url table on
+  host, and pick the winner per url by (match length DESC, allow DESC) —
+  RFC tie-break: the longest match wins, Allow wins equal-length ties.
+  Urls whose host has no rules (or no matching rule) are allowed.
+
+Scale shape: the rule join is a hash equi-join on host; each url meets
+only its host's rules (robots files are small, so fan-out per url is the
+host's rule count, typically < 100). No broadcast of a global robots
+map — millions of hosts stay distributed; AQE handles mega-host skew the
+same way the extraction job does.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str, bool]]:
+    """Rules for ``agent`` from one robots.txt body:
+    [(allow, prefix, anchored), ...]. Group selection per RFC 9309: the
+    longest user-agent token that is a case-insensitive substring match of
+    ``agent`` wins; ``*`` is the fallback; only the winning group's rules
+    apply."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    in_group_body = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_group_body = False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if not value:
+                # empty Disallow = no restriction (RFC 9309 §2.2.2)
+                continue
+            anchored = value.endswith("$")
+            prefix = value[:-1] if anchored else value
+            cur_rules.append((field == "allow", prefix, anchored))
+        # other fields (sitemap, crawl-delay) end nothing and are ignored
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+
+    agent_l = agent.lower()
+    best: tuple[int, list] | None = None
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                score = 0
+            elif a and a in agent_l:
+                score = len(a)
+            else:
+                continue
+            if best is None or score > best[0]:
+                best = (score, rules)
+    return [tuple(r) for r in best[1]] if best else []
+
+
+def robots_rules(robots: DataFrame, *, agent: str = "*") -> DataFrame:
+    """(host, robots_txt) -> exploded rule table
+    (host, allow, prefix, anchored, prefix_len)."""
+
+    @pandas_udf("array<struct<allow:boolean,prefix:string,anchored:boolean>>")
+    def parse(txts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [
+                    {"allow": a, "prefix": p, "anchored": anch}
+                    for (a, p, anch) in parse_robots(str(t), agent)
+                ]
+                for t in txts
+            ]
+        )
+
+    return (
+        robots.select("host", F.explode(parse("robots_txt")).alias("r"))
+        .select(
+            "host",
+            F.col("r.allow").alias("allow"),
+            F.col("r.prefix").alias("prefix"),
+            F.col("r.anchored").alias("anchored"),
+            F.length("r.prefix").alias("prefix_len"),
+        )
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots: DataFrame,
+    *,
+    agent: str = "*",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Longest-match robots evaluation. Input urls(host, path, ...),
+    robots(host, robots_txt); output = urls columns + ``allowed``."""
+    rules = robots_rules(robots, agent=agent).withColumnRenamed("host", host_col)
+    matched = (
+        urls.join(rules, on=[host_col], how="left")
+        .withColumn(
+            "_hit",
+            F.when(
+                F.col("anchored"),
+                F.col(path_col) == F.col("prefix"),
+            ).otherwise(F.col(path_col).startswith(F.col("prefix"))),
+        )
+    )
+    # winner per url: longest matching prefix, Allow wins ties; urls with
+    # no matching rule (or no rules at all) default to allowed
+    w = Window.partitionBy(*urls.columns).orderBy(
+        F.desc(F.when(F.col("_hit"), F.col("prefix_len")).otherwise(-1)),
+        F.desc("allow"),
+    )
+    return (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            *urls.columns,
+            F.when(F.col("_hit"), F.col("allow")).otherwise(F.lit(True)).alias(
+                "allowed"
+            ),
+        )
+    )

@@ -1,0 +1,105 @@
+"""robots.txt compliance gate (operators/robots.py) — RFC 9309 semantics.
+
+Parser unit tests cover group selection (most-specific agent wins, `*`
+fallback, specific group REPLACES `*`), empty-Disallow drop, `$` anchors,
+comments, and multi-agent groups. The Spark test checks distributed
+longest-match evaluation end-to-end.
+"""
+
+import pandas as pd
+
+from ocr_spark.operators.robots import parse_robots, robots_filter
+
+BODY = """\
+# global rules
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /exact$
+Disallow:
+
+User-agent: ocrbot
+User-agent: otherbot
+Disallow: /
+"""
+
+
+def test_parse_star_group():
+    rules = parse_robots(BODY, agent="randombot")
+    assert (False, "/private", False) in rules
+    assert (True, "/private/ok", False) in rules
+    assert (False, "/exact", True) in rules
+    # empty Disallow dropped
+    assert all(p for (_, p, _) in rules)
+
+
+def test_parse_specific_group_overrides_star():
+    # ocrbot matches the specific group; its rules REPLACE the * group's
+    rules = parse_robots(BODY, agent="ocrbot/1.0")
+    assert rules == [(False, "/", False)]
+    # multi-agent group applies to every listed agent
+    assert parse_robots(BODY, agent="otherbot") == [(False, "/", False)]
+
+
+def test_parse_longest_agent_token_wins():
+    body = (
+        "User-agent: bot\nDisallow: /a\n\n"
+        "User-agent: ocrbot\nDisallow: /b\n"
+    )
+    assert parse_robots(body, agent="ocrbot") == [(False, "/b", False)]
+    # both token groups match 'myocrbot'; 'ocrbot' is longer
+    assert parse_robots(body, agent="myocrbot") == [(False, "/b", False)]
+
+
+def test_parse_no_groups():
+    assert parse_robots("", agent="x") == []
+    assert parse_robots("Sitemap: https://e.com/s.xml", agent="x") == []
+
+
+def test_parse_second_user_agent_line_starts_new_group():
+    body = (
+        "User-agent: a\nDisallow: /a\n"
+        "User-agent: b\nDisallow: /b\n"
+    )
+    assert parse_robots(body, agent="a") == [(False, "/a", False)]
+    assert parse_robots(body, agent="b") == [(False, "/b", False)]
+
+
+def test_robots_filter_longest_match(spark):
+    urls = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": ["h1", "h1", "h1", "h1", "h1", "h2", "h3"],
+                "path": [
+                    "/private/x",      # blocked by /private
+                    "/private/ok/y",   # re-allowed: longer Allow wins
+                    "/exact",          # blocked: $-anchor exact match
+                    "/exactly",        # allowed: anchor does not prefix-match
+                    "/public",         # no matching rule -> allowed
+                    "/anything",       # host with no robots row -> allowed
+                    "/tie",            # equal-length Allow/Disallow -> Allow
+                ],
+            }
+        )
+    )
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": ["h1", "h3"],
+                "robots_txt": [BODY, "User-agent: *\nAllow: /tie\nDisallow: /tie\n"],
+            }
+        )
+    )
+    out = {
+        (r.host, r.path): r.allowed
+        for r in robots_filter(urls, robots).collect()
+    }
+    assert out == {
+        ("h1", "/private/x"): False,
+        ("h1", "/private/ok/y"): True,
+        ("h1", "/exact"): False,
+        ("h1", "/exactly"): True,
+        ("h1", "/public"): True,
+        ("h2", "/anything"): True,
+        ("h3", "/tie"): True,
+    }
