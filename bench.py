@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "semdedup",
     "quality_classifier",
     "sequence_pack",
+    "robots_filter",
+    "politeness",
+    "dsir",
 ]
 
 

@@ -672,6 +672,103 @@ def q_robots_filter(spark, sf):  # robots.txt compliance gate (RFC 9309)
     return robots_filter(urls, robots, agent="ocrbot")
 
 
+def q_sitemap_urls(spark, sf):  # sitemaps.org parse (urlset + sitemapindex)
+    """Deterministic sitemap XML per host (urlset with lastmod/changefreq/
+    priority variants + sitemapindex hosts + &amp; entity in loc) is PARSED
+    from bytes by operators/crawl_edge.py; the oracle re-derives every row
+    arithmetically from the distinct host residues."""
+    from .operators.crawl_edge import sitemap_entries
+
+    hosts = (
+        _t(spark, sf, "documents")
+        .select((F.col("doc_id") % 10).alias("hnum"))
+        .distinct()
+    )
+    hn = F.col("hnum").cast("string")
+    base = F.concat(F.lit("https://host"), hn, F.lit(".example.com"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<urlset>\n  <url><loc>'),
+        base,
+        F.lit("/page0&amp;ref="),
+        hn,
+        F.lit("</loc><lastmod>2026-0"),
+        ((F.col("hnum") % 9) + 1).cast("string"),
+        F.lit("-01</lastmod><priority>0."),
+        hn,
+        F.lit("</priority></url>\n  <url><loc>"),
+        base,
+        F.lit("/page1</loc><changefreq>"),
+        F.when(F.col("hnum") % 2 == 0, F.lit("daily")).otherwise(F.lit("weekly")),
+        F.lit("</changefreq></url>\n  <url><loc>"),
+        base,
+        F.lit("/page2</loc></url>\n</urlset>\n"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0"?>\n<sitemapindex>\n  <sitemap><loc>'),
+        base,
+        F.lit(
+            "/sitemap_1.xml.gz</loc><lastmod>2026-07-15</lastmod></sitemap>\n"
+            "  <sitemap><loc>"
+        ),
+        base,
+        F.lit("/sitemap_2.xml.gz</loc></sitemap>\n</sitemapindex>\n"),
+    )
+    sm = hosts.select(
+        F.concat(F.lit("host"), hn, F.lit(".example.com")).alias("host"),
+        F.when(F.col("hnum") % 3 == 0, index).otherwise(urlset).alias("sitemap_xml"),
+    )
+    return sitemap_entries(sm)
+
+
+def q_politeness(spark, sf):  # per-host fetch-slot schedule w/ robots delay
+    """Crawl-delay is PARSED from robots.txt text by robots_directives
+    (fractional-second and integer flavors); slots come from the window
+    rank. The oracle re-derives the delay arithmetically and the slot via
+    its own window — integer schedule, exact match."""
+    from .operators.crawl_edge import politeness_schedule
+    from .operators.robots import robots_directives
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    h = (F.col("doc_id") % 10).cast("string")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("host"), h, F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("/p"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 7).cast("int").alias("priority"),
+    )
+    hosts = urls.select("host").distinct().withColumn(
+        "hnum", F.regexp_extract("host", "host(\\d+)", 1).cast("int")
+    )
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            F.when(F.col("hnum") % 4 == 3, F.lit("0.5")).otherwise(
+                ((F.col("hnum") % 4) + 1).cast("string")
+            ),
+            F.lit("\nDisallow: /private\nSitemap: https://"),
+            F.col("host"),
+            F.lit("/sm.xml\n"),
+        ).alias("robots_txt"),
+    )
+    return politeness_schedule(
+        urls, robots_directives(robots), priority_col="priority", order_col="url"
+    )
+
+
+def q_dsir(spark, sf):  # DSIR importance weights (target = lang 'en')
+    """Two-pass hashed-unigram importance estimator: bounded bucket counts
+    -> integer milli-log-ratio literal -> zero-exchange integer scoring.
+    The oracle recomputes BOTH the bucket models and the per-doc sums from
+    scratch in DuckDB (portable poly-hash + ln floor-quantized at 1e-3)."""
+    from .operators.dsir import dsir_weights
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.substring(F.col("text"), 1, 300).alias("text")
+    )
+    return dsir_weights(d, F.col("lang") == "en", n_buckets=64)
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -1063,6 +1160,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "sequence_pack": q_sequence_pack,
     "robots_filter": q_robots_filter,
+    "sitemap_urls": q_sitemap_urls,
+    "politeness": q_politeness,
+    "dsir": q_dsir,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -1921,6 +2021,77 @@ ORACLE_SQL["robots_filter"] = """
                      THEN FALSE                         -- even-host /tmpN
                 ELSE TRUE END AS allowed
     FROM documents
+"""
+
+ORACLE_SQL["sitemap_urls"] = """
+    WITH h AS (SELECT DISTINCT doc_id % 10 AS hnum FROM documents),
+    base AS (SELECT hnum,
+            'host' || CAST(hnum AS VARCHAR) || '.example.com' AS host,
+            'https://host' || CAST(hnum AS VARCHAR) || '.example.com' AS b
+        FROM h)
+    SELECT host, 'sitemap' AS kind, b || '/sitemap_1.xml.gz' AS loc,
+           '2026-07-15' AS lastmod, CAST(NULL AS VARCHAR) AS changefreq,
+           CAST(NULL AS INT) AS priority_milli
+    FROM base WHERE hnum % 3 = 0
+    UNION ALL
+    SELECT host, 'sitemap', b || '/sitemap_2.xml.gz', NULL, NULL, NULL
+    FROM base WHERE hnum % 3 = 0
+    UNION ALL
+    SELECT host, 'url', b || '/page0&ref=' || CAST(hnum AS VARCHAR),
+           '2026-0' || CAST(hnum % 9 + 1 AS VARCHAR) || '-01',
+           NULL, CAST(hnum * 100 AS INT)
+    FROM base WHERE hnum % 3 <> 0
+    UNION ALL
+    SELECT host, 'url', b || '/page1', NULL,
+           CASE WHEN hnum % 2 = 0 THEN 'daily' ELSE 'weekly' END, NULL
+    FROM base WHERE hnum % 3 <> 0
+    UNION ALL
+    SELECT host, 'url', b || '/page2', NULL, NULL, NULL
+    FROM base WHERE hnum % 3 <> 0
+"""
+
+ORACLE_SQL["politeness"] = """
+    WITH urls AS (SELECT doc_id,
+            'host' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS host,
+            '/p' || CAST(doc_id AS VARCHAR) AS url,
+            CAST(doc_id % 7 AS INT) AS priority
+        FROM documents),
+    s AS (SELECT *, CAST(row_number() OVER
+            (PARTITION BY host ORDER BY priority DESC, url ASC) - 1 AS INT)
+            AS slot FROM urls)
+    SELECT doc_id, host, url, priority, slot,
+           CAST(slot * (CASE WHEN (doc_id % 10) % 4 = 3 THEN 500
+                             ELSE ((doc_id % 10) % 4 + 1) * 1000 END)
+                AS BIGINT) AS fetch_offset_ms
+    FROM s
+"""
+
+ORACLE_SQL["dsir"] = r"""
+    WITH toks AS (SELECT doc_id, lang,
+           list_filter(string_split_regex(trim(substr(text, 1, 300)), '\s+'),
+                       w -> w <> '') AS t FROM documents),
+    b AS (SELECT doc_id, lang, len(t) AS n,
+           list_transform(t, w -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (a, x) -> (a * 31 + x) % 1000000007) % 64) AS bs
+         FROM toks),
+    cnt AS (SELECT u.x AS bucket, count(*) AS raw_n,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS target_n
+        FROM b, unnest(bs) AS u(x) GROUP BY 1),
+    tot AS (SELECT sum(raw_n) AS R, sum(target_n) AS T FROM cnt),
+    lam AS (SELECT r.i AS bucket,
+            CAST(floor(1000 * ln(
+                ((coalesce(c.target_n, 0) + 1) * (t.R + 64)) * 1.0 /
+                ((coalesce(c.raw_n, 0) + 1) * (t.T + 64)))) AS BIGINT) AS lam
+        FROM range(0, 64) AS r(i)
+        LEFT JOIN cnt c ON c.bucket = r.i CROSS JOIN tot t),
+    per AS (SELECT doc_id, u.x AS bucket FROM b, unnest(bs) AS u(x)),
+    sc AS (SELECT per.doc_id, sum(l.lam) AS s FROM per
+           JOIN lam l ON l.bucket = per.bucket GROUP BY 1)
+    SELECT b.doc_id, CAST(b.n AS INT) AS n_tokens,
+           CAST(coalesce(sc.s, 0) AS BIGINT) AS dsir_milli
+    FROM b LEFT JOIN sc ON b.doc_id = sc.doc_id
 """
 
 ORACLE_SQL["sequence_pack"] = r"""

@@ -31,16 +31,36 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str, bool]]:
-    """Rules for ``agent`` from one robots.txt body:
-    [(allow, prefix, anchored), ...]. Group selection per RFC 9309: the
-    longest user-agent token that is a case-insensitive substring match of
-    ``agent`` wins; ``*`` is the fallback; only the winning group's rules
-    apply."""
-    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+def parse_robots_directives(
+    txt: str, agent: str = "*"
+) -> tuple[list[tuple[bool, str, bool]], int | None, list[str]]:
+    """Full directive extraction from one robots.txt body for ``agent``:
+    ``(rules, crawl_delay_ms, sitemaps)``.
+
+    - rules: [(allow, prefix, anchored), ...] from the winning group only.
+      Group selection per RFC 9309: the longest user-agent token that is a
+      case-insensitive substring match of ``agent`` wins; ``*`` is the
+      fallback; only the winning group's rules apply.
+    - crawl_delay_ms: the winning group's ``Crawl-delay`` (seconds, may be
+      fractional) rounded to integer milliseconds; None when absent or
+      unparsable. De-facto extension honored by major crawlers.
+    - sitemaps: every ``Sitemap:`` value in the file, in order — the
+      directive is file-global, independent of group selection (RFC 9309
+      treats unknown records as other records; sitemaps.org defines it).
+    """
+    groups: list[tuple[list[str], list[tuple[bool, str]], int | None]] = []
+    sitemaps: list[str] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[bool, str]] = []
+    cur_delay: int | None = None
     in_group_body = False
+
+    def _close():
+        nonlocal cur_agents, cur_rules, cur_delay, in_group_body
+        groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+        in_group_body = False
+
     for raw in txt.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
@@ -52,9 +72,7 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str, bool]]:
         value = value.strip()
         if field == "user-agent":
             if in_group_body:
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
-                in_group_body = False
+                _close()
             cur_agents.append(value.lower())
         elif field in ("allow", "disallow"):
             in_group_body = True
@@ -64,13 +82,23 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str, bool]]:
             anchored = value.endswith("$")
             prefix = value[:-1] if anchored else value
             cur_rules.append((field == "allow", prefix, anchored))
-        # other fields (sitemap, crawl-delay) end nothing and are ignored
-    if cur_agents or cur_rules:
-        groups.append((cur_agents, cur_rules))
+        elif field == "crawl-delay":
+            in_group_body = True
+            try:
+                cur_delay = int(round(float(value) * 1000.0))
+            except ValueError:
+                pass
+        elif field == "sitemap":
+            # file-global; does not open or close a group body
+            if value:
+                sitemaps.append(value)
+        # other fields end nothing and are ignored
+    if cur_agents or cur_rules or cur_delay is not None:
+        _close()
 
     agent_l = agent.lower()
-    best: tuple[int, list] | None = None
-    for agents, rules in groups:
+    best: tuple[int, list, int | None] | None = None
+    for agents, rules, delay in groups:
         for a in agents:
             if a == "*":
                 score = 0
@@ -79,8 +107,16 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str, bool]]:
             else:
                 continue
             if best is None or score > best[0]:
-                best = (score, rules)
-    return [tuple(r) for r in best[1]] if best else []
+                best = (score, rules, delay)
+    if best is None:
+        return [], None, sitemaps
+    return [tuple(r) for r in best[1]], best[2], sitemaps
+
+
+def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str, bool]]:
+    """Allow/Disallow rules for ``agent`` — see
+    :func:`parse_robots_directives` for group-selection semantics."""
+    return parse_robots_directives(txt, agent)[0]
 
 
 def robots_rules(robots: DataFrame, *, agent: str = "*") -> DataFrame:
@@ -108,6 +144,27 @@ def robots_rules(robots: DataFrame, *, agent: str = "*") -> DataFrame:
             F.col("r.anchored").alias("anchored"),
             F.length("r.prefix").alias("prefix_len"),
         )
+    )
+
+
+def robots_directives(robots: DataFrame, *, agent: str = "*") -> DataFrame:
+    """(host, robots_txt) -> (host, crawl_delay_ms:long nullable,
+    sitemaps:array<string>). One Arrow-batched parse per host row, zero
+    exchanges — the politeness input table."""
+
+    @pandas_udf("struct<crawl_delay_ms:long,sitemaps:array<string>>")
+    def parse(txts: pd.Series) -> pd.DataFrame:
+        delays, maps = [], []
+        for t in txts:
+            _, delay, sm = parse_robots_directives(str(t), agent)
+            delays.append(delay)
+            maps.append(sm)
+        return pd.DataFrame({"crawl_delay_ms": delays, "sitemaps": maps})
+
+    return robots.select("host", parse("robots_txt").alias("d")).select(
+        "host",
+        F.col("d.crawl_delay_ms").alias("crawl_delay_ms"),
+        F.col("d.sitemaps").alias("sitemaps"),
     )
 
 
