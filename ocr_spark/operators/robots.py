@@ -147,6 +147,33 @@ def robots_rules(robots: DataFrame, *, agent: str = "*") -> DataFrame:
     )
 
 
+# scheme://host capture (same shape as plans/pipeline._HOST_RE, kept local
+# to avoid an operators -> plans import cycle) and the path remainder
+_URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/]+)"
+_URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]+(/[^#]*)?"
+
+
+def gate_pages(
+    pages: DataFrame, robots: DataFrame, *, agent: str = "*", url_col: str = "url"
+) -> DataFrame:
+    """Production-surface robots gate for a pages table: evaluate
+    :func:`robots_filter` on the (url, host, path) PROJECTION only — never
+    windowing over the html payload — then left-semi join the allowed urls
+    back. Both joins are url/host equi-joins (the lineage anti-join's
+    partitioning reuses the url side downstream). Urls with no path get
+    '/'; fragment-only tails are stripped per RFC 9309 §2.2.2."""
+    u = pages.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(url_col, _URL_HOST_RE, 1).alias("host"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(url_col, _URL_PATH_RE, 1), F.lit("")),
+            F.lit("/"),
+        ).alias("path"),
+    )
+    allowed = robots_filter(u, robots, agent=agent).where("allowed").select("url")
+    return pages.join(allowed, pages[url_col] == allowed["url"], "left_semi")
+
+
 def robots_directives(robots: DataFrame, *, agent: str = "*") -> DataFrame:
     """(host, robots_txt) -> (host, crawl_delay_ms:long nullable,
     sitemaps:array<string>). One Arrow-batched parse per host row, zero

@@ -38,6 +38,12 @@ def main():
         "skew pattern); 'all' repartitions the whole input",
     )
     ap.add_argument("--decode", choices=["greedy", "beam"], default="greedy")
+    ap.add_argument(
+        "--robots",
+        help="parquet path of (host, robots_txt) rows: drop disallowed urls "
+        "before extraction (RFC 9309 longest-match)",
+    )
+    ap.add_argument("--agent", default="*", help="user-agent for --robots")
     ap.add_argument("--cpus", type=int, default=None, help="local-mode cores")
     ap.add_argument(
         "--compact",
@@ -77,6 +83,13 @@ def main():
             pages = spark.read.parquet(args.input)
         else:
             ap.error("one of --input / --warc / --synth-sf is required")
+
+        if args.robots:
+            from ocr_spark.operators.robots import gate_pages
+
+            pages = gate_pages(
+                pages, spark.read.parquet(args.robots), agent=args.agent
+            )
 
         commit_id, metrics = run_extract_job(
             spark,

@@ -103,3 +103,29 @@ def test_robots_filter_longest_match(spark):
         ("h2", "/anything"): True,
         ("h3", "/tie"): True,
     }
+
+
+def test_gate_pages(spark):
+    from ocr_spark.operators.robots import gate_pages
+
+    pages = spark.createDataFrame(
+        [
+            ("https://h1.example/private/a", b"<p>x</p>"),
+            ("https://h1.example/pub/b", b"<p>y</p>"),
+            ("https://h1.example", b"<p>root no path</p>"),
+            ("https://h2.example/private/c", b"<p>no robots host</p>"),
+        ],
+        "url string, html binary",
+    )
+    robots = spark.createDataFrame(
+        [("h1.example", "User-agent: *\nDisallow: /private\n")],
+        "host string, robots_txt string",
+    )
+    out = gate_pages(pages, robots)
+    assert sorted(r.url for r in out.collect()) == [
+        "https://h1.example",
+        "https://h1.example/pub/b",
+        "https://h2.example/private/c",
+    ]
+    # payload columns survive the gate untouched
+    assert out.columns == pages.columns
