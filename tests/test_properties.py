@@ -194,3 +194,64 @@ def test_bpe_encode_lossless_fuzz(lines):
     ranks = train_bpe(counts, n_merges=20)
     toks = encode_text_bpe(corpus, ranks)
     assert "".join(toks).replace("</w>", " ").strip() == " ".join(corpus.split())
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_sitemap_parse_never_raises(blob):
+    from ocr_spark.operators.crawl_edge import parse_sitemap
+
+    for e in parse_sitemap(blob):
+        assert e["kind"] in ("url", "sitemap") and e["loc"]
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_robots_parse_never_raises(txt):
+    from ocr_spark.operators.robots import parse_robots_directives
+
+    rules, delay, sitemaps = parse_robots_directives(txt, agent="anybot")
+    assert all(isinstance(a, bool) and p for (a, p, _) in rules)
+    assert delay is None or isinstance(delay, int)
+
+
+_SM_LOC = st.from_regex(r"https://[a-z]{1,8}\.example/[a-z0-9/]{0,20}", fullmatch=True)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            _SM_LOC,
+            st.one_of(st.none(), st.from_regex(r"20[0-9]{2}-[01][0-9]-[0-3][0-9]", fullmatch=True)),
+            st.one_of(st.none(), st.sampled_from(["daily", "weekly", "monthly"])),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=10)),
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_sitemap_build_parse_roundtrip(entries):
+    """Structured round trip: build a urlset from entry tuples, parse it
+    back, recover every field (priority in exact milli-units)."""
+    from ocr_spark.operators.crawl_edge import parse_sitemap
+
+    parts = ["<urlset>"]
+    for loc, lastmod, freq, prio10 in entries:
+        parts.append("<url>")
+        parts.append(f"<loc>{loc}</loc>")
+        if lastmod:
+            parts.append(f"<lastmod>{lastmod}</lastmod>")
+        if freq:
+            parts.append(f"<changefreq>{freq}</changefreq>")
+        if prio10 is not None:
+            parts.append(f"<priority>{prio10 / 10:.1f}</priority>")
+        parts.append("</url>")
+    parts.append("</urlset>")
+    got = parse_sitemap("".join(parts))
+    assert [
+        (e["loc"], e["lastmod"], e["changefreq"], e["priority_milli"]) for e in got
+    ] == [
+        (loc, lastmod, freq, prio10 * 100 if prio10 is not None else None)
+        for (loc, lastmod, freq, prio10) in entries
+    ]
