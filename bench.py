@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "robots_filter",
     "politeness",
     "dsir",
+    "audio_features",
 ]
 
 

@@ -769,6 +769,46 @@ def q_dsir(spark, sf):  # DSIR importance weights (target = lang 'en')
     return dsir_weights(d, F.col("lang") == "en", n_buckets=64)
 
 
+def q_audio_features(spark, sf):  # REAL WAV decode -> integer features
+    """Square-wave WAV blobs (amplitude / half-period / length / rate /
+    channel count from doc_id residues) are ENCODED to real RIFF bytes and
+    DECODED back through kernels/wavcodec.py; the oracle computes every
+    feature closed-form from the residues — the audio analog of pixel_ocr's
+    build-then-actually-decode identity."""
+    from .operators.multimodal import audio_features
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocr_spark.kernels.wavcodec import wav_encode
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a = 500 * (1 + did % 3)
+                half = 4 + did % 4
+                n = 256 + 16 * (did % 5)
+                rate = 8000 + 1000 * (did % 2)
+                i = np.arange(n)
+                ch0 = np.where((i // half) % 2 == 0, a, -a).astype(np.int32)
+                s = (
+                    np.stack([ch0, np.zeros_like(ch0)], axis=1)
+                    if did % 7 == 0
+                    else ch0
+                )
+                blobs.append(wav_encode(s, rate))
+            yield pd.DataFrame(
+                {"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = d.mapInPandas(build, schema="blob_id long, blob binary")
+    return audio_features(blobs)
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -1163,6 +1203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_urls": q_sitemap_urls,
     "politeness": q_politeness,
     "dsir": q_dsir,
+    "audio_features": q_audio_features,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -2092,6 +2133,20 @@ ORACLE_SQL["dsir"] = r"""
     SELECT b.doc_id, CAST(b.n AS INT) AS n_tokens,
            CAST(coalesce(sc.s, 0) AS BIGINT) AS dsir_milli
     FROM b LEFT JOIN sc ON b.doc_id = sc.doc_id
+"""
+
+ORACLE_SQL["audio_features"] = """
+    SELECT doc_id AS blob_id,
+           CAST(8000 + 1000 * (doc_id % 2) AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS INT) AS n_channels,
+           CAST(256 + 16 * (doc_id % 5) AS INT) AS n_samples,
+           CAST(500 * (1 + doc_id % 3) AS INT) AS peak,
+           CAST((256 + 16 * (doc_id % 5))
+                * (500 * (1 + doc_id % 3)) * (500 * (1 + doc_id % 3))
+                AS BIGINT) AS energy,
+           CAST((256 + 16 * (doc_id % 5) - 1) // (4 + doc_id % 4) AS INT)
+               AS zero_crossings
+    FROM documents
 """
 
 ORACLE_SQL["sequence_pack"] = r"""

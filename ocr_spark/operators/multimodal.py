@@ -3,8 +3,9 @@
 Driver brief: image/audio/video are opaque ``binary`` columns; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas stages.
 PNG and baseline-JPEG decode are REAL (pure-Python/numpy codecs in
-kernels/imagecodec.py — round 2 unstub of the round-1 boundary); other
-formats raise NotImplementedError and opaque test blobs use the
+kernels/imagecodec.py — round 2 unstub of the round-1 boundary), and so is
+RIFF/WAVE audio decode (kernels/wavcodec.py, see :func:`audio_features`);
+other formats raise NotImplementedError and opaque test blobs use the
 deterministic ``fake_decode`` stand-in.
 
 Reference analog: load_image / resize / normalize
@@ -167,6 +168,57 @@ def blob_resize(df: DataFrame, *, h: int = 4, w: int = 4, blob_col: str = "blob"
             yield pd.DataFrame(rows, columns=["blob_id", "height", "width", "pixels"])
 
     return df.mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "blob_id long, sample_rate int, n_channels int, n_samples int, "
+    "peak int, energy long, zero_crossings int"
+)
+
+
+def audio_features(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id") -> DataFrame:
+    """REAL audio decode -> integer signal features, one Arrow stage.
+
+    Decodes RIFF/WAVE blobs (kernels/wavcodec.py — PCM 8/16-bit) and emits
+    per-blob integer features on channel 0: peak = max |x|, energy =
+    sum(x^2) as a long, zero_crossings = count of strict sign flips
+    (x[i-1]*x[i] < 0; zeros never flip). Integer end-to-end -> identical
+    under any partitioning and exactly re-derivable by a closed-form
+    oracle. Undecodable blobs are SKIPPED (fewer rows, never a task
+    failure — codec-parser policy)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.wavcodec import WavError, wav_decode
+
+        cols = [
+            "blob_id", "sample_rate", "n_channels", "n_samples",
+            "peak", "energy", "zero_crossings",
+        ]
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    samples, rate = wav_decode(bytes(blob) if blob is not None else b"")
+                except WavError:
+                    continue
+                ch0 = samples[:, 0].astype(np.int64)
+                flips = int(((ch0[:-1] * ch0[1:]) < 0).sum()) if len(ch0) > 1 else 0
+                rows.append(
+                    {
+                        "blob_id": int(bid),
+                        "sample_rate": rate,
+                        "n_channels": samples.shape[1],
+                        "n_samples": len(ch0),
+                        "peak": int(np.abs(ch0).max()) if len(ch0) else 0,
+                        "energy": int((ch0 * ch0).sum()),
+                        "zero_crossings": flips,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(gen, schema=AUDIO_SCHEMA)
 
 
 def frame_sample(
