@@ -769,6 +769,36 @@ def q_dsir(spark, sf):  # DSIR importance weights (target = lang 'en')
     return dsir_weights(d, F.col("lang") == "en", n_buckets=64)
 
 
+def q_registrable_domain(spark, sf):  # public-suffix eTLD+1 extraction
+    """Hosts built from doc_id residues hit every PSL rule class (normal
+    1/2-label, private hosting suffix, wildcard *.ck, exception !www.ck,
+    bare-suffix host, unlisted TLD); the Spark side runs the spec's
+    longest-match algorithm in Column algebra, the oracle states each
+    case's answer closed-form — algorithm vs case table."""
+    from .operators.urls import registrable_domain
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    r = F.col("doc_id") % 8
+    hosts = d.select(
+        "doc_id",
+        F.when(r == 0, F.concat(F.lit("a"), did, F.lit(".b.example.com")))
+        .when(r == 1, F.concat(F.lit("shop"), did, F.lit(".co.uk")))
+        .when(r == 2, F.concat(F.lit("www.blog"), did, F.lit(".blogspot.com")))
+        .when(r == 3, F.concat(F.lit("u"), did, F.lit(".github.io")))
+        .when(r == 4, F.lit("co.uk"))
+        .when(r == 5, F.concat(F.lit("x"), did, F.lit(".w"), did, F.lit(".ck")))
+        .when(r == 6, F.lit("www.ck"))
+        .otherwise(
+            F.concat(
+                F.lit("m"), did, F.lit(".unlisted"), (F.col("doc_id") % 3).cast("string")
+            )
+        )
+        .alias("host"),
+    )
+    return registrable_domain(hosts)
+
+
 def q_audio_features(spark, sf):  # REAL WAV decode -> integer features
     """Square-wave WAV blobs (amplitude / half-period / length / rate /
     channel count from doc_id residues) are ENCODED to real RIFF bytes and
@@ -1204,6 +1234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "politeness": q_politeness,
     "dsir": q_dsir,
     "audio_features": q_audio_features,
+    "registrable_domain": q_registrable_domain,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -2133,6 +2164,42 @@ ORACLE_SQL["dsir"] = r"""
     SELECT b.doc_id, CAST(b.n AS INT) AS n_tokens,
            CAST(coalesce(sc.s, 0) AS BIGINT) AS dsir_milli
     FROM b LEFT JOIN sc ON b.doc_id = sc.doc_id
+"""
+
+ORACLE_SQL["registrable_domain"] = """
+    SELECT doc_id,
+           CASE doc_id % 8
+               WHEN 0 THEN 'a' || CAST(doc_id AS VARCHAR) || '.b.example.com'
+               WHEN 1 THEN 'shop' || CAST(doc_id AS VARCHAR) || '.co.uk'
+               WHEN 2 THEN 'www.blog' || CAST(doc_id AS VARCHAR) || '.blogspot.com'
+               WHEN 3 THEN 'u' || CAST(doc_id AS VARCHAR) || '.github.io'
+               WHEN 4 THEN 'co.uk'
+               WHEN 5 THEN 'x' || CAST(doc_id AS VARCHAR) || '.w'
+                           || CAST(doc_id AS VARCHAR) || '.ck'
+               WHEN 6 THEN 'www.ck'
+               ELSE 'm' || CAST(doc_id AS VARCHAR) || '.unlisted'
+                        || CAST(doc_id % 3 AS VARCHAR) END AS host,
+           CASE doc_id % 8
+               WHEN 0 THEN 'com'
+               WHEN 1 THEN 'co.uk'
+               WHEN 2 THEN 'blogspot.com'
+               WHEN 3 THEN 'github.io'
+               WHEN 4 THEN 'co.uk'
+               WHEN 5 THEN 'w' || CAST(doc_id AS VARCHAR) || '.ck'
+               WHEN 6 THEN 'ck'
+               ELSE 'unlisted' || CAST(doc_id % 3 AS VARCHAR) END AS public_suffix,
+           CASE doc_id % 8
+               WHEN 0 THEN 'example.com'
+               WHEN 1 THEN 'shop' || CAST(doc_id AS VARCHAR) || '.co.uk'
+               WHEN 2 THEN 'blog' || CAST(doc_id AS VARCHAR) || '.blogspot.com'
+               WHEN 3 THEN 'u' || CAST(doc_id AS VARCHAR) || '.github.io'
+               WHEN 4 THEN NULL
+               WHEN 5 THEN 'x' || CAST(doc_id AS VARCHAR) || '.w'
+                           || CAST(doc_id AS VARCHAR) || '.ck'
+               WHEN 6 THEN 'www.ck'
+               ELSE 'm' || CAST(doc_id AS VARCHAR) || '.unlisted'
+                        || CAST(doc_id % 3 AS VARCHAR) END AS registrable_domain
+    FROM documents
 """
 
 ORACLE_SQL["audio_features"] = """

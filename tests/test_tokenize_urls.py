@@ -155,3 +155,31 @@ def test_canonical_url_invalid_ports_never_raise():
     assert canonical_url("http://example.com:99999/x") == "http://example.com:99999/x"
     assert canonical_url("http://example.com:abc/x") == "http://example.com:abc/x"
     assert canonical_url("") == ""
+
+
+def test_registrable_domain_rule_classes(spark):
+    from ocr_spark.operators.urls import registrable_domain
+
+    cases = {
+        # host: (public_suffix, registrable_domain)
+        "a.b.example.com": ("com", "example.com"),
+        "shop.co.uk": ("co.uk", "shop.co.uk"),
+        "x.blogspot.com": ("blogspot.com", "x.blogspot.com"),
+        "deep.sub.u.github.io": ("github.io", "u.github.io"),
+        "co.uk": ("co.uk", None),
+        "com": ("com", None),
+        "x.w.ck": ("w.ck", "x.w.ck"),          # wildcard *.ck
+        "w.ck": ("w.ck", None),                 # host IS the wildcard suffix
+        "ck": ("ck", None),                     # bare wildcard base
+        "www.ck": ("ck", "www.ck"),             # exception !www.ck
+        "sub.www.ck": ("ck", "www.ck"),         # exception wins under subdomain
+        "m.unlisted-tld": ("unlisted-tld", "m.unlisted-tld"),
+        "bucket.s3.amazonaws.com": ("s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    out = {r.host: (r.public_suffix, r.registrable_domain)
+           for r in registrable_domain(df).collect()}
+    assert out == cases
+    # pure column program: no exchange, no python stage
+    plan = registrable_domain(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
