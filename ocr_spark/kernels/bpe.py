@@ -96,9 +96,29 @@ def train_bpe(word_counts: dict[str, int], n_merges: int, *, end_of_word: str = 
     return ranks
 
 
-def encode_text_bpe(text: str, ranks: dict, *, end_of_word: str = "</w>") -> list[str]:
-    """Whitespace-pretokenized BPE encode: each word runs the merge loop."""
+def encode_text_bpe(
+    text: str,
+    ranks: dict,
+    *,
+    end_of_word: str = "</w>",
+    cache: dict | None = None,
+    cache_cap: int = 1 << 18,
+) -> list[str]:
+    """Whitespace-pretokenized BPE encode: each word runs the merge loop.
+
+    ``cache`` memoizes word -> symbol tuple (GPT-2's own trick): natural
+    text is Zipfian, so a per-partition cache turns the merge loop into a
+    dict hit for almost every token. Bounded by ``cache_cap`` (reset when
+    full) so a pathological unique-word stream cannot grow memory."""
     out: list[str] = []
+    if cache is None:
+        cache = {}
     for w in text.split():
-        out.extend(bpe_apply(w, ranks, end_of_word=end_of_word))
+        toks = cache.get(w)
+        if toks is None:
+            toks = bpe_apply(w, ranks, end_of_word=end_of_word)
+            if len(cache) >= cache_cap:
+                cache.clear()
+            cache[w] = toks
+        out.extend(toks)
     return out

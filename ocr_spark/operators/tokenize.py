@@ -54,10 +54,13 @@ def bpe_encode_table(docs: DataFrame, ranks: dict) -> DataFrame:
     def gen(batches):
         import pandas as pd
 
+        cache: dict = {}  # word->tokens memo shared across the partition
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = bpe_kernel.encode_text_bpe(str(text).lower(), ranks)
+                toks = bpe_kernel.encode_text_bpe(
+                    str(text).lower(), ranks, cache=cache
+                )
                 rows.append(
                     {
                         "doc_id": int(doc_id),
