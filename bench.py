@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "politeness",
     "dsir",
     "audio_features",
+    "meta_robots",
+    "domain_split",
 ]
 
 

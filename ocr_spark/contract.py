@@ -799,6 +799,73 @@ def q_registrable_domain(spark, sf):  # public-suffix eTLD+1 extraction
     return registrable_domain(hosts)
 
 
+def q_meta_robots(spark, sf):  # page-level opt-out flags from html bytes
+    """Meta-robots tags (quoted/unquoted/uppercase/none-alias/multi-tag/
+    decoy-name variants from doc_id residues) are PARSED from real html
+    bytes; the oracle states each case's flags closed-form."""
+    from .operators.robots import meta_robots_flags
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    r = F.col("doc_id") % 6
+    meta = (
+        F.when(r == 1, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(r == 2, F.lit("<meta name=robots content=\"NOAI\">"))
+        .when(r == 3, F.lit('<meta name="robots" content="none">'))
+        .when(
+            r == 4,
+            F.lit(
+                '<meta name="robots" content="noarchive">'
+                '<meta name="robots" content="nosnippet">'
+            ),
+        )
+        .when(r == 5, F.lit('<meta name="viewport" content="noindex">'))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"),
+                meta,
+                F.lit("</head><body><p>doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return meta_robots_flags(pages).drop("html")
+
+
+def q_domain_split(spark, sf):  # leakage-safe train/val/test by eTLD+1
+    """Split assignment hashes the registrable domain (not the url), so
+    same-site pages can never straddle splits; the oracle re-derives the
+    domain closed-form AND recomputes the portable hash + thresholds in
+    SQL."""
+    from .operators.urls import leakage_safe_split
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    r = F.col("doc_id") % 8
+    hosts = d.select(
+        "doc_id",
+        F.when(r == 0, F.concat(F.lit("a"), did, F.lit(".b.example.com")))
+        .when(r == 1, F.concat(F.lit("shop"), did, F.lit(".co.uk")))
+        .when(r == 2, F.concat(F.lit("www.blog"), did, F.lit(".blogspot.com")))
+        .when(r == 3, F.concat(F.lit("u"), did, F.lit(".github.io")))
+        .when(r == 4, F.lit("co.uk"))
+        .when(r == 5, F.concat(F.lit("x"), did, F.lit(".w"), did, F.lit(".ck")))
+        .when(r == 6, F.lit("www.ck"))
+        .otherwise(
+            F.concat(
+                F.lit("m"), did, F.lit(".unlisted"), (F.col("doc_id") % 3).cast("string")
+            )
+        )
+        .alias("host"),
+    )
+    return leakage_safe_split(hosts)
+
+
 def q_audio_features(spark, sf):  # REAL WAV decode -> integer features
     """Square-wave WAV blobs (amplitude / half-period / length / rate /
     channel count from doc_id residues) are ENCODED to real RIFF bytes and
@@ -1235,6 +1302,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir": q_dsir,
     "audio_features": q_audio_features,
     "registrable_domain": q_registrable_domain,
+    "meta_robots": q_meta_robots,
+    "domain_split": q_domain_split,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -2200,6 +2269,64 @@ ORACLE_SQL["registrable_domain"] = """
                ELSE 'm' || CAST(doc_id AS VARCHAR) || '.unlisted'
                         || CAST(doc_id % 3 AS VARCHAR) END AS registrable_domain
     FROM documents
+"""
+
+ORACLE_SQL["meta_robots"] = """
+    SELECT doc_id,
+           doc_id % 6 IN (1, 3) AS noindex,
+           doc_id % 6 IN (1, 3) AS nofollow,
+           doc_id % 6 = 4 AS noarchive,
+           doc_id % 6 = 4 AS nosnippet,
+           doc_id % 6 = 2 AS noai
+    FROM documents
+"""
+
+ORACLE_SQL["domain_split"] = r"""
+    WITH hosts AS (
+        SELECT doc_id,
+               CASE doc_id % 8
+                   WHEN 0 THEN 'a' || CAST(doc_id AS VARCHAR) || '.b.example.com'
+                   WHEN 1 THEN 'shop' || CAST(doc_id AS VARCHAR) || '.co.uk'
+                   WHEN 2 THEN 'www.blog' || CAST(doc_id AS VARCHAR) || '.blogspot.com'
+                   WHEN 3 THEN 'u' || CAST(doc_id AS VARCHAR) || '.github.io'
+                   WHEN 4 THEN 'co.uk'
+                   WHEN 5 THEN 'x' || CAST(doc_id AS VARCHAR) || '.w'
+                               || CAST(doc_id AS VARCHAR) || '.ck'
+                   WHEN 6 THEN 'www.ck'
+                   ELSE 'm' || CAST(doc_id AS VARCHAR) || '.unlisted'
+                            || CAST(doc_id % 3 AS VARCHAR) END AS host,
+               CASE doc_id % 8
+                   WHEN 0 THEN 'com'
+                   WHEN 1 THEN 'co.uk'
+                   WHEN 2 THEN 'blogspot.com'
+                   WHEN 3 THEN 'github.io'
+                   WHEN 4 THEN 'co.uk'
+                   WHEN 5 THEN 'w' || CAST(doc_id AS VARCHAR) || '.ck'
+                   WHEN 6 THEN 'ck'
+                   ELSE 'unlisted' || CAST(doc_id % 3 AS VARCHAR)
+               END AS public_suffix,
+               CASE doc_id % 8
+                   WHEN 0 THEN 'example.com'
+                   WHEN 1 THEN 'shop' || CAST(doc_id AS VARCHAR) || '.co.uk'
+                   WHEN 2 THEN 'blog' || CAST(doc_id AS VARCHAR) || '.blogspot.com'
+                   WHEN 3 THEN 'u' || CAST(doc_id AS VARCHAR) || '.github.io'
+                   WHEN 4 THEN NULL
+                   WHEN 5 THEN 'x' || CAST(doc_id AS VARCHAR) || '.w'
+                               || CAST(doc_id AS VARCHAR) || '.ck'
+                   WHEN 6 THEN 'www.ck'
+                   ELSE 'm' || CAST(doc_id AS VARCHAR) || '.unlisted'
+                            || CAST(doc_id % 3 AS VARCHAR)
+               END AS registrable_domain
+        FROM documents),
+    h AS (SELECT *, list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(split(coalesce(registrable_domain, public_suffix), ''),
+                           c -> CAST(ascii(c) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket FROM hosts)
+    SELECT doc_id, host, public_suffix, registrable_domain,
+           CASE WHEN bucket < 5 THEN 'test'
+                WHEN bucket < 10 THEN 'val'
+                ELSE 'train' END AS split
+    FROM h
 """
 
 ORACLE_SQL["audio_features"] = """

@@ -26,6 +26,8 @@ same way the extraction job does.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
@@ -145,6 +147,59 @@ def robots_rules(robots: DataFrame, *, agent: str = "*") -> DataFrame:
             F.length("r.prefix").alias("prefix_len"),
         )
     )
+
+
+_META_ROBOTS_RE = re.compile(
+    rb"<meta\s+[^>]*name\s*=\s*[\"']?robots[\"']?[^>]*>", re.IGNORECASE | re.DOTALL
+)
+_CONTENT_RE = re.compile(rb"content\s*=\s*([\"'])(.*?)\1", re.IGNORECASE | re.DOTALL)
+
+META_ROBOTS_FLAGS = ("noindex", "nofollow", "noarchive", "nosnippet", "noai")
+
+
+def parse_meta_robots(html: bytes, *, scan_bytes: int = 16384) -> dict[str, bool]:
+    """Opt-out directives from ``<meta name="robots" content="...">`` tags
+    in the first ``scan_bytes`` of a page. Multiple tags union their
+    directives; ``none`` implies noindex+nofollow. Directive names are
+    ASCII by spec, so a latin-1 view of the byte prefix is charset-safe."""
+    flags = dict.fromkeys(META_ROBOTS_FLAGS, False)
+    head = html[:scan_bytes]
+    for tag in _META_ROBOTS_RE.finditer(head):
+        m = _CONTENT_RE.search(tag.group(0))
+        if not m:
+            continue
+        directives = {
+            d.strip().lower() for d in m.group(2).decode("latin-1").split(",")
+        }
+        if "none" in directives:
+            flags["noindex"] = flags["nofollow"] = True
+        for name in META_ROBOTS_FLAGS:
+            if name in directives:
+                flags[name] = True
+    return flags
+
+
+def meta_robots_flags(
+    pages: DataFrame, *, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Per-page opt-out flag columns from raw html bytes — the page-level
+    complement of the host-level robots.txt gate (crawlers honor both).
+    ONE Arrow-batched stage over the byte prefix, zero exchanges; a
+    training pipeline filters ``~noindex & ~noai`` before any content
+    work, so the flags must be a free column on the scan."""
+    schema = ",".join(f"{n}:boolean" for n in META_ROBOTS_FLAGS)
+
+    @pandas_udf(f"struct<{schema}>")
+    def parse(blobs: pd.Series) -> pd.DataFrame:
+        rows = [
+            parse_meta_robots(bytes(b) if b is not None else b"") for b in blobs
+        ]
+        return pd.DataFrame(rows, columns=list(META_ROBOTS_FLAGS))
+
+    parsed = pages.withColumn("_m", parse(html_col))
+    for name in META_ROBOTS_FLAGS:
+        parsed = parsed.withColumn(name, F.col(f"_m.{name}"))
+    return parsed.drop("_m")
 
 
 # scheme://host capture (same shape as plans/pipeline._HOST_RE, kept local

@@ -138,6 +138,36 @@ def canonical_url(url: str) -> str:
     return urlunsplit((scheme, userinfo + host, path, query, ""))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    host_col: str = "host",
+    *,
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Train/val/test assignment keyed by REGISTRABLE DOMAIN, not url:
+    near-duplicate pages of one site (templates, mirrors, pagination) land
+    in the SAME split, so eval never sees train-set boilerplate — the
+    standard leakage guard for web-corpus evals.
+
+    split = poly_hash(registrable_domain) % 100 bucketed into
+    test (< test_pct) / val (< test_pct+val_pct) / train. Hosts that ARE a
+    bare public suffix hash their suffix. Pure Column algebra on top of
+    :func:`registrable_domain` — zero exchanges, exact in any engine
+    (portable polynomial hash)."""
+    from .corpus_filters import _poly_hash
+
+    with_reg = registrable_domain(df, host_col)
+    key = F.coalesce(F.col("registrable_domain"), F.col("public_suffix"))
+    bucket = _poly_hash(key) % 100
+    return with_reg.withColumn(
+        "split",
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     def gen(batches):
         import pandas as pd

@@ -129,3 +129,34 @@ def test_gate_pages(spark):
     ]
     # payload columns survive the gate untouched
     assert out.columns == pages.columns
+
+
+def test_parse_meta_robots_cases():
+    from ocr_spark.operators.robots import parse_meta_robots
+
+    f = parse_meta_robots(b'<meta name="robots" content="noindex, NOFOLLOW">')
+    assert f["noindex"] and f["nofollow"] and not f["noai"]
+    # 'none' alias, unquoted name, multiple tags union
+    f = parse_meta_robots(
+        b"<meta name=robots content='none'><meta name=\"robots\" content=\"noai\">"
+    )
+    assert f["noindex"] and f["nofollow"] and f["noai"]
+    # non-robots meta and robots mention in body text are ignored
+    f = parse_meta_robots(b'<meta name="viewport" content="noindex"><p>noai robots</p>')
+    assert not any(f.values())
+    # malformed / binary junk never raises
+    assert isinstance(parse_meta_robots(b"\x00\xff<meta name=robots"), dict)
+
+
+def test_meta_robots_flags_zero_exchange(spark):
+    from ocr_spark.operators.robots import meta_robots_flags
+
+    pages = spark.createDataFrame(
+        [("u1", b'<head><meta name="robots" content="noai"></head>'), ("u2", None)],
+        "url string, html binary",
+    )
+    df = meta_robots_flags(pages)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r.url: r.noai for r in df.collect()}
+    assert rows == {"u1": True, "u2": False}

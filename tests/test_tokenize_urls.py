@@ -183,3 +183,20 @@ def test_registrable_domain_rule_classes(spark):
     # pure column program: no exchange, no python stage
     plan = registrable_domain(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_leakage_safe_split_groups_domains(spark):
+    from ocr_spark.operators.urls import leakage_safe_split
+
+    hosts = [f"sub{i}.site{i % 7}.co.uk" for i in range(60)] + ["co.uk", "site0.co.uk"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = leakage_safe_split(df).collect()
+    by_domain = {}
+    for r in out:
+        key = r.registrable_domain or r.public_suffix
+        by_domain.setdefault(key, set()).add(r.split)
+    # every registrable domain maps to exactly one split
+    assert all(len(s) == 1 for s in by_domain.values())
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    plan = leakage_safe_split(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
