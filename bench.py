@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "dsir",
     "audio_features",
     "meta_robots",
+    "video_frames",
     "domain_split",
 ]
 

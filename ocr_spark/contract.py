@@ -866,6 +866,39 @@ def q_domain_split(spark, sf):  # leakage-safe train/val/test by eTLD+1
     return leakage_safe_split(hosts)
 
 
+def q_video_frames(spark, sf):  # REAL AVI container decode -> frame rows
+    """Raw-DIB AVI blobs (3-5 uniform 8x6 frames, per-frame value from
+    doc_id residues) are ENCODED to real RIFF/AVI bytes and DECODED back
+    through kernels/avicodec.py with every-2nd-frame sampling; the oracle
+    computes the sampled frame set and pixel sums closed-form."""
+    from .operators.multimodal import video_frames
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocr_spark.kernels.avicodec import avi_encode
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 3
+                frames = [
+                    np.full((6, 8, 3), (did * 7 + 31 * i) % 256, dtype=np.uint8)
+                    for i in range(n)
+                ]
+                blobs.append(avi_encode(frames, fps=10))
+            yield pd.DataFrame(
+                {"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = d.mapInPandas(build, schema="blob_id long, blob binary")
+    return video_frames(blobs, every_k=2)
+
+
 def q_audio_features(spark, sf):  # REAL WAV decode -> integer features
     """Square-wave WAV blobs (amplitude / half-period / length / rate /
     channel count from doc_id residues) are ENCODED to real RIFF bytes and
@@ -1301,6 +1334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "politeness": q_politeness,
     "dsir": q_dsir,
     "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
     "registrable_domain": q_registrable_domain,
     "meta_robots": q_meta_robots,
     "domain_split": q_domain_split,
@@ -2327,6 +2361,16 @@ ORACLE_SQL["domain_split"] = r"""
                 WHEN bucket < 10 THEN 'val'
                 ELSE 'train' END AS split
     FROM h
+"""
+
+ORACLE_SQL["video_frames"] = """
+    WITH f AS (SELECT doc_id, u.i AS frame_idx FROM documents,
+               unnest(range(0, 3 + doc_id % 3, 2)) AS u(i))
+    SELECT doc_id AS blob_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+           CAST(8 * 6 * 3 * ((doc_id * 7 + 31 * frame_idx) % 256) AS BIGINT)
+               AS pixel_sum
+    FROM f
 """
 
 ORACLE_SQL["audio_features"] = """

@@ -221,6 +221,58 @@ def audio_features(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id
     return df.mapInPandas(gen, schema=AUDIO_SCHEMA)
 
 
+VIDEO_SCHEMA = (
+    "blob_id long, frame_idx int, width int, height int, pixel_sum long"
+)
+
+
+def video_frames(
+    df: DataFrame,
+    *,
+    every_k: int = 2,
+    blob_col: str = "blob",
+    id_col: str = "blob_id",
+) -> DataFrame:
+    """REAL video container decode -> sampled-frame features, one Arrow
+    stage (a 1->N UDTF like frame_sample, but through an actual codec).
+
+    Decodes AVI blobs (kernels/avicodec.py — MJPEG frames via the repo's
+    JPEG decoder, raw-DIB frames exactly), keeps every ``every_k``-th
+    frame, and emits integer features (pixel_sum = sum over all channels,
+    a long — exact under any partitioning). Undecodable blobs are SKIPPED
+    (codec-parser policy)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.avicodec import AviError, avi_decode_frames
+
+        cols = ["blob_id", "frame_idx", "width", "height", "pixel_sum"]
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    frames, _, _, _ = avi_decode_frames(
+                        bytes(blob) if blob is not None else b""
+                    )
+                except AviError:
+                    continue
+                for idx in range(0, len(frames), every_k):
+                    fr = frames[idx]
+                    rows.append(
+                        {
+                            "blob_id": int(bid),
+                            "frame_idx": idx,
+                            "width": fr.shape[1],
+                            "height": fr.shape[0],
+                            "pixel_sum": int(fr.astype(np.int64).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(gen, schema=VIDEO_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame,
     *,
