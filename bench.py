@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "meta_robots",
     "video_frames",
     "domain_split",
+    "unimax",
 ]
 
 

@@ -799,6 +799,18 @@ def q_registrable_domain(spark, sf):  # public-suffix eTLD+1 extraction
     return registrable_domain(hosts)
 
 
+def q_unimax(spark, sf):  # UniMax source-mixture token allocation
+    """Water-filling across the documents table's source column at budget
+    = total_tokens // 2, epoch cap 2. Integer allocation; the oracle
+    re-derives the closed form with its own window SQL, and pytest
+    differential-tests the closed form against a loop reference."""
+    from .operators.mixture import unimax_allocation
+
+    return unimax_allocation(
+        _t(spark, sf, "documents"), budget_divisor=2, max_epochs=2
+    )
+
+
 def q_meta_robots(spark, sf):  # page-level opt-out flags from html bytes
     """Meta-robots tags (quoted/unquoted/uppercase/none-alias/multi-tag/
     decoy-name variants from doc_id residues) are PARSED from real html
@@ -1338,6 +1350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "registrable_domain": q_registrable_domain,
     "meta_robots": q_meta_robots,
     "domain_split": q_domain_split,
+    "unimax": q_unimax,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -2303,6 +2316,54 @@ ORACLE_SQL["registrable_domain"] = """
                ELSE 'm' || CAST(doc_id AS VARCHAR) || '.unlisted'
                         || CAST(doc_id % 3 AS VARCHAR) END AS registrable_domain
     FROM documents
+"""
+
+ORACLE_SQL["unimax"] = r"""
+    WITH per AS (SELECT source,
+            CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                     w -> w <> ''))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+    c AS (SELECT *, tokens * 2 AS cap FROM per),
+    r AS (SELECT *,
+            row_number() OVER (ORDER BY cap, source) AS rank,
+            sum(cap) OVER (ORDER BY cap, source
+                ROWS UNBOUNDED PRECEDING) AS s_incl,
+            count(*) OVER () AS n_src,
+            CAST(floor(sum(tokens) OVER () / 2) AS BIGINT) AS budget
+        FROM c),
+    f AS (SELECT *,
+            (cap * (n_src - rank + 1) <= budget - (s_incl - cap)) AS is_capped
+        FROM r),
+    f2 AS (SELECT *,
+            sum(CASE WHEN is_capped THEN 1 ELSE 0 END)
+                OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS capped_cum
+        FROM f),
+    g AS (SELECT *,
+            coalesce(max(CASE WHEN is_capped AND rank = capped_cum
+                THEN rank END) OVER (), 0) AS k_star
+        FROM f2),
+    h AS (SELECT *,
+            coalesce(max(CASE WHEN rank = k_star THEN s_incl END) OVER (),
+                     CAST(0 AS BIGINT)) AS s_k
+        FROM g),
+    i AS (SELECT *,
+            greatest(n_src - k_star, 1) AS m,
+            budget - s_k AS leftover
+        FROM h),
+    j AS (SELECT *,
+            CAST(floor(leftover / m) AS BIGINT) AS u,
+            leftover - CAST(floor(leftover / m) AS BIGINT) * m AS rem
+        FROM i),
+    k AS (SELECT *,
+            CASE WHEN rank <= k_star THEN cap
+                 ELSE u + CASE WHEN rank - k_star <= rem THEN 1 ELSE 0 END
+            END AS allocation
+        FROM j)
+    SELECT source, tokens, cap, CAST(allocation AS BIGINT) AS allocation,
+           CAST(CASE WHEN tokens > 0
+                     THEN floor(allocation * 1000 / tokens) ELSE 0 END
+                AS BIGINT) AS epochs_milli
+    FROM k
 """
 
 ORACLE_SQL["meta_robots"] = """

@@ -1,0 +1,101 @@
+"""UniMax source-mixture allocation (Chung et al. 2023, "UniMax: Fairer
+and More Effective Language Sampling") — the standard budget allocator
+across corpus sources: give every source a uniform share of the token
+budget, capped at ``max_epochs`` passes over its own data, re-distributing
+what capped sources cannot absorb (water-filling).
+
+Closed form over sources sorted ascending by capacity c_i = tokens_i *
+max_epochs (the capped set is a prefix of that order):
+
+    k* = the longest prefix where c_i * (n - i + 1) <= B - S_{i-1}
+    a_i = c_i                       for i <= k*   (capped)
+    a_i = u + [i - k* <= rem]       for i >  k*   (uniform remainder)
+        with u = (B - S_{k*}) // (n - k*), rem = (B - S_{k*}) % (n - k*)
+
+Everything is INTEGER arithmetic (long tokens; the division remainder is
+distributed deterministically to the first sources in sort order), so the
+allocation is byte-identical under any partitioning and exactly
+re-derivable by the DuckDB window-SQL oracle; a loop-form Python reference
+differential-tests the closed form in pytest.
+
+Scale shape: ONE corpus-wide groupBy on source (map-side partial agg; the
+result has one row per source — dozens, not billions), then window math
+over that bounded table. No driver logic, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .corpus_filters import _tokens
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    *,
+    budget_divisor: int = 2,
+    max_epochs: int = 2,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source UniMax token allocation.
+
+    The budget is ``total_tokens // budget_divisor`` (derived from the
+    corpus itself so both engines state it identically). Returns
+    (source, tokens, cap, allocation, epochs_milli) where epochs_milli =
+    allocation * 1000 // tokens."""
+    per = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.size(_tokens(F.col(text_col))).cast("long").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("tokens"))
+        .withColumn("cap", F.col("tokens") * max_epochs)
+    )
+    w = Window.orderBy("cap", "source")
+    all_w = Window.partitionBy()
+    ranked = (
+        per.withColumn("rank", F.row_number().over(w))
+        .withColumn("s_incl", F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n_src", F.count(F.lit(1)).over(all_w))
+        .withColumn("budget", F.floor(F.sum("tokens").over(all_w) / budget_divisor).cast("long"))
+    )
+    capped = ranked.withColumn(
+        "is_capped",
+        F.col("cap") * (F.col("n_src") - F.col("rank") + 1)
+        <= F.col("budget") - (F.col("s_incl") - F.col("cap")),
+    )
+    # k* = longest capped PREFIX (guard against any non-prefix stragglers)
+    kstar = capped.withColumn(
+        "k_star",
+        F.max(F.when(F.col("is_capped") & (F.col("rank") == F.sum(F.col("is_capped").cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0))), F.col("rank"))).over(all_w),
+    ).withColumn("k_star", F.coalesce(F.col("k_star"), F.lit(0)))
+    sk = kstar.withColumn(
+        "s_k",
+        F.coalesce(
+            F.max(F.when(F.col("rank") == F.col("k_star"), F.col("s_incl"))).over(all_w),
+            F.lit(0).cast("long"),
+        ),
+    )
+    # greatest(m, 1): when every source is capped (k* = n) the uniform
+    # branch is dead but must not divide by zero under ANSI
+    m = F.greatest(F.col("n_src") - F.col("k_star"), F.lit(1))
+    leftover = F.col("budget") - F.col("s_k")
+    u = F.floor(leftover / m).cast("long")
+    rem = leftover - u * m
+    alloc = F.when(F.col("rank") <= F.col("k_star"), F.col("cap")).otherwise(
+        u + F.when(F.col("rank") - F.col("k_star") <= rem, 1).otherwise(0)
+    )
+    return sk.select(
+        "source",
+        "tokens",
+        "cap",
+        alloc.cast("long").alias("allocation"),
+        F.when(
+            F.col("tokens") > 0, F.floor(alloc * 1000 / F.col("tokens"))
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("epochs_milli"),
+    )
