@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "video_frames",
     "domain_split",
     "unimax",
+    "vtt_cues",
 ]
 
 

@@ -911,6 +911,44 @@ def q_video_frames(spark, sf):  # REAL AVI container decode -> frame rows
     return video_frames(blobs, every_k=2)
 
 
+def q_vtt_cues(spark, sf):  # WebVTT subtitle parse -> integer-ms cue rows
+    """Synthetic .vtt bodies (header, NOTE block, cue ids, multi-line
+    payloads — all from doc_id residues) are FORMATTED as real WebVTT text
+    and PARSED back by kernels/vtt.py; the oracle computes every cue
+    closed-form."""
+    from .operators.multimodal import vtt_cues
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            bodies = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                parts = ["WEBVTT", "", "NOTE synthetic corpus", ""]
+                for k in range(2 + did % 3):
+                    start = 1000 + 153 * (did % 10) + 2000 * k
+                    end = start + 400 + 10 * k
+                    parts.append(f"c{k}")  # cue id line (skipped by parser)
+                    parts.append(
+                        f"00:{start // 1000:02d}.{start % 1000:03d} --> "
+                        f"00:{end // 1000:02d}.{end % 1000:03d}"
+                    )
+                    parts.append(f"cue {k} of doc {did}")
+                    if k == 0:
+                        parts.append("continued")
+                    parts.append("")
+                bodies.append("\n".join(parts))
+            yield pd.DataFrame(
+                {"blob_id": pdf["doc_id"].astype("int64"), "vtt": bodies}
+            )
+
+    vtt = d.mapInPandas(build, schema="blob_id long, vtt string")
+    return vtt_cues(vtt)
+
+
 def q_audio_features(spark, sf):  # REAL WAV decode -> integer features
     """Square-wave WAV blobs (amplitude / half-period / length / rate /
     channel count from doc_id residues) are ENCODED to real RIFF bytes and
@@ -1347,6 +1385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir": q_dsir,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
+    "vtt_cues": q_vtt_cues,
     "registrable_domain": q_registrable_domain,
     "meta_robots": q_meta_robots,
     "domain_split": q_domain_split,
@@ -2422,6 +2461,18 @@ ORACLE_SQL["domain_split"] = r"""
                 WHEN bucket < 10 THEN 'val'
                 ELSE 'train' END AS split
     FROM h
+"""
+
+ORACLE_SQL["vtt_cues"] = """
+    WITH c AS (SELECT doc_id, u.k AS k FROM documents,
+               unnest(range(0, 2 + doc_id % 3)) AS u(k))
+    SELECT doc_id AS blob_id, CAST(k AS INT) AS cue_idx,
+           CAST(1000 + 153 * (doc_id % 10) + 2000 * k AS BIGINT) AS start_ms,
+           CAST(1000 + 153 * (doc_id % 10) + 2000 * k + 400 + 10 * k
+                AS BIGINT) AS end_ms,
+           'cue ' || CAST(k AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN k = 0 THEN chr(10) || 'continued' ELSE '' END AS text
+    FROM c
 """
 
 ORACLE_SQL["video_frames"] = """

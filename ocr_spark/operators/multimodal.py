@@ -221,6 +221,31 @@ def audio_features(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id
     return df.mapInPandas(gen, schema=AUDIO_SCHEMA)
 
 
+VTT_SCHEMA = "blob_id long, cue_idx int, start_ms long, end_ms long, text string"
+
+
+def vtt_cues(df: DataFrame, *, body_col: str = "vtt", id_col: str = "blob_id") -> DataFrame:
+    """WebVTT subtitle tracks -> exploded cue rows (kernels/vtt.py), one
+    Arrow-batched 1->N stage, zero exchanges. Integer-millisecond
+    timestamps make the cue table joinable against video_frames output
+    (frame_idx / fps alignment) without float drift."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.vtt import parse_vtt
+
+        cols = ["blob_id", "cue_idx", "start_ms", "end_ms", "text"]
+        for pdf in batches:
+            rows = []
+            for bid, body in zip(pdf[id_col], pdf[body_col]):
+                for cue in parse_vtt(body if body is not None else ""):
+                    rows.append({"blob_id": int(bid), **cue})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(gen, schema=VTT_SCHEMA)
+
+
 VIDEO_SCHEMA = (
     "blob_id long, frame_idx int, width int, height int, pixel_sum long"
 )

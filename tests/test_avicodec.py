@@ -93,3 +93,38 @@ def test_video_frames_spark(spark):
     out = video_frames(spark.createDataFrame(rows), every_k=2).collect()
     got = {(r.blob_id, r.frame_idx): r.pixel_sum for r in out}
     assert got == {(1, 0): 6 * 8 * 3 * 2, (1, 2): 6 * 8 * 3 * 2}
+
+
+def test_parse_vtt_blocks_and_timestamps():
+    from ocr_spark.kernels.vtt import parse_vtt
+
+    body = (
+        "WEBVTT\n\nNOTE a comment\nthat spans lines\n\n"
+        "id-1\n00:01.500 --> 00:03.250\nhello\nworld\n\n"
+        "01:02:03.004 --> 01:02:04.500 align:start\nsecond cue\n\n"
+        "bad --> cue\nskipped text\n\n"
+        "00:05.000 --> 00:04.000\nnegative duration dropped\n"
+    )
+    cues = parse_vtt(body)
+    assert [(c["start_ms"], c["end_ms"], c["text"]) for c in cues] == [
+        (1500, 3250, "hello\nworld"),
+        (3723004, 3724500, "second cue"),
+    ]
+    assert [c["cue_idx"] for c in cues] == [0, 1]
+    # bytes with BOM, malformed junk: never raises
+    assert parse_vtt(b"\xef\xbb\xbfWEBVTT\n") == []
+    assert parse_vtt(b"\x00\xff garbage") == []
+
+
+def test_vtt_cues_spark_zero_exchange(spark):
+    from ocr_spark.operators.multimodal import vtt_cues
+
+    df = spark.createDataFrame(
+        [(1, "WEBVTT\n\n00:01.000 --> 00:02.000\nhi\n"), (2, None)],
+        "blob_id long, vtt string",
+    )
+    out = vtt_cues(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].start_ms == 1000 and rows[0].text == "hi"
