@@ -2368,7 +2368,7 @@ ORACLE_SQL["unimax"] = r"""
             sum(cap) OVER (ORDER BY cap, source
                 ROWS UNBOUNDED PRECEDING) AS s_incl,
             count(*) OVER () AS n_src,
-            CAST(floor(sum(tokens) OVER () / 2) AS BIGINT) AS budget
+            CAST(sum(tokens) OVER () // 2 AS BIGINT) AS budget
         FROM c),
     f AS (SELECT *,
             (cap * (n_src - rank + 1) <= budget - (s_incl - cap)) AS is_capped
@@ -2390,8 +2390,8 @@ ORACLE_SQL["unimax"] = r"""
             budget - s_k AS leftover
         FROM h),
     j AS (SELECT *,
-            CAST(floor(leftover / m) AS BIGINT) AS u,
-            leftover - CAST(floor(leftover / m) AS BIGINT) * m AS rem
+            CAST(leftover // m AS BIGINT) AS u,
+            leftover - CAST(leftover // m AS BIGINT) * m AS rem
         FROM i),
     k AS (SELECT *,
             CASE WHEN rank <= k_star THEN cap
@@ -2400,7 +2400,7 @@ ORACLE_SQL["unimax"] = r"""
         FROM j)
     SELECT source, tokens, cap, CAST(allocation AS BIGINT) AS allocation,
            CAST(CASE WHEN tokens > 0
-                     THEN floor(allocation * 1000 / tokens) ELSE 0 END
+                     THEN (allocation * 1000) // tokens ELSE 0 END
                 AS BIGINT) AS epochs_milli
     FROM k
 """

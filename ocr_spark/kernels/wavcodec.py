@@ -69,7 +69,8 @@ def wav_encode(samples: np.ndarray, sample_rate: int, *, bits: int = 16) -> byte
         arr = arr[:, None]
     n, n_ch = arr.shape
     if bits == 16:
-        payload = arr.astype("<i2").tobytes()
+        # clip (like the 8-bit path) — modular astype would silently wrap
+        payload = arr.astype(np.int64).clip(-32768, 32767).astype("<i2").tobytes()
     elif bits == 8:
         payload = (arr.astype(np.int32) + 128).clip(0, 255).astype(np.uint8).tobytes()
     else:

@@ -92,8 +92,10 @@ def parse_sitemap(body: bytes | str) -> list[dict]:
             prio = None
             if kind == "url" and f["priority"] is not None:
                 try:
+                    # OverflowError: '1e400'/'inf' degrade to None, never a
+                    # task failure (codec-parser policy)
                     prio = int(round(float(f["priority"]) * 1000.0))
-                except ValueError:
+                except (ValueError, OverflowError):
                     prio = None
             entries.append(
                 {

@@ -55,11 +55,15 @@ def unimax_allocation(
     )
     w = Window.orderBy("cap", "source")
     all_w = Window.partitionBy()
+    # `div` (integral divide on longs) everywhere — '/' promotes to double
+    # and loses exactness above 2^53, which 100 TB token counts can reach
     ranked = (
         per.withColumn("rank", F.row_number().over(w))
         .withColumn("s_incl", F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("n_src", F.count(F.lit(1)).over(all_w))
-        .withColumn("budget", F.floor(F.sum("tokens").over(all_w) / budget_divisor).cast("long"))
+        .withColumn("_total", F.sum("tokens").over(all_w))
+        .withColumn("budget", F.expr(f"_total div {int(budget_divisor)}"))
+        .drop("_total")
     )
     capped = ranked.withColumn(
         "is_capped",
@@ -80,20 +84,31 @@ def unimax_allocation(
     )
     # greatest(m, 1): when every source is capped (k* = n) the uniform
     # branch is dead but must not divide by zero under ANSI
-    m = F.greatest(F.col("n_src") - F.col("k_star"), F.lit(1))
-    leftover = F.col("budget") - F.col("s_k")
-    u = F.floor(leftover / m).cast("long")
-    rem = leftover - u * m
-    alloc = F.when(F.col("rank") <= F.col("k_star"), F.col("cap")).otherwise(
-        u + F.when(F.col("rank") - F.col("k_star") <= rem, 1).otherwise(0)
+    final = (
+        sk.withColumn(
+            "m", F.greatest(F.col("n_src") - F.col("k_star"), F.lit(1)).cast("long")
+        )
+        .withColumn("leftover", (F.col("budget") - F.col("s_k")).cast("long"))
+        .withColumn("u", F.expr("leftover div m"))
+        .withColumn("rem", F.col("leftover") - F.col("u") * F.col("m"))
+        .withColumn(
+            "allocation",
+            F.when(F.col("rank") <= F.col("k_star"), F.col("cap"))
+            .otherwise(
+                F.col("u")
+                + F.when(F.col("rank") - F.col("k_star") <= F.col("rem"), 1).otherwise(0)
+            )
+            .cast("long"),
+        )
     )
-    return sk.select(
+    return final.select(
         "source",
         "tokens",
         "cap",
-        alloc.cast("long").alias("allocation"),
+        "allocation",
         F.when(
-            F.col("tokens") > 0, F.floor(alloc * 1000 / F.col("tokens"))
+            F.col("tokens") > 0,
+            F.expr("(allocation * 1000) div greatest(tokens, 1)"),
         )
         .otherwise(0)
         .cast("long")

@@ -4,18 +4,21 @@ passes through before politeness scheduling.
 Two pieces:
 
 - :func:`parse_robots` — RFC 9309 (REP) parser for one robots.txt body:
-  group selection by user-agent (the MOST SPECIFIC matching group's rules
-  apply, and ONLY that group's — a specific group overrides ``*``
-  entirely), Allow/Disallow directives, comments, blank-line group ends.
-  Plain-prefix and ``$``-anchored rules are matched; empty Disallow means
-  "no restriction" and is dropped per the RFC.
+  group selection by user-agent (the MOST SPECIFIC matching token wins;
+  ``*`` is the fallback; EVERY group carrying the winning token
+  contributes rules, per §2.2.1 "matching groups' rules MUST be
+  combined"), Allow/Disallow directives, comments, blank-line group ends.
+  Plain-prefix, ``*``-wildcard (§2.2.3) and ``$``-anchored rules are
+  matched; empty Disallow means "no restriction" and is dropped.
 
 - :func:`robots_filter` — distributed longest-match evaluation: robots
   bodies parse once per host in an Arrow-batched UDF, explode to a
-  (host, allow, prefix, anchored) rule table, equi-join the url table on
-  host, and pick the winner per url by (match length DESC, allow DESC) —
-  RFC tie-break: the longest match wins, Allow wins equal-length ties.
-  Urls whose host has no rules (or no matching rule) are allowed.
+  (host, allow, prefix, anchored, like_pat) rule table, equi-join the url
+  table on host, and pick the winner per url-ROW by (rule length DESC,
+  allow DESC) — RFC tie-break: the longest rule wins, Allow wins
+  equal-length ties. Urls whose host has no rules (or no matching rule)
+  are allowed. Wildcard matching runs JVM-side as SQL LIKE with escaped
+  metacharacters (``*`` -> ``%``).
 
 Scale shape: the rule join is a hash equi-join on host; each url meets
 only its host's rules (robots files are small, so fan-out per url is the
@@ -87,8 +90,10 @@ def parse_robots_directives(
         elif field == "crawl-delay":
             in_group_body = True
             try:
+                # OverflowError: 'inf'/'1e400' must degrade, not fail the
+                # task (never-a-task-failure parser policy)
                 cur_delay = int(round(float(value) * 1000.0))
-            except ValueError:
+            except (ValueError, OverflowError):
                 pass
         elif field == "sitemap":
             # file-global; does not open or close a group body
@@ -99,20 +104,31 @@ def parse_robots_directives(
         _close()
 
     agent_l = agent.lower()
-    best: tuple[int, list, int | None] | None = None
-    for agents, rules, delay in groups:
+
+    def _score(agents: list[str]) -> int | None:
+        s = None
         for a in agents:
             if a == "*":
-                score = 0
+                s = max(s, 0) if s is not None else 0
             elif a and a in agent_l:
-                score = len(a)
-            else:
-                continue
-            if best is None or score > best[0]:
-                best = (score, rules, delay)
-    if best is None:
+                s = max(s or 0, len(a))
+        return s
+
+    scored = [(_score(agents), rules, delay) for agents, rules, delay in groups]
+    best_score = max((s for s, _, _ in scored if s is not None), default=None)
+    if best_score is None:
         return [], None, sitemaps
-    return [tuple(r) for r in best[1]], best[2], sitemaps
+    # RFC 9309 §2.2.1: EVERY group matching the winning token contributes
+    # (concatenated robots files repeat 'User-agent: *' routinely)
+    merged_rules: list[tuple[bool, str, bool]] = []
+    merged_delay: int | None = None
+    for s, rules, delay in scored:
+        if s != best_score:
+            continue
+        merged_rules.extend(tuple(r) for r in rules)
+        if merged_delay is None:
+            merged_delay = delay
+    return merged_rules, merged_delay, sitemaps
 
 
 def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str, bool]]:
@@ -121,16 +137,33 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str, bool]]:
     return parse_robots_directives(txt, agent)[0]
 
 
+def _like_pattern(prefix: str, anchored: bool) -> str:
+    """RFC 9309 path pattern -> SQL LIKE pattern: escape LIKE
+    metacharacters, ``*`` -> ``%``; non-anchored rules get a trailing
+    ``%`` (prefix match). LIKE is a full-string match, so '^' is
+    implicit."""
+    esc = prefix.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    pat = esc.replace("*", "%")
+    return pat if anchored else pat + "%"
+
+
 def robots_rules(robots: DataFrame, *, agent: str = "*") -> DataFrame:
     """(host, robots_txt) -> exploded rule table
-    (host, allow, prefix, anchored, prefix_len)."""
+    (host, allow, prefix, anchored, like_pat, prefix_len)."""
 
-    @pandas_udf("array<struct<allow:boolean,prefix:string,anchored:boolean>>")
+    @pandas_udf(
+        "array<struct<allow:boolean,prefix:string,anchored:boolean,like_pat:string>>"
+    )
     def parse(txts: pd.Series) -> pd.Series:
         return pd.Series(
             [
                 [
-                    {"allow": a, "prefix": p, "anchored": anch}
+                    {
+                        "allow": a,
+                        "prefix": p,
+                        "anchored": anch,
+                        "like_pat": _like_pattern(p, anch),
+                    }
                     for (a, p, anch) in parse_robots(str(t), agent)
                 ]
                 for t in txts
@@ -144,15 +177,22 @@ def robots_rules(robots: DataFrame, *, agent: str = "*") -> DataFrame:
             F.col("r.allow").alias("allow"),
             F.col("r.prefix").alias("prefix"),
             F.col("r.anchored").alias("anchored"),
+            F.col("r.like_pat").alias("like_pat"),
             F.length("r.prefix").alias("prefix_len"),
         )
     )
 
 
+# name must be EXACTLY 'robots' (quoted, or unquoted followed by a
+# delimiter — 'robots-verification' must not match); content accepts
+# quoted or unquoted (legal HTML) values
 _META_ROBOTS_RE = re.compile(
-    rb"<meta\s+[^>]*name\s*=\s*[\"']?robots[\"']?[^>]*>", re.IGNORECASE | re.DOTALL
+    rb"<meta\s+[^>]*name\s*=\s*([\"']robots[\"']|robots(?=[\s/>]))[^>]*>",
+    re.IGNORECASE | re.DOTALL,
 )
-_CONTENT_RE = re.compile(rb"content\s*=\s*([\"'])(.*?)\1", re.IGNORECASE | re.DOTALL)
+_CONTENT_RE = re.compile(
+    rb"content\s*=\s*(?:([\"'])(.*?)\1|([^\s\"'/>]+))", re.IGNORECASE | re.DOTALL
+)
 
 META_ROBOTS_FLAGS = ("noindex", "nofollow", "noarchive", "nosnippet", "noai")
 
@@ -168,8 +208,9 @@ def parse_meta_robots(html: bytes, *, scan_bytes: int = 16384) -> dict[str, bool
         m = _CONTENT_RE.search(tag.group(0))
         if not m:
             continue
+        value = m.group(2) if m.group(2) is not None else m.group(3)
         directives = {
-            d.strip().lower() for d in m.group(2).decode("latin-1").split(",")
+            d.strip().lower() for d in value.decode("latin-1").split(",")
         }
         if "none" in directives:
             flags["noindex"] = flags["nofollow"] = True
@@ -217,9 +258,16 @@ def gate_pages(
     back. Both joins are url/host equi-joins (the lineage anti-join's
     partitioning reuses the url side downstream). Urls with no path get
     '/'; fragment-only tails are stripped per RFC 9309 §2.2.2."""
+    # hostnames are case-insensitive and may carry userinfo/port in the
+    # url authority — normalize before the equi-join against the robots
+    # table's bare lowercase hosts, or disallowed pages slip through
+    raw_host = F.regexp_extract(url_col, _URL_HOST_RE, 1)
+    host = F.lower(
+        F.regexp_replace(F.regexp_replace(raw_host, "^.*@", ""), ":\\d+$", "")
+    )
     u = pages.select(
         F.col(url_col).alias("url"),
-        F.regexp_extract(url_col, _URL_HOST_RE, 1).alias("host"),
+        host.alias("host"),
         F.coalesce(
             F.nullif(F.regexp_extract(url_col, _URL_PATH_RE, 1), F.lit("")),
             F.lit("/"),
@@ -261,19 +309,16 @@ def robots_filter(
     """Longest-match robots evaluation. Input urls(host, path, ...),
     robots(host, robots_txt); output = urls columns + ``allowed``."""
     rules = robots_rules(robots, agent=agent).withColumnRenamed("host", host_col)
-    matched = (
-        urls.join(rules, on=[host_col], how="left")
-        .withColumn(
-            "_hit",
-            F.when(
-                F.col("anchored"),
-                F.col(path_col) == F.col("prefix"),
-            ).otherwise(F.col(path_col).startswith(F.col("prefix"))),
-        )
+    # row identity, NOT partitionBy(all columns): duplicate input rows must
+    # come back (the contract is a pure column addition)
+    keyed = urls.withColumn("_rid", F.monotonically_increasing_id())
+    matched = keyed.join(rules, on=[host_col], how="left").withColumn(
+        "_hit",
+        F.expr(f"`{path_col}` LIKE like_pat ESCAPE '\\\\'"),
     )
-    # winner per url: longest matching prefix, Allow wins ties; urls with
-    # no matching rule (or no rules at all) default to allowed
-    w = Window.partitionBy(*urls.columns).orderBy(
+    # winner per url row: longest matching rule, Allow wins ties; urls
+    # with no matching rule (or no rules at all) default to allowed
+    w = Window.partitionBy("_rid").orderBy(
         F.desc(F.when(F.col("_hit"), F.col("prefix_len")).otherwise(-1)),
         F.desc("allow"),
     )

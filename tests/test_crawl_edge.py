@@ -141,3 +141,10 @@ def test_sitemap_entries_zero_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert df.count() == 2
+
+
+def test_sitemap_priority_overflow_degrades():
+    es = parse_sitemap(
+        b"<url><loc>https://e.com/p</loc><priority>1e400</priority></url>"
+    )
+    assert es[0]["priority_milli"] is None

@@ -160,3 +160,88 @@ def test_meta_robots_flags_zero_exchange(spark):
     assert "Exchange" not in plan
     rows = {r.url: r.noai for r in df.collect()}
     assert rows == {"u1": True, "u2": False}
+
+
+def test_review_fixes_parser_edges():
+    from ocr_spark.operators.robots import (
+        parse_meta_robots,
+        parse_robots,
+        parse_robots_directives,
+    )
+
+    # OverflowError path: infinite crawl-delay degrades, never raises
+    _, delay, _ = parse_robots_directives(
+        "User-agent: *\nCrawl-delay: 1e400\n", agent="x"
+    )
+    assert delay is None
+    # RFC 9309 §2.2.1: repeated 'User-agent: *' groups merge their rules
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n", agent="x"
+    )
+    assert (False, "/a", False) in rules and (False, "/b", False) in rules
+    # meta name must be exactly 'robots'; unquoted content values parse
+    f = parse_meta_robots(b'<meta name="robots-verification" content="noindex">')
+    assert not f["noindex"]
+    f = parse_meta_robots(b"<meta name=robots content=noindex>")
+    assert f["noindex"]
+
+
+def test_robots_filter_wildcards_and_duplicates(spark):
+    import pandas as pd
+
+    from ocr_spark.operators.robots import robots_filter
+
+    urls = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": ["h", "h", "h", "h", "h"],
+                "path": [
+                    "/private/x.php",  # blocked by /*.php$ via wildcard
+                    "/page.php/more",  # NOT blocked: $ anchors the end
+                    "/private/doc",    # blocked by /private/*
+                    "/dup",            # duplicated row below
+                    "/dup",
+                ],
+            }
+        )
+    )
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": ["h"],
+                "robots_txt": [
+                    "User-agent: *\nDisallow: /*.php$\nDisallow: /private/*\n"
+                ],
+            }
+        )
+    )
+    out = robots_filter(urls, robots).collect()
+    # duplicate input rows are preserved (row-identity window, no dedup)
+    assert len(out) == 5
+    verdicts = {}
+    for r in out:
+        verdicts.setdefault(r.path, []).append(r.allowed)
+    assert verdicts["/private/x.php"] == [False]
+    assert verdicts["/page.php/more"] == [True]
+    assert verdicts["/private/doc"] == [False]
+    assert verdicts["/dup"] == [True, True]
+
+
+def test_gate_pages_normalizes_host(spark):
+    from ocr_spark.operators.robots import gate_pages
+
+    pages = spark.createDataFrame(
+        [
+            ("https://Example.COM/private/a", b"x"),
+            ("https://user:pw@example.com:443/private/b", b"y"),
+            ("https://example.com/pub", b"z"),
+        ],
+        "url string, html binary",
+    )
+    robots = spark.createDataFrame(
+        [("example.com", "User-agent: *\nDisallow: /private\n")],
+        "host string, robots_txt string",
+    )
+    assert sorted(r.url for r in gate_pages(pages, robots).collect()) == [
+        "https://example.com/pub"
+    ]

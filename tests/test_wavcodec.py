@@ -93,3 +93,8 @@ def test_audio_features_spark(spark):
     assert r.peak == 200
     assert r.energy == 6 * 200 * 200
     assert r.zero_crossings == 2
+
+
+def test_wav_encode_clips_out_of_range_16bit():
+    out, _ = wav_decode(wav_encode(np.array([40000, -40000], dtype=np.int64), 8000))
+    assert out[:, 0].tolist() == [32767, -32768]
