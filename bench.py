@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "domain_split",
     "unimax",
     "vtt_cues",
+    "bloom_prefilter",
 ]
 
 

@@ -811,6 +811,29 @@ def q_unimax(spark, sf):  # UniMax source-mixture token allocation
     )
 
 
+def q_bloom_prefilter(spark, sf):  # semi-join-reduction frontier dedup
+    """Deterministic Bloom prefilter: the 'already crawled' build side is
+    the doc_id%3==0 url subset; every url probes the bit set. The oracle
+    re-derives all k salted hash positions, the distinct bit table, AND
+    every candidate verdict in DuckDB — bit-exact, including any false
+    positives (m=4096 is sized so they can occur and must match)."""
+    from .operators.bloom import bloom_bits, bloom_probe
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://host"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    crawled = urls.where(F.col("doc_id") % 3 == 0)
+    bits = bloom_bits(crawled, m_bits=4096, k=3)
+    return bloom_probe(urls, bits, m_bits=4096, k=3)
+
+
 def q_meta_robots(spark, sf):  # page-level opt-out flags from html bytes
     """Meta-robots tags (quoted/unquoted/uppercase/none-alias/multi-tag/
     decoy-name variants from doc_id residues) are PARSED from real html
@@ -1390,6 +1413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "meta_robots": q_meta_robots,
     "domain_split": q_domain_split,
     "unimax": q_unimax,
+    "bloom_prefilter": q_bloom_prefilter,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -2355,6 +2379,27 @@ ORACLE_SQL["registrable_domain"] = """
                ELSE 'm' || CAST(doc_id AS VARCHAR) || '.unlisted'
                         || CAST(doc_id % 3 AS VARCHAR) END AS registrable_domain
     FROM documents
+"""
+
+ORACLE_SQL["bloom_prefilter"] = """
+    WITH u AS (SELECT doc_id,
+            'https://host' || CAST(doc_id % 10 AS VARCHAR) || '.example/p/'
+                || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+    pos AS (SELECT doc_id, url,
+            list_transform([1000003, 2000006, 3000009],
+                s -> list_reduce(list_prepend(CAST(s AS BIGINT),
+                        list_transform(split(url, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007) % 4096) AS ps
+        FROM u),
+    bits AS (SELECT DISTINCT p.x AS pos
+        FROM pos, unnest(ps) AS p(x) WHERE doc_id % 3 = 0),
+    per AS (SELECT doc_id, p.x AS pos FROM pos, unnest(ps) AS p(x)),
+    hits AS (SELECT per.doc_id, count(*) AS n
+        FROM per JOIN bits USING (pos) GROUP BY 1)
+    SELECT pos.doc_id, pos.url, coalesce(hits.n, 0) = 3 AS candidate
+    FROM pos LEFT JOIN hits ON pos.doc_id = hits.doc_id
 """
 
 ORACLE_SQL["unimax"] = r"""
