@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "unimax",
     "vtt_cues",
     "bloom_prefilter",
+    "bitext",
 ]
 
 

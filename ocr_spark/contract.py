@@ -811,6 +811,36 @@ def q_unimax(spark, sf):  # UniMax source-mixture token allocation
     )
 
 
+def q_bitext(spark, sf):  # ParaCrawl-style bitext candidate mining
+    """Five language editions per article group (doc_id residues) share a
+    path modulo the lang segment; the operator strips the segment via
+    regex and self-joins, the oracle constructs the ordered pair table
+    closed-form (no regex) — two independent derivations."""
+    from .operators.urls import bitext_candidates
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    code = (
+        F.when(F.col("doc_id") % 5 == 0, "en")
+        .when(F.col("doc_id") % 5 == 1, "fr")
+        .when(F.col("doc_id") % 5 == 2, "de")
+        .when(F.col("doc_id") % 5 == 3, "es")
+        .otherwise("zh")
+    )
+    g = (F.col("doc_id") - F.col("doc_id") % 5).cast("string")
+    pages = d.select(
+        F.concat(
+            F.lit("https://host"),
+            ((F.col("doc_id") - F.col("doc_id") % 5) % 7).cast("string"),
+            F.lit(".example/"),
+            code,
+            F.lit("/article"),
+            g,
+        ).alias("url"),
+        code.alias("lang"),
+    )
+    return bitext_candidates(pages)
+
+
 def q_bloom_prefilter(spark, sf):  # semi-join-reduction frontier dedup
     """Deterministic Bloom prefilter: the 'already crawled' build side is
     the doc_id%3==0 url subset; every url probes the bit set. The oracle
@@ -1414,6 +1444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_split": q_domain_split,
     "unimax": q_unimax,
     "bloom_prefilter": q_bloom_prefilter,
+    "bitext": q_bitext,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -2379,6 +2410,24 @@ ORACLE_SQL["registrable_domain"] = """
                ELSE 'm' || CAST(doc_id AS VARCHAR) || '.unlisted'
                         || CAST(doc_id % 3 AS VARCHAR) END AS registrable_domain
     FROM documents
+"""
+
+ORACLE_SQL["bitext"] = """
+    WITH p AS (SELECT doc_id,
+            doc_id - doc_id % 5 AS g,
+            CASE doc_id % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+                            WHEN 3 THEN 'es' ELSE 'zh' END AS lang
+        FROM documents),
+    keyed AS (SELECT g,
+            'https://host' || CAST(g % 7 AS VARCHAR) || '.example/*/article'
+                || CAST(g AS VARCHAR) AS pair_key,
+            'https://host' || CAST(g % 7 AS VARCHAR) || '.example/' || lang
+                || '/article' || CAST(g AS VARCHAR) AS url,
+            lang
+        FROM p)
+    SELECT a.pair_key, a.url AS url_a, a.lang AS lang_a,
+           b.url AS url_b, b.lang AS lang_b
+    FROM keyed a JOIN keyed b ON a.g = b.g AND a.lang < b.lang
 """
 
 ORACLE_SQL["bloom_prefilter"] = """

@@ -168,6 +168,37 @@ def leakage_safe_split(
     )
 
 
+# language path segments recognized for bitext URL matching (whitelist —
+# bare 2-letter segments like /js/ or /up/ must NOT strip)
+BITEXT_LANGS = "en fr de es zh pt it ru ja ko nl pl ar tr".split()
+
+
+def bitext_candidates(
+    pages: DataFrame, *, url_col: str = "url", lang_col: str = "lang"
+) -> DataFrame:
+    """ParaCrawl-style bitext mining by URL pattern: two pages whose urls
+    differ ONLY by a language path segment (/en/x vs /fr/x) are
+    translation-pair candidates — the standard first-stage filter before
+    any content alignment.
+
+    The stripped-url key replaces EVERY whitelisted language segment with
+    ``*`` (Spark regexp_replace is global); pages with no such segment
+    never pair. ONE hash exchange
+    on the key (self-equi-join); the ordered lang_a < lang_b condition
+    emits each pair once. Output:
+    (pair_key, url_a, lang_a, url_b, lang_b)."""
+    pat = "/(" + "|".join(BITEXT_LANGS) + ")(/|$)"
+    key = F.regexp_replace(F.col(url_col), pat, "/*$2")
+    keyed = pages.select(
+        key.alias("pair_key"),
+        F.col(url_col).alias("u"),
+        F.col(lang_col).alias("l"),
+    ).where(key != F.col(url_col))
+    a = keyed.select("pair_key", F.col("u").alias("url_a"), F.col("l").alias("lang_a"))
+    b = keyed.select("pair_key", F.col("u").alias("url_b"), F.col("l").alias("lang_b"))
+    return a.join(b, "pair_key").where(F.col("lang_a") < F.col("lang_b"))
+
+
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     def gen(batches):
         import pandas as pd

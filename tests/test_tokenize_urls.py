@@ -200,3 +200,30 @@ def test_leakage_safe_split_groups_domains(spark):
     assert {r.split for r in out} <= {"train", "val", "test"}
     plan = leakage_safe_split(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_bitext_candidates(spark):
+    from ocr_spark.operators.urls import bitext_candidates
+
+    pages = spark.createDataFrame(
+        [
+            ("https://h.example/en/story", "en"),
+            ("https://h.example/fr/story", "fr"),
+            ("https://h.example/de/story", "de"),
+            ("https://h.example/en/other", "en"),
+            ("https://h.example/js/app", "xx"),     # 'js' not a lang segment
+            ("https://h.example/plain", "en"),      # no lang segment
+            ("https://h.example/pt", "pt"),         # segment at url end
+            ("https://h.example/en", "en"),
+        ],
+        "url string, lang string",
+    )
+    out = {(r.lang_a, r.lang_b, r.pair_key) for r in bitext_candidates(pages).collect()}
+    story_key = "https://h.example/*/story"
+    end_key = "https://h.example/*"
+    assert out == {
+        ("de", "en", story_key),
+        ("de", "fr", story_key),
+        ("en", "fr", story_key),
+        ("en", "pt", end_key),
+    }
