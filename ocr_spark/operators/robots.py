@@ -12,13 +12,14 @@ Two pieces:
   matched; empty Disallow means "no restriction" and is dropped.
 
 - :func:`robots_filter` — distributed longest-match evaluation: robots
-  bodies parse once per host in an Arrow-batched UDF, explode to a
-  (host, allow, prefix, anchored, like_pat) rule table, equi-join the url
-  table on host, and pick the winner per url-ROW by (rule length DESC,
+  bodies parse once per host in an Arrow-batched UDF into ONE rules array
+  per host; the url table equi-joins that on host (the only exchange) and
+  the winner folds JVM-side in an aggregate lambda by (rule length DESC,
   allow DESC) — RFC tie-break: the longest rule wins, Allow wins
-  equal-length ties. Urls whose host has no rules (or no matching rule)
-  are allowed. Wildcard matching runs JVM-side as SQL LIKE with escaped
-  metacharacters (``*`` -> ``%``).
+  equal-length ties. No window, no sort, duplicate url rows preserved.
+  Urls whose host has no rules (or no matching rule) are allowed.
+  Wildcard matching runs as SQL LIKE with escaped metacharacters
+  (``*`` -> ``%``).
 
 Scale shape: the rule join is a hash equi-join on host; each url meets
 only its host's rules (robots files are small, so fan-out per url is the
@@ -147,12 +148,10 @@ def _like_pattern(prefix: str, anchored: bool) -> str:
     return pat if anchored else pat + "%"
 
 
-def robots_rules(robots: DataFrame, *, agent: str = "*") -> DataFrame:
-    """(host, robots_txt) -> exploded rule table
-    (host, allow, prefix, anchored, like_pat, prefix_len)."""
-
+def _rules_udf(agent: str):
     @pandas_udf(
-        "array<struct<allow:boolean,prefix:string,anchored:boolean,like_pat:string>>"
+        "array<struct<allow:boolean,prefix:string,anchored:boolean,"
+        "like_pat:string,prefix_len:int>>"
     )
     def parse(txts: pd.Series) -> pd.Series:
         return pd.Series(
@@ -163,6 +162,7 @@ def robots_rules(robots: DataFrame, *, agent: str = "*") -> DataFrame:
                         "prefix": p,
                         "anchored": anch,
                         "like_pat": _like_pattern(p, anch),
+                        "prefix_len": len(p),
                     }
                     for (a, p, anch) in parse_robots(str(t), agent)
                 ]
@@ -170,6 +170,13 @@ def robots_rules(robots: DataFrame, *, agent: str = "*") -> DataFrame:
             ]
         )
 
+    return parse
+
+
+def robots_rules(robots: DataFrame, *, agent: str = "*") -> DataFrame:
+    """(host, robots_txt) -> exploded rule table
+    (host, allow, prefix, anchored, like_pat, prefix_len)."""
+    parse = _rules_udf(agent)
     return (
         robots.select("host", F.explode(parse("robots_txt")).alias("r"))
         .select(
@@ -178,7 +185,7 @@ def robots_rules(robots: DataFrame, *, agent: str = "*") -> DataFrame:
             F.col("r.prefix").alias("prefix"),
             F.col("r.anchored").alias("anchored"),
             F.col("r.like_pat").alias("like_pat"),
-            F.length("r.prefix").alias("prefix_len"),
+            F.col("r.prefix_len").alias("prefix_len"),
         )
     )
 
@@ -308,27 +315,29 @@ def robots_filter(
 ) -> DataFrame:
     """Longest-match robots evaluation. Input urls(host, path, ...),
     robots(host, robots_txt); output = urls columns + ``allowed``."""
-    rules = robots_rules(robots, agent=agent).withColumnRenamed("host", host_col)
-    # row identity, NOT partitionBy(all columns): duplicate input rows must
-    # come back (the contract is a pure column addition)
-    keyed = urls.withColumn("_rid", F.monotonically_increasing_id())
-    matched = keyed.join(rules, on=[host_col], how="left").withColumn(
-        "_hit",
-        F.expr(f"`{path_col}` LIKE like_pat ESCAPE '\\\\'"),
+    # rules ride as ONE array per host (no explode): the host equi-join is
+    # then the ONLY exchange, and the longest-match/Allow-ties fold runs
+    # JVM-side inside an aggregate lambda — no window, no per-row shuffle,
+    # duplicate input rows trivially preserved
+    parse = _rules_udf(agent)
+    per_host = robots.select(
+        F.col("host").alias(host_col), parse("robots_txt").alias("_rules")
     )
-    # winner per url row: longest matching rule, Allow wins ties; urls
-    # with no matching rule (or no rules at all) default to allowed
-    w = Window.partitionBy("_rid").orderBy(
-        F.desc(F.when(F.col("_hit"), F.col("prefix_len")).otherwise(-1)),
-        F.desc("allow"),
+    matched = urls.join(per_host, on=[host_col], how="left")
+    best = F.expr(
+        f"""aggregate(_rules,
+              named_struct('len', -1, 'allow', true),
+              (acc, r) -> CASE
+                  WHEN `{path_col}` LIKE r.like_pat ESCAPE '\\\\'
+                       AND (r.prefix_len > acc.len
+                            OR (r.prefix_len = acc.len AND r.allow
+                                AND NOT acc.allow))
+                  THEN named_struct('len', r.prefix_len, 'allow', r.allow)
+                  ELSE acc END)"""
     )
-    return (
-        matched.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
-            *urls.columns,
-            F.when(F.col("_hit"), F.col("allow")).otherwise(F.lit(True)).alias(
-                "allowed"
-            ),
-        )
+    return matched.withColumn("_best", best).select(
+        *urls.columns,
+        F.when(F.col("_best.len") >= 0, F.col("_best.allow"))
+        .otherwise(F.lit(True))
+        .alias("allowed"),
     )

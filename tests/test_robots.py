@@ -245,3 +245,25 @@ def test_gate_pages_normalizes_host(spark):
     assert sorted(r.url for r in gate_pages(pages, robots).collect()) == [
         "https://example.com/pub"
     ]
+
+
+def test_robots_filter_plan_join_only(spark):
+    import pandas as pd
+
+    from ocr_spark.operators.robots import robots_filter
+
+    urls = spark.createDataFrame(
+        pd.DataFrame({"host": ["h"], "path": ["/x"]})
+    )
+    robots = spark.createDataFrame(
+        pd.DataFrame({"host": ["h"], "robots_txt": ["User-agent: *\nDisallow: /a\n"]})
+    )
+    plan = (
+        robots_filter(urls, robots)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the winner fold is an aggregate lambda, not a window: no Window/Sort
+    assert "Window" not in plan
+    assert "Sort" not in plan
