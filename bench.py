@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "vtt_cues",
     "bloom_prefilter",
     "bitext",
+    "ccnet_buckets",
 ]
 
 

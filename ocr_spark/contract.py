@@ -841,6 +841,18 @@ def q_bitext(spark, sf):  # ParaCrawl-style bitext candidate mining
     return bitext_candidates(pages)
 
 
+def q_ccnet_buckets(spark, sf):  # CCNet head/middle/tail terciles
+    """Tie-safe tercile labels from the integer milli-fluency score; the
+    oracle re-derives the score, the bounded strictly-above cumulative,
+    and the thresholds with its own SQL."""
+    from .operators.corpus_filters import ccnet_buckets
+
+    d = _t(spark, sf, "documents")
+    return ccnet_buckets(
+        d.select("doc_id", F.substring(F.col("text"), 1, 300).alias("text"))
+    )
+
+
 def q_bloom_prefilter(spark, sf):  # semi-join-reduction frontier dedup
     """Deterministic Bloom prefilter: the 'already crawled' build side is
     the doc_id%3==0 url subset; every url probes the bit set. The oracle
@@ -1445,6 +1457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax": q_unimax,
     "bloom_prefilter": q_bloom_prefilter,
     "bitext": q_bitext,
+    "ccnet_buckets": q_ccnet_buckets,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -2410,6 +2423,40 @@ ORACLE_SQL["registrable_domain"] = """
                ELSE 'm' || CAST(doc_id AS VARCHAR) || '.unlisted'
                         || CAST(doc_id % 3 AS VARCHAR) END AS registrable_domain
     FROM documents
+"""
+
+ORACLE_SQL["ccnet_buckets"] = r"""
+    WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(substr(text, 1, 300))), '\s+'),
+                       w -> w <> '') AS t FROM documents),
+    per AS (SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(t,
+                w -> CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END)), 0)
+                AS BIGINT) AS n_bigrams,
+           CAST(coalesce(list_sum(list_transform(t,
+                w -> len(list_filter(
+                    list_transform(range(1, len(w)), i -> substr(w, CAST(i AS INT), 2)),
+                    b -> list_contains(['th','he','in','er','an','re','on','at','en',
+                                        'nd','ti','es','or','te','of','ed','is','it',
+                                        'al','ar','st','to','nt','ng','se','ha','as',
+                                        'ou','io','le'], b))))), 0)
+                AS BIGINT) AS n_known
+         FROM toks),
+    sc AS (SELECT doc_id,
+           CAST((n_known * 1000) // greatest(n_bigrams, 1) AS BIGINT) AS score_milli
+         FROM per),
+    cnt AS (SELECT score_milli, CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY 1),
+    lab AS (SELECT score_milli,
+            coalesce(sum(cnt) OVER (ORDER BY score_milli DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                CAST(0 AS BIGINT)) AS above,
+            sum(cnt) OVER () AS n
+        FROM cnt)
+    SELECT sc.doc_id, sc.score_milli,
+           CASE WHEN above * 3 < n THEN 'head'
+                WHEN above * 3 < 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc JOIN lab USING (score_milli)
 """
 
 ORACLE_SQL["bitext"] = """

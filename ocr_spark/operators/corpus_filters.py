@@ -579,3 +579,48 @@ def sequence_pack(
         .cast("long")
         .alias("n_seqs_spanned"),
     )
+
+
+def ccnet_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet head/middle/tail partitioning (Wenzek et al. 2020): label each
+    document by its LM-fluency tercile. SCALE-SAFE shape — no global sort:
+
+    1. per-row integer score (milli-fluency from the char-bigram LM,
+       zero exchanges);
+    2. groupBy on the score value — BOUNDED at 1001 distinct values, so
+       the cumulative "documents strictly above this score" window runs
+       over a tiny table;
+    3. label broadcast-joins back on score.
+
+    Ties share a score, hence a bucket — they can never straddle a
+    boundary, so the labeling is deterministic under any partitioning:
+    head iff 3*docs_above < n, middle iff 3*docs_above < 2n, else tail.
+    """
+    scored = bigram_lm_score(df, text_col=text_col).select(
+        "doc_id",
+        F.expr("(n_known * 1000) div greatest(n_bigrams, 1)").alias("score_milli"),
+    )
+    counts = scored.groupBy("score_milli").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy(F.desc("score_milli"))
+    lab = (
+        counts.withColumn(
+            "above",
+            F.coalesce(
+                F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+        .select(
+            "score_milli",
+            F.when(F.col("above") * 3 < F.col("n"), F.lit("head"))
+            .when(F.col("above") * 3 < 2 * F.col("n"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+    return scored.join(F.broadcast(lab), "score_milli").select(
+        "doc_id", "score_milli", "bucket"
+    )

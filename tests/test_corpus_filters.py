@@ -184,3 +184,33 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     df = entry_mod.queries()["decontaminate"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ccnet_buckets_tie_safe_terciles(spark):
+    import pandas as pd
+
+    from ocr_spark.operators.corpus_filters import ccnet_buckets
+
+    # fluent English, mid, and junk rows; ties (identical text) must land
+    # in the same bucket
+    texts = (
+        ["the other and there in the end"] * 3     # high score, tied
+        + ["zz qq xx vv kk"] * 3                    # zero score, tied
+        + ["the xq on zz at kk"] * 3                # middle, tied
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(9), "text": texts})
+    )
+    out = ccnet_buckets(df).collect()
+    by_text_bucket = {}
+    for r in out:
+        by_text_bucket.setdefault(texts[r.doc_id], set()).add(r.bucket)
+    # each tied group got exactly one bucket
+    assert all(len(s) == 1 for s in by_text_bucket.values())
+    buckets = {texts[r.doc_id]: r.bucket for r in out}
+    assert buckets["the other and there in the end"] == "head"
+    assert buckets["the xq on zz at kk"] == "middle"
+    assert buckets["zz qq xx vv kk"] == "tail"
+    # plan: the label side broadcasts (no extra wide exchange on docs)
+    plan = ccnet_buckets(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
