@@ -31,23 +31,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .corpus_filters import POLY_MOD, POLY_MULT
+from .corpus_filters import _poly_hash
 
 
 def _positions(col, *, m_bits: int, k: int):
-    """k deterministic bit positions for a string: fold the poly hash with
-    k salt prefixes. Returns an array<long> column."""
-
-    def one(salt: int):
-        chars = F.filter(F.split(col, ""), lambda c: c != "")
-        codes = F.transform(chars, F.ascii)
-        return F.aggregate(
-            codes,
-            F.lit(salt).cast("long"),
-            lambda acc, x: (acc * POLY_MULT + x.cast("long")) % POLY_MOD,
-        ) % m_bits
-
-    return F.array(*[one(1000003 * (i + 1)) for i in range(k)])
+    """k deterministic bit positions for a string: the portable poly hash
+    (corpus_filters._poly_hash) folded from k salt initializers. Returns
+    an array<long> column."""
+    return F.array(
+        *[_poly_hash(col, init=1000003 * (i + 1)) % m_bits for i in range(k)]
+    )
 
 
 def bloom_bits(
@@ -69,20 +62,26 @@ def bloom_probe(
     m_bits: int = 1 << 20,
     k: int = 3,
 ) -> DataFrame:
-    """Probe side: adds ``candidate`` (all k positions set). The join
-    ships only (row-id, position) pairs; the bit table is <= m_bits rows,
-    so Catalyst broadcasts it at any realistic m."""
-    keyed = probe.withColumn(
-        "_pos", _positions(F.col(key_col), m_bits=m_bits, k=k)
-    ).withColumn("_rid", F.monotonically_increasing_id())
-    exploded = keyed.select("_rid", F.explode("_pos").alias("pos"))
-    hits = (
+    """Probe side: adds ``candidate`` (all k positions set).
+
+    The verdict is a pure function of the KEY STRING, so it is computed
+    once per DISTINCT key and equi-joined back — no row ids (a
+    monotonically_increasing_id here would be re-evaluated on both sides
+    of a self-join and is NOT stable across task retries), duplicate probe
+    rows trivially preserved. The join ships (key, position) pairs only
+    for distinct keys; the bit table is <= m_bits rows, so Catalyst
+    broadcasts it at any realistic m."""
+    keys = probe.select(F.col(key_col).alias("_k")).distinct()
+    exploded = keys.select(
+        "_k", F.explode(_positions(F.col("_k"), m_bits=m_bits, k=k)).alias("pos")
+    )
+    verdicts = (
         exploded.join(bits, "pos", "left_semi")
-        .groupBy("_rid")
-        .agg(F.count(F.lit(1)).alias("_nhit"))
+        .groupBy("_k")
+        .agg((F.count(F.lit(1)) == k).alias("_cand"))
     )
     return (
-        keyed.join(hits, "_rid", "left")
-        .withColumn("candidate", F.coalesce(F.col("_nhit"), F.lit(0)) == k)
-        .drop("_pos", "_rid", "_nhit")
+        probe.join(verdicts, probe[key_col] == verdicts["_k"], "left")
+        .withColumn("candidate", F.coalesce(F.col("_cand"), F.lit(False)))
+        .drop("_k", "_cand")
     )

@@ -71,16 +71,17 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
 
 
-def _poly_hash(token: Column) -> Column:
+def _poly_hash(token: Column, init: int = 0) -> Column:
     """Portable polynomial hash: fold acc*31 + ascii(ch) mod 1e9+7 over the
-    characters, acc0 = 0. DuckDB mirror:
-    ``list_reduce(list_prepend(0, list_transform(split(w,''), c -> ascii(c))),
+    characters, acc0 = ``init`` (salted variants pass a nonzero seed —
+    see operators/bloom). DuckDB mirror:
+    ``list_reduce(list_prepend(<init>, list_transform(split(w,''), c -> ascii(c))),
     (a, b) -> (a * 31 + b) % 1000000007)``."""
     chars = F.filter(F.split(token, ""), lambda c: c != "")
     codes = F.transform(chars, F.ascii)
     return F.aggregate(
         codes,
-        F.lit(0).cast("long"),
+        F.lit(init).cast("long"),
         lambda acc, x: (acc * POLY_MULT + x.cast("long")) % POLY_MOD,
     )
 
@@ -232,7 +233,7 @@ def hash_embedding(df: DataFrame, dim: int = 16, text_col: str = "text") -> Data
     O(dim * n_tokens) JVM work, zero exchanges.
     """
     toks = _tokens(F.col(text_col))
-    hashes = F.transform(toks, _poly_hash)
+    hashes = F.transform(toks, lambda t: _poly_hash(t))
     emb = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda b: F.aggregate(
@@ -511,7 +512,7 @@ def quality_classifier(
     weights = classifier_weights(dim, seed)
     warr = F.array(*[F.lit(w).cast("long") for w in weights])
     toks = _tokens(F.substring(F.col(text_col), 1, max_chars))
-    hashes = F.transform(toks, _poly_hash)
+    hashes = F.transform(toks, lambda t: _poly_hash(t))
     contrib = F.aggregate(
         hashes,
         F.lit(0).cast("long"),

@@ -33,7 +33,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
@@ -320,8 +320,17 @@ def robots_filter(
     # JVM-side inside an aggregate lambda — no window, no per-row shuffle,
     # duplicate input rows trivially preserved
     parse = _rules_udf(agent)
-    per_host = robots.select(
-        F.col("host").alias(host_col), parse("robots_txt").alias("_rules")
+    # merge multiple robots rows per host (re-fetched/concatenated
+    # sources): the join must stay 1 row per host or probe rows duplicate
+    # and a permissive fragment could override the longest-match verdict.
+    # The tiny host-keyed agg only touches the robots side; flatten order
+    # cannot change a verdict (the fold is order-independent up to exact
+    # (len, allow) ties, which share a verdict).
+    per_host = (
+        robots.select("host", parse("robots_txt").alias("_r"))
+        .groupBy("host")
+        .agg(F.flatten(F.collect_list("_r")).alias("_rules"))
+        .withColumnRenamed("host", host_col)
     )
     matched = urls.join(per_host, on=[host_col], how="left")
     best = F.expr(

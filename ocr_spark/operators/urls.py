@@ -189,14 +189,24 @@ def bitext_candidates(
     (pair_key, url_a, lang_a, url_b, lang_b)."""
     pat = "/(" + "|".join(BITEXT_LANGS) + ")(/|$)"
     key = F.regexp_replace(F.col(url_col), pat, "/*$2")
-    keyed = pages.select(
-        key.alias("pair_key"),
-        F.col(url_col).alias("u"),
-        F.col(lang_col).alias("l"),
-    ).where(key != F.col(url_col))
+    keyed = (
+        pages.select(
+            key.alias("pair_key"),
+            F.col(url_col).alias("u"),
+            F.col(lang_col).alias("l"),
+        )
+        .where(key != F.col(url_col))
+        # duplicate (url, lang) rows would multiply every pair; and a url
+        # carrying two conflicting lang labels must not pair with itself
+        .distinct()
+    )
     a = keyed.select("pair_key", F.col("u").alias("url_a"), F.col("l").alias("lang_a"))
     b = keyed.select("pair_key", F.col("u").alias("url_b"), F.col("l").alias("lang_b"))
-    return a.join(b, "pair_key").where(F.col("lang_a") < F.col("lang_b"))
+    return (
+        a.join(b, "pair_key")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .where(F.col("url_a") != F.col("url_b"))
+    )
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:

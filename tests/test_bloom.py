@@ -50,3 +50,26 @@ def test_probe_broadcasts_bits(spark):
         .toString()
     )
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_probe_duplicates_preserved_and_no_row_ids(spark):
+    import pandas as pd
+
+    urls = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "url": ["https://h/p/1", "https://h/p/1", "https://h/p/9"]}
+        )
+    )
+    bits = bloom_bits(urls.where("doc_id = 1"), m_bits=1024, k=3)
+    out = bloom_probe(urls, bits, m_bits=1024, k=3).collect()
+    # duplicate probe rows both come back, with identical verdicts
+    assert len(out) == 3
+    verdicts = sorted((r.doc_id, r.candidate) for r in out)
+    assert verdicts[0] == (1, True) and verdicts[1] == (2, True)
+    plan = (
+        bloom_probe(urls, bits, m_bits=1024, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "monotonically_increasing_id" not in plan

@@ -216,7 +216,7 @@ def test_robots_filter_wildcards_and_duplicates(spark):
         )
     )
     out = robots_filter(urls, robots).collect()
-    # duplicate input rows are preserved (row-identity window, no dedup)
+    # duplicate input rows are preserved (verdict joins back per host+path)
     assert len(out) == 5
     verdicts = {}
     for r in out:
@@ -267,3 +267,29 @@ def test_robots_filter_plan_join_only(spark):
     # the winner fold is an aggregate lambda, not a window: no Window/Sort
     assert "Window" not in plan
     assert "Sort" not in plan
+
+
+def test_robots_filter_merges_multiple_robots_rows(spark):
+    import pandas as pd
+
+    from ocr_spark.operators.robots import robots_filter
+
+    urls = spark.createDataFrame(
+        pd.DataFrame({"host": ["h"], "path": ["/private/deep/x"]})
+    )
+    # two robots rows for one host: the longest rule (row B) must win and
+    # the output must stay one row per input url
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": ["h", "h"],
+                "robots_txt": [
+                    "User-agent: *\nAllow: /private\n",
+                    "User-agent: *\nDisallow: /private/deep\n",
+                ],
+            }
+        )
+    )
+    out = robots_filter(urls, robots).collect()
+    assert len(out) == 1
+    assert out[0].allowed is False

@@ -227,3 +227,24 @@ def test_bitext_candidates(spark):
         ("en", "fr", story_key),
         ("en", "pt", end_key),
     }
+
+
+def test_bitext_no_self_pairs_or_dup_multiplication(spark):
+    from ocr_spark.operators.urls import bitext_candidates
+
+    pages = spark.createDataFrame(
+        [
+            ("https://h.example/en/story", "en"),
+            ("https://h.example/en/story", "fr"),   # conflicting lang label
+            ("https://h.example/fr/story", "fr"),
+            ("https://h.example/fr/story", "fr"),   # duplicate row
+        ],
+        "url string, lang string",
+    )
+    out = bitext_candidates(pages).collect()
+    # no url pairs with itself; duplicates don't multiply pairs
+    assert all(r.url_a != r.url_b for r in out)
+    pairs = {(r.url_a, r.lang_a, r.url_b, r.lang_b) for r in out}
+    # only (en/story as 'en') x (fr/story as 'fr') survives: the
+    # conflicting-label row shares either the url (self-pair) or the lang
+    assert len(out) == len(pairs) == 1
