@@ -44,6 +44,11 @@ def main():
         "before extraction (RFC 9309 longest-match)",
     )
     ap.add_argument("--agent", default="*", help="user-agent for --robots")
+    ap.add_argument(
+        "--export-wet",
+        help="after the commit, export the extracted table as WET "
+        "(.warc.wet.gz conversion records) into this directory",
+    )
     ap.add_argument("--cpus", type=int, default=None, help="local-mode cores")
     ap.add_argument(
         "--compact",
@@ -100,6 +105,15 @@ def main():
             decode_method=args.decode,
         )
         print(f"commit={commit_id} metrics={metrics}")
+        if args.export_wet:
+            from ocr_spark.sources.wet import export_wet
+
+            extracted = ManifestTable(os.path.join(args.output, "extracted")).read(
+                spark
+            )
+            manifest = export_wet(extracted, args.export_wet).collect()
+            total = sum(r.n_records for r in manifest)
+            print(f"wet_export files={len(manifest)} records={total}")
     finally:
         spark.stop()
 

@@ -159,3 +159,36 @@ def test_warc_parse_fuzz_never_crashes():
             assert isinstance(e, _z.error), (blob[:20], e)
             continue
         assert isinstance(recs, list)
+
+
+def test_wet_export_roundtrip(spark, tmp_path):
+    """export_wet -> our own WARC reader returns the identical (url, text)
+    set; filenames are content-addressed (re-export writes byte-identical
+    files); records per file match the manifest."""
+    import pandas as pd
+
+    from ocr_spark.sources.warc import read_warc_pages
+    from ocr_spark.sources.wet import export_wet
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"https://h.example/p/{i}" for i in range(20)],
+                "warc_ts": [None] * 20,
+                "text": [f"extracted text {i}\nsecond line {i}" for i in range(20)],
+            }
+        )
+    ).repartition(3)
+    out = str(tmp_path / "wet")
+    m1 = sorted((r.path, r.n_records) for r in export_wet(df, out).collect())
+    assert sum(n for _, n in m1) == 20
+    back = read_warc_pages(spark, out + "/*.warc.wet.gz").collect()
+    got = {(r.url, bytes(r.html).decode()) for r in back}
+    exp = {
+        (f"https://h.example/p/{i}", f"extracted text {i}\nsecond line {i}")
+        for i in range(20)
+    }
+    assert got == exp
+    # idempotent: second export produces the same content-addressed files
+    m2 = sorted((r.path, r.n_records) for r in export_wet(df, out).collect())
+    assert m1 == m2
