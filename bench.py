@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "bloom_prefilter",
     "bitext",
     "ccnet_buckets",
+    "refresh_schedule",
 ]
 
 

@@ -412,6 +412,15 @@ def q_url_changes(spark, sf):  # per-url crawl timeline / change detection
     return snapshot_changes(_snapshots(spark, sf))
 
 
+def q_refresh_schedule(spark, sf):  # adaptive re-crawl scheduling
+    """Integer next-fetch estimates on the same synthetic crawl timeline
+    as url_changes; the oracle extends its own window SQL with the
+    clamp/div arithmetic."""
+    from .operators.crawl_history import refresh_schedule
+
+    return refresh_schedule(_snapshots(spark, sf))
+
+
 def q_token_budget(spark, sf):  # greedy quality-ordered token budget per lang
     from .operators.corpus_filters import token_budget_sample
 
@@ -1435,6 +1444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "url_latest": q_url_latest,
     "url_changes": q_url_changes,
+    "refresh_schedule": q_refresh_schedule,
     "token_budget": q_token_budget,
     "page_links": q_page_links,
     "link_hosts": q_link_hosts,
@@ -2076,6 +2086,36 @@ ORACLE_SQL: dict[str, str] = {
                CAST(min(warc_epoch) AS BIGINT) AS first_epoch,
                CAST(max(warc_epoch) AS BIGINT) AS last_epoch
         FROM lagged GROUP BY url
+    """,
+    "refresh_schedule": """
+        WITH snaps AS (SELECT
+               'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               CAST(1700000000 + u.v * 86400 + doc_id % 1000 AS BIGINT) AS warc_epoch,
+               md5(substr(text, 1, 50) ||
+                   CASE WHEN (doc_id + u.v) % 2 = 0 THEN ' rev' ELSE '' END)
+                   AS fingerprint
+             FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(v)),
+        lagged AS (SELECT url, warc_epoch, fingerprint,
+               lag(fingerprint) OVER (PARTITION BY url
+                   ORDER BY warc_epoch ASC, fingerprint ASC) AS prev
+             FROM snaps),
+        agg AS (SELECT url, CAST(count(*) AS BIGINT) AS n_snapshots,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> fingerprint
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+               CAST(min(warc_epoch) AS BIGINT) AS first_epoch,
+               CAST(max(warc_epoch) AS BIGINT) AS last_epoch
+             FROM lagged GROUP BY url),
+        est AS (SELECT *,
+               CASE WHEN n_changes = 0 THEN CAST(2592000 AS BIGINT)
+                    ELSE greatest(least(
+                        (last_epoch - first_epoch) // greatest(n_changes, 1),
+                        2592000), 3600) END AS fetch_interval_s
+             FROM agg)
+        SELECT url, n_snapshots, n_changes, first_epoch, last_epoch,
+               CAST(fetch_interval_s AS BIGINT) AS fetch_interval_s,
+               CAST(last_epoch + fetch_interval_s AS BIGINT) AS next_fetch_epoch
+        FROM est
     """,
     "token_budget": r"""
         WITH scored AS (SELECT doc_id, lang,

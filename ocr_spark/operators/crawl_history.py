@@ -66,6 +66,43 @@ def snapshot_changes(
     )
 
 
+def refresh_schedule(
+    df: DataFrame,
+    *,
+    key: str = "url",
+    ts_col: str = "warc_epoch",
+    min_interval: int = 3600,
+    max_interval: int = 30 * 86400,
+) -> DataFrame:
+    """Adaptive re-crawl scheduling from the change timeline — the
+    operator a crawl frontier runs after :func:`snapshot_changes`.
+
+    Estimated change interval = observed span ``div`` number of observed
+    changes (integer seconds); pages that never changed get
+    ``max_interval``. The estimate clamps to [min_interval, max_interval]
+    and ``next_fetch_epoch = last_epoch + interval`` — all integer
+    arithmetic, byte-identical under any partitioning, and the whole
+    computation shares the ONE url exchange of snapshot_changes (pure
+    Column math on its output)."""
+    s = snapshot_changes(df, key, ts_col)
+    est = F.expr("(last_epoch - first_epoch) div greatest(n_changes, 1)")
+    interval = (
+        F.when(F.col("n_changes") == 0, F.lit(max_interval).cast("long"))
+        .otherwise(
+            F.greatest(
+                F.least(est, F.lit(max_interval).cast("long")),
+                F.lit(min_interval).cast("long"),
+            )
+        )
+        .alias("fetch_interval_s")
+    )
+    out = s.withColumn("fetch_interval_s", interval)
+    return out.withColumn(
+        "next_fetch_epoch",
+        (F.col("last_epoch") + F.col("fetch_interval_s")).cast("long"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

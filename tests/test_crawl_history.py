@@ -100,3 +100,26 @@ def test_oracle_parity_smoke(spark, name):
     assert len(got) == len(exp) > 0
     for col in got.columns:
         assert got[col].tolist() == exp[col].tolist(), f"{name}.{col} mismatch"
+
+
+def test_refresh_schedule_arithmetic(spark):
+    import pandas as pd
+
+    from ocr_spark.operators.crawl_history import refresh_schedule
+
+    rows = []
+    # u1: 3 snapshots, 2 changes over 2 days -> interval = span div 2 = 86400
+    for i, fp in enumerate(["a", "b", "c"]):
+        rows.append({"url": "u1", "warc_epoch": 1000000 + i * 86400, "fingerprint": fp})
+    # u2: static page (2 snapshots, same fingerprint) -> max_interval
+    for i in range(2):
+        rows.append({"url": "u2", "warc_epoch": 2000000 + i * 86400, "fingerprint": "x"})
+    # u3: changes every snapshot, tiny span -> clamps to min_interval
+    for i, fp in enumerate(["p", "q"]):
+        rows.append({"url": "u3", "warc_epoch": 3000000 + i * 60, "fingerprint": fp})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r.url: r for r in refresh_schedule(df).collect()}
+    assert out["u1"].fetch_interval_s == 86400
+    assert out["u1"].next_fetch_epoch == 1000000 + 2 * 86400 + 86400
+    assert out["u2"].fetch_interval_s == 30 * 86400
+    assert out["u3"].fetch_interval_s == 3600
