@@ -29,13 +29,25 @@ import os
 from pyspark.sql import DataFrame
 
 
-def wet_record(url: str, ts, text: str, seq: int) -> bytes:
+def wet_record(url: str, ts, text: str, seq: int = 0) -> bytes:
     body = text.encode("utf-8")
-    ts_s = (ts or _dt.datetime(2026, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    # NaT is truthy and strftime-hostile; treat it like None
+    if ts is None or ts != ts:
+        ts = _dt.datetime(2026, 1, 1)
+    ts_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    # Globally unique AND deterministic: a name-based (v5-shaped) UUID from
+    # the record identity (url, date, body) — partition-local counters would
+    # collide across files and break WARC's unique-record-ID requirement.
+    d = hashlib.sha256(url.encode() + b"\x00" + ts_s.encode() + b"\x00" + body)
+    h = bytearray(d.digest()[:16])
+    h[6] = (h[6] & 0x0F) | 0x50
+    h[8] = (h[8] & 0x3F) | 0x80
+    x = h.hex()
+    rid = f"{x[:8]}-{x[8:12]}-{x[12:16]}-{x[16:20]}-{x[20:32]}"
     head = (
         b"WARC/1.0\r\n"
         b"WARC-Type: conversion\r\n"
-        + b"WARC-Record-ID: <urn:uuid:%08d>\r\n" % seq
+        + b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">\r\n"
         + b"WARC-Target-URI: " + url.encode() + b"\r\n"
         + b"WARC-Date: " + ts_s.encode() + b"\r\n"
         + b"Content-Type: text/plain\r\n"
@@ -53,6 +65,9 @@ def export_wet(df: DataFrame, out_dir: str) -> DataFrame:
     def gen(batches):
         import pandas as pd
 
+        # executors don't share the driver's filesystem view on a real
+        # cluster — create the target dir where the write happens
+        os.makedirs(out_dir, exist_ok=True)
         members = bytearray()
         n = 0
         for pdf in batches:

@@ -192,3 +192,23 @@ def test_wet_export_roundtrip(spark, tmp_path):
     # idempotent: second export produces the same content-addressed files
     m2 = sorted((r.path, r.n_records) for r in export_wet(df, out).collect())
     assert m1 == m2
+    # record IDs are globally unique across files (WARC requirement) and
+    # valid urn:uuid form — a per-partition counter would collide
+    import gzip
+    import re
+
+    ids = []
+    for p, _ in m1:
+        with gzip.open(p, "rb") as f:
+            ids += re.findall(rb"WARC-Record-ID: <urn:uuid:([0-9a-f-]{36})>", f.read())
+    assert len(ids) == 20 and len(set(ids)) == 20
+
+
+def test_wet_record_nat_timestamp():
+    """pandas NaT is truthy but strftime-hostile — must fall back like None."""
+    import pandas as pd
+
+    from ocr_spark.sources.wet import wet_record
+
+    rec = wet_record("https://x.example/", pd.NaT, "body")
+    assert b"WARC-Date: 2026-01-01T00:00:00Z" in rec
