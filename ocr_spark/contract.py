@@ -471,6 +471,19 @@ def q_jaccard_pairs(spark, sf):  # near-dup: 3-gram-shingle Jaccard (exact, pref
     return dedup_ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
+def q_incremental_dedup(spark, sf):
+    """Incremental crawl ingestion: odd doc_ids play the NEW increment, even
+    doc_ids the EXISTING corpus; a new doc whose exact 3-gram-shingle
+    Jaccard vs ANY existing doc is >= 0.5 is gated out. R-S prefix join —
+    never old x old (dedup.cross_corpus_jaccard_dedup)."""
+    d = _t(spark, sf, "documents")
+    return dedup_ops.cross_corpus_jaccard_dedup(
+        d.where(F.col("doc_id") % 2 == 1),
+        d.where(F.col("doc_id") % 2 == 0),
+        threshold=0.5,
+    )
+
+
 def q_ann_topk(spark, sf):  # similarity: brute-force cosine top-k
     e = _t(spark, sf, "embeddings")
     return sim_ops.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5)
@@ -1421,6 +1434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid": q_langid,
     "repetition": q_repetition,
     "jaccard_pairs": q_jaccard_pairs,
+    "incremental_dedup": q_incremental_dedup,
     "ann_topk": q_ann_topk,
     "cube_agg": q_cube_agg,
     "distinct_agg": q_distinct_agg,
@@ -1719,6 +1733,33 @@ ORACLE_SQL: dict[str, str] = {
                CASE WHEN g.n_2grams > 0
                     THEN round(g.top_2gram_count * 1.0 / g.n_2grams, 6) END AS top_2gram_frac
         FROM word_stats w LEFT JOIN gram_stats g ON w.doc_id = g.doc_id
+    """,
+    "incremental_dedup": """
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        ), sh0 AS (
+            SELECT doc_id, list_aggregate(t[i:i+2], 'string_agg', ' ') AS sh
+            FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        ), sh AS (
+            SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM sh a JOIN sh b ON a.sh = b.sh
+            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            GROUP BY 1, 2
+        ), matched AS (
+            SELECT DISTINCT new_id
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = new_id
+            JOIN sizes sb ON sb.doc_id = old_id
+            WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 6) >= 0.5
+        )
+        SELECT d.* FROM documents d
+        WHERE d.doc_id % 2 = 1
+          AND d.doc_id NOT IN (SELECT new_id FROM matched)
     """,
     "jaccard_pairs": """
         WITH toks AS (

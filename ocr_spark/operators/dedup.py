@@ -252,6 +252,98 @@ def ngram_jaccard_pairs(
     return _verify_pairs(cand, sets, threshold)
 
 
+def cross_corpus_jaccard_dedup(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """Incremental-ingestion near-dup gate: keep only the rows of
+    ``new_docs`` whose EXACT n-gram-shingle Jaccard against every document
+    of the existing corpus (``old_docs``) is below ``threshold``.
+
+    The 100 TB shape is the R-S variant of the AllPairs prefix join: the
+    new increment (small) and the existing corpus (huge) each index only
+    their prefix shingles under a global (df, shingle) order computed over
+    the UNION of both posting sets — the prefix theorem needs one
+    consistent total order across the two relations.  Candidates come from
+    the prefix equi-join new x old (never old x old: the quadratic
+    within-corpus work is skipped entirely), are size-ratio pruned, then
+    verified exactly against the doc-level arrays.  Matched new ids leave
+    by broadcast-friendly anti-join.  Existing-corpus deployments would
+    store `shingle_arrays(old)` + its df table as maintained tables and
+    skip their recompute per increment.
+
+    Column contract: both inputs carry (doc_id, text ...); doc_id spaces
+    may overlap (sides are tracked independently). Returns new_docs rows
+    that survive, unchanged schema.
+    """
+    sets_new = shingle_arrays(new_docs, shingle=shingle)
+    sets_old = shingle_arrays(old_docs, shingle=shingle)
+    from pyspark import StorageLevel
+
+    sets_new = sets_new.persist(StorageLevel.MEMORY_AND_DISK)
+    sets_old = sets_old.persist(StorageLevel.MEMORY_AND_DISK)
+
+    post_new = sets_new.select("doc_id", F.explode("shs").alias("sh"), "n")
+    post_old = sets_old.select("doc_id", F.explode("shs").alias("sh"), "n")
+    # ONE global order over the union; map-side partial agg, AQE skew-join
+    # on the attach (same rationale as ngram_jaccard_pairs)
+    dfreq = (
+        post_new.select("sh")
+        .unionByName(post_old.select("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    def prefix_index(post):
+        ranked = post.join(dfreq, "sh").withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh")),
+        )
+        return ranked.where(
+            F.col("rk")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+        ).select("doc_id", "sh", "n")
+
+    a = prefix_index(post_new).select(
+        F.col("doc_id").alias("doc_a"), "sh", F.col("n").alias("na")
+    )
+    b = prefix_index(post_old).select(
+        F.col("doc_id").alias("doc_b"), "sh", F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(b, "sh")
+        .where(
+            (F.col("nb") >= F.lit(threshold) * F.col("na") - F.lit(1e-9))
+            & (F.col("nb") <= F.col("na") / F.lit(threshold) + F.lit(1e-9))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets_new.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n").alias("na")
+    )
+    sb = sets_old.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"), F.col("n").alias("nb")
+    )
+    shared = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    matched = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        # round-6 then compare, the family convention — the oracle SQL uses
+        # the same rounding so the boundary decision is bit-identical
+        .where(
+            F.round(shared / (F.col("na") + F.col("nb") - shared), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return new_docs.join(matched, "doc_id", "left_anti")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,

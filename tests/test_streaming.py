@@ -162,6 +162,35 @@ def test_jaccard_exact_on_threshold_boundary(spark):
         assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 0.8)], pf
 
 
+def test_cross_corpus_jaccard_dedup(spark):
+    """Incremental ingestion gate: a NEW doc is dropped iff its exact
+    shingle Jaccard vs ANY existing doc is >= threshold; new-vs-new dups
+    are deliberately NOT compared (only the R-S join runs)."""
+    from ocr_spark.operators.dedup import cross_corpus_jaccard_dedup
+
+    old = spark.createDataFrame(
+        [
+            (2, "t1 t2 t3 t4 t5 t6 t7"),      # 5 shingles
+            (4, "x1 x2 x3 x4 x5"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6"),         # J=4/5 vs old#2 -> dropped
+            (3, "t1 t2 t3 u4 u5 u6 u7"),      # J=1/9 vs old#2 -> kept
+            (5, "q1 q2 q3 q4 q5"),            # dup of new#7: kept (new x new skipped)
+            (7, "q1 q2 q3 q4 q5"),
+            (9, "x1 x2 x3 x4 x5 n1 n2 n3"),   # J=3/6=0.5 vs old#4: boundary -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in cross_corpus_jaccard_dedup(new, old, threshold=0.5).collect()
+    )
+    assert kept == [3, 5, 7]
+
+
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
     from ocr_spark.streaming.stream_ops import run_windowed_demo
 
