@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "pdf_extract",
     "dedup_exact",
     "jaccard_pairs",
+    "incremental_dedup",
     "minhash_pairs",
     "simhash_pairs",
     "ann_topk",

@@ -450,6 +450,16 @@ def q_link_hosts(spark, sf):  # inter-host edge rollup of the link graph
     return host_graph(extract_page_links(pages_df(spark, sf)))
 
 
+def q_anchor_summary(spark, sf):  # per-target top-k anchor-text profile
+    """Anchor text as target description: top-3 distinct anchors per
+    dst_url by reference count, with distinct-referring-host counts. The
+    oracle re-derives the whole profile from the corpus-construction
+    residues (same independent-derivation bar as page_links)."""
+    from .operators.link_graph import anchor_summary, extract_page_links
+
+    return anchor_summary(extract_page_links(pages_df(spark, sf)), k=3)
+
+
 def q_pagerank(spark, sf):  # fixed-point integer PageRank over host graph
     from .operators.link_graph import extract_page_links, host_graph, pagerank_hosts
 
@@ -1461,6 +1471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "refresh_schedule": q_refresh_schedule,
     "token_budget": q_token_budget,
     "page_links": q_page_links,
+    "anchor_summary": q_anchor_summary,
     "link_hosts": q_link_hosts,
     "pagerank": q_pagerank,
     "bm25_topk": q_bm25_topk,
@@ -2259,6 +2270,35 @@ ORACLE_SQL["page_links"] = f"""
         SELECT url, dst_url, anchor, pos FROM nav
         UNION ALL
         SELECT url, dst_url, anchor, pos FROM rel
+"""
+
+ORACLE_SQL["anchor_summary"] = f"""
+        WITH src AS ({_LINK_SRC_SQL}),
+        nav AS (
+            SELECT url, origin || '/nav/' || CAST(u.j AS VARCHAR) AS dst_url,
+                   'Nav ' || CAST(u.j AS VARCHAR) AS anchor
+            FROM src, unnest(range(0, 4)) AS u(j)
+        ),
+        rel AS ({_LINK_REL_SQL}),
+        links AS (
+            SELECT url, dst_url, anchor FROM nav
+            UNION ALL SELECT url, dst_url, anchor FROM rel
+        ),
+        per AS (
+            SELECT dst_url, trim(anchor) AS anchor,
+                   CAST(count(*) AS BIGINT) AS n_refs,
+                   CAST(count(DISTINCT regexp_extract(url,
+                        '^https?://([^/:]+)', 1)) AS BIGINT) AS n_hosts
+            FROM links WHERE trim(anchor) <> ''
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY dst_url ORDER BY n_refs DESC, anchor) AS r
+            FROM per
+        )
+        SELECT dst_url, anchor, n_refs, n_hosts, CAST(r AS INTEGER) AS rk
+        FROM ranked WHERE r <= 3
 """
 
 ORACLE_SQL["link_hosts"] = f"""

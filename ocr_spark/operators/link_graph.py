@@ -189,3 +189,39 @@ def pagerank_hosts(edges_df: DataFrame, n_iters: int = 5) -> DataFrame:
             .alias("rank"),
         )
     return ranks
+
+
+def anchor_summary(links_df: DataFrame, *, k: int = 3) -> DataFrame:
+    """Per-target anchor-text profile: the top-``k`` distinct anchor texts
+    pointing at each ``dst_url``, ranked by reference count -> one row per
+    (dst_url, anchor) with (n_refs, n_hosts, rk <= k).
+
+    The "anchor text describes the target" aggregation every web corpus
+    ships (search indexing, query-document training pairs, link-spam
+    features).  Scale shape: state is bounded everywhere — a
+    (dst_url, anchor) groupBy (ONE exchange, map-side partial agg; per-key
+    reducer rows are bounded by DISTINCT anchor texts, never by reference
+    count) followed by a per-target window that only ranks those distinct
+    anchors.  No collect_set of unbounded reference lists, so a mega-hub
+    target costs network balance, not executor memory; the hot-key rows
+    are split across the composite (dst_url, anchor) key and AQE covers
+    the remainder.  The distinct-host count uses the same composite key
+    (partial distinct-agg expand), not a second self-join."""
+    src_host = F.regexp_extract("url", _URL_HOST_RE, 1)
+    per = (
+        links_df.where(F.trim(F.col("anchor")) != "")
+        .select(
+            "dst_url",
+            F.trim(F.col("anchor")).alias("anchor"),
+            src_host.alias("src_host"),
+        )
+        .groupBy("dst_url", "anchor")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_refs"),
+            F.countDistinct("src_host").cast("long").alias("n_hosts"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst_url").orderBy(F.desc("n_refs"), F.asc("anchor"))
+    return per.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

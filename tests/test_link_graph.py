@@ -183,3 +183,30 @@ def test_bm25_plan_broadcasts_stats_and_filters_before_exchange(spark):
     # only query-term postings shuffle
     first_ex = plan.find("Exchange hashpartitioning")
     assert first_ex != -1 and "spark" in plan[first_ex:]
+
+
+def test_anchor_summary_topk_and_host_counts(spark):
+    """Top-k anchors per target by (n_refs desc, anchor asc); n_hosts
+    counts DISTINCT referring hosts; blank anchors are dropped."""
+    from ocr_spark.operators.link_graph import anchor_summary
+
+    rows = []
+    # 3 pages on a.example + 1 on b.example all call T "Home"; one page
+    # calls it "Start" twice (2 refs, 1 host); one blank-anchor ref
+    for i in range(3):
+        rows.append((f"https://a.example/p{i}", "https://t.example/x", "Home", 0))
+    rows.append(("https://b.example/q", "https://t.example/x", "Home", 0))
+    rows.append(("https://a.example/p0", "https://t.example/x", "Start", 1))
+    rows.append(("https://a.example/p0", "https://t.example/x", "Start", 2))
+    rows.append(("https://a.example/p1", "https://t.example/x", "  ", 3))
+    rows.append(("https://a.example/p1", "https://t.example/x", "Alpha", 4))
+    rows.append(("https://a.example/p1", "https://t.example/x", "Beta", 5))
+    df = spark.createDataFrame(
+        rows, "url string, dst_url string, anchor string, pos int"
+    )
+    out = {
+        r.anchor: (r.n_refs, r.n_hosts, r.rk)
+        for r in anchor_summary(df, k=3).collect()
+    }
+    # k=3 keeps Home(4), Start(2), then Alpha beats Beta on the tie
+    assert out == {"Home": (4, 2, 1), "Start": (2, 1, 2), "Alpha": (1, 1, 3)}
