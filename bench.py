@@ -80,6 +80,11 @@ BENCH_QUERIES = [
     "bitext",
     "ccnet_buckets",
     "refresh_schedule",
+    "anchor_summary",
+    "gopher_rules",
+    "dedup_keep_best",
+    "heavy_hitters",
+    "hll_distinct",
 ]
 
 

@@ -481,6 +481,50 @@ def q_jaccard_pairs(spark, sf):  # near-dup: 3-gram-shingle Jaccard (exact, pref
     return dedup_ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
+def q_dedup_keep_best(spark, sf):  # near-dup retention policy
+    """Clusters from the exact-Jaccard pair list collapse to their best
+    member (max n_chars, tie min doc_id); singletons always kept. The
+    oracle recomputes the clusters INDEPENDENTLY via a recursive-CTE
+    reachability closure — a genuinely different CC algorithm than the
+    operator's pointer-jumping label propagation."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(d, threshold=0.5)
+    return dedup_ops.dedup_keep_best(d, pairs)
+
+
+def q_heavy_hitters(spark, sf):  # count-min sketch frequency gate
+    """Heavy-hitter words via a deliberately tiny (3x16) count-min sketch
+    so counter collisions OCCUR and the oracle must reproduce the exact
+    inflated estimates (est >= true always; the unit test asserts the
+    one-sided bound). min_count=900 splits the corpus vocabulary."""
+    from .operators.sketches import heavy_hitters
+
+    words = (
+        _t(spark, sf, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("key"))
+        .where(F.col("key") != "")
+    )
+    return heavy_hitters(words, "key", width=16, depth=3, min_count=900)
+
+
+def q_hll_distinct(spark, sf):  # HyperLogLog distinct-count sketch
+    """Vocabulary-by-document cardinality (~12k keys at sf0.01) through 128
+    HLL registers; output = register stats + the integer-quantized raw
+    estimate next to the exact distinct count. Every register and the
+    estimate itself are re-derived bit-exactly by the oracle."""
+    from .operators.sketches import hll_estimate, hll_registers
+
+    keys = (
+        _t(spark, sf, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"), "doc_id")
+        .where(F.col("w") != "")
+        .select(F.concat_ws("#", "w", F.col("doc_id").cast("string")).alias("key"))
+    )
+    est = hll_estimate(hll_registers(keys, "key", m=128), m=128)
+    exact = keys.agg(F.countDistinct("key").cast("long").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
 def q_incremental_dedup(spark, sf):
     """Incremental crawl ingestion: odd doc_ids play the NEW increment, even
     doc_ids the EXISTING corpus; a new doc whose exact 3-gram-shingle
@@ -882,6 +926,22 @@ def q_ccnet_buckets(spark, sf):  # CCNet head/middle/tail terciles
     d = _t(spark, sf, "documents")
     return ccnet_buckets(
         d.select("doc_id", F.substring(F.col("text"), 1, 300).alias("text"))
+    )
+
+
+def q_gopher_rules(spark, sf):  # full Gopher quality rule set (Table A1)
+    """Word-count / mean-length / symbol / bullet / ellipsis / alpha /
+    stop-word signals + the combined passes verdict. The oracle re-derives
+    every signal from the raw text with DuckDB list functions. Thresholds
+    are loosened to the synthetic corpus range so both verdict branches
+    occur."""
+    from .operators.corpus_filters import gopher_rules
+
+    return gopher_rules(
+        _t(spark, sf, "documents").select("doc_id", "text"),
+        min_words=30,
+        min_mean_len=2.0,
+        max_mean_len=8.0,
     )
 
 
@@ -1493,6 +1553,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prefilter": q_bloom_prefilter,
     "bitext": q_bitext,
     "ccnet_buckets": q_ccnet_buckets,
+    "gopher_rules": q_gopher_rules,
+    "dedup_keep_best": q_dedup_keep_best,
+    "heavy_hitters": q_heavy_hitters,
+    "hll_distinct": q_hll_distinct,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -2781,6 +2845,171 @@ ORACLE_SQL["sequence_pack"] = r"""
                      THEN floor((cum - 1) / 2048) - floor((cum - n) / 2048) + 1
                      ELSE 0 END AS BIGINT) AS n_seqs_spanned
     FROM c
+"""
+
+ORACLE_SQL["heavy_hitters"] = """
+    WITH words AS (
+        SELECT w AS key
+        FROM documents, unnest(string_split(trim(text), ' ')) AS u(w)
+        WHERE w <> ''
+    ), pos AS (
+        SELECT key, r.i AS row,
+               list_reduce(list_prepend(CAST(999983 * (r.i + 1) AS BIGINT),
+                       list_transform(split(key, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * r.m + b) % 1000000007) % 16 AS pos
+        FROM words, (VALUES (0, 31), (1, 37), (2, 41)) r(i, m)
+    ), sketch AS (
+        SELECT row, pos, CAST(count(*) AS BIGINT) AS cnt
+        FROM pos GROUP BY 1, 2
+    ), probe AS (
+        SELECT DISTINCT key, row, pos FROM pos
+    ), est AS (
+        SELECT p.key, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+        FROM probe p LEFT JOIN sketch s ON s.row = p.row AND s.pos = p.pos
+        GROUP BY 1
+    )
+    SELECT key, est FROM est WHERE est >= 900
+"""
+
+ORACLE_SQL["hll_distinct"] = """
+    WITH keys AS (
+        SELECT DISTINCT w || '#' || CAST(doc_id AS VARCHAR) AS key
+        FROM documents, unnest(string_split(trim(text), ' ')) AS u(w)
+        WHERE w <> ''
+    ), h AS (
+        SELECT key,
+               list_reduce(list_prepend(CAST(312994679 AS BIGINT),
+                       list_transform(split(key, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 37 + b) % 1000000007) % 128 AS register,
+               list_reduce(list_prepend(CAST(100998283 AS BIGINT),
+                       list_transform(split(key, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 41 + b) % 1000000007) AS h2lin
+        FROM keys
+    ), hsq AS (
+        SELECT key, register, (h2lin * h2lin) % 1000000007 AS h2 FROM h
+    ), rho AS (
+        SELECT register,
+               len(list_filter(
+                   list_transform(range(1, 31),
+                                  p -> CAST(power(2, p) AS BIGINT)),
+                   d -> h2 % d = 0)) + 1 AS rho
+        FROM hsq
+    ), regs AS (
+        SELECT register, max(rho) AS max_rho FROM rho GROUP BY 1
+    ), agg AS (
+        SELECT CAST(count(*) AS INT) AS n_registers_set,
+               CAST(sum(CAST(power(2, 31 - max_rho) AS BIGINT))
+                    + (128 - count(*)) * CAST(power(2, 31) AS BIGINT)
+                    AS BIGINT) AS harmonic_scaled
+        FROM regs
+    )
+    SELECT CAST(128 AS INT) AS m, n_registers_set, harmonic_scaled,
+           CAST((CAST(715 AS BIGINT) * 128 * 128 * CAST(power(2, 31) AS BIGINT))
+                // (1000 * harmonic_scaled) AS BIGINT) AS estimate,
+           (SELECT CAST(count(*) AS BIGINT) FROM keys) AS exact_distinct
+    FROM agg
+"""
+
+ORACLE_SQL["dedup_keep_best"] = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ), sh0 AS (
+        SELECT doc_id, list_aggregate(t[i:i+2], 'string_agg', ' ') AS sh
+        FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+    ), sh AS (
+        SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 6) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach(doc_id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ), labels AS (
+        SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id
+    ), member AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+               d.n_chars
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           (row_number() OVER (
+                PARTITION BY cluster_id
+                ORDER BY n_chars DESC, doc_id) = 1) AS keep
+    FROM member
+"""
+
+ORACLE_SQL["gopher_rules"] = r"""
+    WITH sig AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_words,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS toks,
+               list_filter(string_split(text, chr(10)),
+                           l -> trim(l) <> '') AS lines,
+               (length(text) - length(replace(text, '#', '')))
+               + CAST(floor((length(text)
+                             - length(replace(text, '...', ''))) / 3.0)
+                      AS BIGINT)
+               + (length(text) - length(replace(text, '…', ''))) AS n_symbols
+        FROM documents
+    ), r AS (
+        SELECT doc_id, n_words,
+               CASE WHEN n_words > 0 THEN round(
+                   list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                   * 1.0 / n_words, 6) END AS mean_word_len,
+               CASE WHEN n_words > 0
+                    THEN round(n_symbols * 1.0 / n_words, 6)
+               END AS symbol_word_ratio,
+               CASE WHEN len(lines) > 0 THEN round(
+                   len(list_filter(lines,
+                       l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+                   * 1.0 / len(lines), 6) END AS bullet_line_frac,
+               CASE WHEN len(lines) > 0 THEN round(
+                   len(list_filter(lines,
+                       l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+                   * 1.0 / len(lines), 6) END AS ellipsis_line_frac,
+               CASE WHEN n_words > 0 THEN round(
+                   len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                   * 1.0 / n_words, 6) END AS alpha_word_frac,
+               CAST(CAST(list_contains(toks, 'the') AS INT)
+                    + CAST(list_contains(toks, 'be') AS INT)
+                    + CAST(list_contains(toks, 'to') AS INT)
+                    + CAST(list_contains(toks, 'of') AS INT)
+                    + CAST(list_contains(toks, 'and') AS INT)
+                    + CAST(list_contains(toks, 'that') AS INT)
+                    + CAST(list_contains(toks, 'have') AS INT)
+                    + CAST(list_contains(toks, 'with') AS INT)
+                    AS INT) AS stop_hits
+        FROM sig
+    )
+    SELECT *,
+           COALESCE(n_words BETWEEN 30 AND 100000
+                    AND mean_word_len BETWEEN 2.0 AND 8.0
+                    AND symbol_word_ratio <= 0.1
+                    AND COALESCE(bullet_line_frac, 0.0) <= 0.9
+                    AND COALESCE(ellipsis_line_frac, 0.0) <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND stop_hits >= 2, false) AS passes
+    FROM r
 """
 
 

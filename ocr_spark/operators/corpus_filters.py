@@ -638,3 +638,112 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.join(F.broadcast(lab), "score_milli").select(
         "doc_id", "score_milli", "bucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# 14. Gopher quality rules (Rae et al. 2021, Table A1)
+# ---------------------------------------------------------------------------
+
+#: the Gopher stop-word list (Rae et al. 2021 §A1.1): a document must
+#: contain at least 2 of these as whole tokens to pass.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021, Table A1)
+    as per-document signals + a single ``passes`` verdict:
+
+    - word count in ``[min_words, max_words]``
+    - mean word length in ``[min_mean_len, max_mean_len]``
+    - symbol-to-word ratio (``#`` + ``...``/``…`` hits per word) <= 0.1
+    - fraction of (non-empty) lines starting with a bullet <= 0.9
+    - fraction of lines ending with an ellipsis <= 0.3
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 distinct stop words present as whole tokens
+
+    Completes the Gopher family next to :func:`text_analysis.repetition_signals`
+    (the §A1.1 repetition half). Reference analog: the emission quality gates
+    (/root/reference/models/ocr/base_ocr.py:679-725) are the same
+    keep-or-drop shape at document granularity.
+
+    Scale shape: a PURE per-row Column program — zero exchanges, no Python;
+    at 1000 executors it is embarrassingly parallel and filters on
+    ``passes`` still push down to the scan. The whitespace split is inlined
+    into several signal expressions by projection collapse (same trade as
+    ``repetition_signals``: recomputing a split beats materializing an
+    array column through an exchange).
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_words = F.size(toks).cast("long")
+
+    char_sum = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_dots = F.floor(
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    n_uni = F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    n_symbols = (n_hash + n_dots + n_uni).cast("long")
+
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    ).cast("long")
+
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("long")
+    stop_hits = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+    ).cast("int")
+
+    nz = n_words > 0
+    sig = df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.when(nz, F.round(char_sum / n_words, 6)).alias("mean_word_len"),
+        F.when(nz, F.round(n_symbols / n_words, 6)).alias("symbol_word_ratio"),
+        F.when(n_lines > 0, F.round(n_bullet / n_lines, 6)).alias(
+            "bullet_line_frac"
+        ),
+        F.when(n_lines > 0, F.round(n_ellipsis / n_lines, 6)).alias(
+            "ellipsis_line_frac"
+        ),
+        F.when(nz, F.round(n_alpha / n_words, 6)).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_len, max_mean_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+        & (F.coalesce(F.col("bullet_line_frac"), F.lit(0.0)) <= max_bullet_frac)
+        & (F.coalesce(F.col("ellipsis_line_frac"), F.lit(0.0)) <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return sig.withColumn("passes", F.coalesce(passes, F.lit(False)))

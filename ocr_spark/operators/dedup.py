@@ -641,3 +641,43 @@ def line_boilerplate_dedup(
         F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
         F.sum((~F.col("keep")).cast("int")).cast("long").alias("n_removed"),
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Near-dup RETENTION policy: collapse duplicate clusters to their
+    best member. Every production dedup pass ends here — finding pairs
+    is half the job; deciding which copy enters the training corpus is
+    the other half (RefinedWeb/Dolma keep one canonical document per
+    cluster rather than dropping all copies).
+
+    ``pairs`` is any near-dup pair list (doc_a, doc_b) — exact Jaccard,
+    MinHash, SimHash — and ``docs`` must carry ``quality_col``. Per
+    cluster the kept document is argmax(quality, tie -> min doc_id);
+    docs in no pair are singleton clusters and always kept.
+
+    Output: (doc_id, cluster_id, keep) for EVERY input doc, cluster_id =
+    smallest member doc_id.
+
+    Scale shape: clusters come from :func:`dedup_clusters` (log-diameter
+    label propagation over the pair list only — dup docs, a small
+    fraction of the corpus). The full-corpus work is one left join on
+    doc_id (the cluster side is the small one; AQE broadcasts it when it
+    fits) plus one window exchange on cluster_id whose partitions are
+    cluster-sized — singletons are unique keys, so no hot partitions."""
+    clusters = dedup_clusters(pairs)
+    member = (
+        docs.select("doc_id", F.col(quality_col).alias("_q"))
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_q"), F.asc("doc_id"))
+    return member.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

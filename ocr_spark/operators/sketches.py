@@ -1,0 +1,218 @@
+"""Mergeable frequency/cardinality sketches — count-min and HyperLogLog.
+
+With the Bloom prefilter (operators/bloom.py) these complete the sketch
+toolbox a 100 TB corpus pipeline leans on wherever an exact answer would
+shuffle the world:
+
+- :func:`cms_build` / :func:`cms_estimate` — count-min sketch (Cormode &
+  Muthukrishnan 2005): frequency estimation for heavy-hitter detection
+  (hot hosts, boilerplate tokens, mega-duplicated lines) from a bounded
+  ``depth x width`` counter table. Estimates NEVER undercount
+  (est >= true; est <= true + eps*N with prob 1-delta) — the one-sided
+  bound is what makes "gate everything the sketch calls hot" safe.
+- :func:`hll_registers` / :func:`hll_estimate` — HyperLogLog (Flajolet et
+  al. 2007): distinct counting (vocabulary size, unique urls per crawl)
+  from ``m`` max-rank registers.
+
+Both collapse the corpus into a FIXED-size table with ONE map-side-combined
+aggregation (the per-partition partial agg IS the per-partition sketch;
+the exchange merges sketches — counters add, registers max — which is the
+textbook mergeability argument, executed by Spark's partial-agg machinery
+rather than hand-rolled combiners). Probing joins against the bounded
+table, which Catalyst broadcasts.
+
+Everything is DETERMINISTIC: the salted portable polynomial hash
+(corpus_filters._poly_hash) replaces the usual RNG-seeded hash families,
+so every counter, register, and integer-quantized estimate is exactly
+re-derivable by the DuckDB oracle and byte-identical under any
+partitioning. The price is hash quality beneath a cryptographic family —
+fine for engine-correctness work; swap the hash, not the dataflow, for
+production accuracy.
+
+Reference analog: the reference keeps an in-memory predicted-cache dict
+and emitted-text set (/root/reference/models/ocr/base_ocr.py:142-144;
+our streaming/stream_ops memories); sketches are the bounded-state form
+those take when the key space no longer fits one process.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .corpus_filters import POLY_MOD
+
+#: salt family for CMS rows / HLL hashes — distinct from the Bloom salts
+#: (1000003*(i+1)) so the sketches are independent of the prefilter.
+_SALT = 999_983
+
+#: per-row poly MULTIPLIERS. Two same-mult poly hashes with different
+#: inits are AFFINELY related (h2 = h1 + (c2-c1)*31^len mod p), so for
+#: same-length keys a collision in one sketch row implies a collision in
+#: every row and the min-over-rows bound collapses. Distinct multipliers
+#: make the row hashes genuinely independent functions. (Measured: the
+#: salted-init-only family skewed the HLL estimate 30x.)
+_MULTS = (31, 37, 41, 43, 47, 53, 59, 61)
+
+
+def _poly_hash_m(token, init: int, mult: int):
+    """corpus_filters._poly_hash generalized to a per-use multiplier.
+    DuckDB mirror: ``list_reduce(list_prepend(<init>, list_transform(
+    split(k,''), c -> ascii(c))), (a, b) -> (a * <mult> + b) % 1000000007)``."""
+    chars = F.filter(F.split(token, ""), lambda c: c != "")
+    codes = F.transform(chars, F.ascii)
+    return F.aggregate(
+        codes,
+        F.lit(init).cast("long"),
+        lambda acc, x: (acc * mult + x.cast("long")) % POLY_MOD,
+    )
+
+
+def _cms_positions(col, *, width: int, depth: int):
+    """array<struct<row,pos>>: one counter coordinate per sketch row."""
+    if depth > len(_MULTS):
+        raise ValueError(f"depth must be <= {len(_MULTS)}")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    _poly_hash_m(col, init=_SALT * (i + 1), mult=_MULTS[i]) % width
+                ).alias("pos"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str = "key", *, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch of the key stream: (row, pos, cnt) with at most
+    ``depth * width`` rows out, whatever the corpus size. ONE exchange;
+    the map-side partial agg is the per-partition sketch, the reduce side
+    adds sketches (mergeability for free)."""
+    return (
+        df.select(F.explode(_cms_positions(F.col(key_col), width=width, depth=depth)).alias("rp"))
+        .select(F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str = "key",
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Frequency estimate per distinct probe key: min over the sketch rows
+    of the key's counter (absent counter = 0). The sketch is <= depth*width
+    rows, so the join broadcasts; the probe never rescans the corpus."""
+    probe = (
+        keys.select(F.col(key_col).alias("key"))
+        .distinct()
+        .select(
+            "key",
+            F.explode(_cms_positions(F.col("key"), width=width, depth=depth)).alias("rp"),
+        )
+        .select("key", F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["row", "pos"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str = "key",
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Keys whose count-min estimate reaches ``min_count``. est >= true
+    means NO false negatives: every true heavy hitter survives; collision
+    inflation can only add candidates (resolved exactly downstream, same
+    contract as the Bloom prefilter)."""
+    sketch = cms_build(df, key_col, width=width, depth=depth)
+    est = cms_estimate(df.select(key_col), sketch, key_col, width=width, depth=depth)
+    return est.where(F.col("est") >= min_count)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+#: rank is 1 + trailing-zero-count of the rank hash, capped at _R_MAX + 1.
+_R_MAX = 30
+#: scale exponent for the integer harmonic sum: term_j = 2^(_R_SCALE - M_j).
+_R_SCALE = 31
+#: alpha_m = 0.7213 / (1 + 1.079/m) quantized at 1e-3 (Flajolet et al.
+#: 2007 eq. 3) — integer so both engines compute the identical estimate.
+_ALPHA_MILLI = {64: 709, 128: 715, 256: 718}
+#: register hash: mult 37; rank hash: mult 41 then SQUARED mod p. Any two
+#: linear poly folds share the "+ last_char" term, so register low bits
+#: and rank trailing zeros shift together for near-identical keys and the
+#: estimate collapses (measured 6x low on sequential-suffix keys). The
+#: squaring is the cheapest portable nonlinearity: h^2 < 1e18 stays exact
+#: in BIGINT in both engines and the mod-p reduction scrambles low bits.
+_REG_INIT, _REG_MULT = 312_994_679, 37
+_RHO_INIT, _RHO_MULT = 100_998_283, 41
+
+
+def _rho(col) -> F.Column:
+    """1 + trailing zeros of the squared rank hash (capped at _R_MAX + 1):
+    the divisor array [2, 4, ..., 2^_R_MAX] is a literal; h is divisible
+    by 2^p exactly for p <= trailing_zeros(h)."""
+    h_lin = _poly_hash_m(col, init=_RHO_INIT, mult=_RHO_MULT)
+    h = (h_lin * h_lin) % POLY_MOD
+    divisors = F.array(*[F.lit(1 << p).cast("long") for p in range(1, _R_MAX + 1)])
+    return (F.size(F.filter(divisors, lambda d: h % d == 0)) + 1).cast("int")
+
+
+def hll_registers(df: DataFrame, key_col: str = "key", *, m: int = 128) -> DataFrame:
+    """HyperLogLog register table: (register, max_rho), at most ``m`` rows.
+    Same mergeability-via-partial-agg shape as cms_build (max instead of
+    sum)."""
+    reg = _poly_hash_m(F.col(key_col), init=_REG_INIT, mult=_REG_MULT) % m
+    return (
+        df.select(reg.cast("int").alias("register"), _rho(F.col(key_col)).alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, *, m: int = 128) -> DataFrame:
+    """Raw HLL estimate from the register table, integer-exact:
+
+        S = sum_present 2^(_R_SCALE - max_rho) + (m - n_present) * 2^_R_SCALE
+        E = (alpha_milli * m^2 * 2^_R_SCALE) div (1000 * S)
+
+    2^n for n <= 62 is exact in binary64, so the pow/cast round-trips
+    identically in Spark and DuckDB. The small/large-range bias
+    corrections of the paper are deliberately omitted (they need ln()
+    whose libm ulps differ across engines); the raw estimator keeps the
+    standard 1.04/sqrt(m) relative error in the mid-range the unit test
+    asserts. Output: ONE row (m, n_registers_set, harmonic_scaled,
+    estimate)."""
+    alpha_milli = _ALPHA_MILLI[m]
+    return registers.agg(
+        F.lit(m).alias("m"),
+        F.count(F.lit(1)).cast("int").alias("n_registers_set"),
+        (
+            F.sum(F.pow(F.lit(2.0), F.lit(_R_SCALE) - F.col("max_rho")).cast("long"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << _R_SCALE).cast("long")
+        ).alias("harmonic_scaled"),
+    ).select(
+        "m",
+        "n_registers_set",
+        "harmonic_scaled",
+        F.expr(
+            f"(cast({alpha_milli} as bigint) * m * m * cast({1 << _R_SCALE} as bigint))"
+            " div (cast(1000 as bigint) * harmonic_scaled)"
+        ).alias("estimate"),
+    )

@@ -214,3 +214,43 @@ def test_ccnet_buckets_tie_safe_terciles(spark):
     # plan: the label side broadcasts (no extra wide exchange on docs)
     plan = ccnet_buckets(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gopher_rules_signals_and_verdict(spark):
+    """Each Gopher rule trips independently; signals are exact."""
+    good = ("the quick brown fox and that dog have fun with words to be "
+            "said of many things " * 3).strip()          # 48 words? ensure >=30
+    df = spark.createDataFrame(
+        [
+            (0, good),                                   # passes all rules
+            (1, "word " * 40 + "###### ..."),            # symbol ratio trips
+            (2, "\n".join("- bullet item " + str(i) for i in range(10))),
+            (3, "the and that " + "12345 " * 40),        # alpha frac trips
+            (4, "zz yy xx " * 20),                       # no stopwords
+            (5, ""),                                     # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cf.gopher_rules(
+        df, min_words=10, min_mean_len=2.0, max_mean_len=10.0).collect()}
+
+    assert out[0].passes
+    assert out[0].stop_hits >= 2
+    r1 = out[1]
+    assert r1.symbol_word_ratio > 0.1 and not r1.passes
+    # 6 '#' + 1 '...' = 7 symbols over 42 words
+    assert r1.n_words == 42 and round(7 / 42, 6) == r1.symbol_word_ratio
+    r2 = out[2]
+    assert r2.bullet_line_frac == 1.0 and not r2.passes
+    r3 = out[3]
+    assert r3.alpha_word_frac < 0.8 and not r3.passes
+    r4 = out[4]
+    assert r4.stop_hits == 0 and not r4.passes
+    r5 = out[5]
+    assert r5.n_words == 0 and r5.mean_word_len is None and not r5.passes
+
+
+def test_gopher_rules_zero_exchange_plan(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = cf.gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -198,3 +198,24 @@ def test_ngram_spans_single_shuffle_key(spark):
     assert plan.count("Exchange hashpartitioning") <= 3  # ngram agg + window + doc agg
     assert "Generate explode" in plan
     assert "MapInPandas" not in plan
+
+
+def test_dedup_keep_best_retention_policy(spark):
+    """Per cluster keep = argmax(quality, tie min doc_id); singletons kept;
+    transitive pairs merge into one cluster."""
+    from ocr_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 99)],
+        "doc_id long, n_chars long",
+    )
+    # 1-2 and 2-3 chain into one cluster {1,2,3}; 4 pairs with nothing
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r for r in dedup_keep_best(docs, pairs).collect()}
+    assert {d: r.cluster_id for d, r in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 4, 5: 5
+    }
+    # quality tie between 2 and 3 (both 30) -> min doc_id wins
+    assert {d for d, r in out.items() if r.keep} == {2, 4, 5}

@@ -1,0 +1,112 @@
+"""Count-min / HyperLogLog sketches: bounds, mergeability, hash
+independence (the affine-family regression), and plan shape."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_spark.operators import sketches as sk
+
+
+def _words_df(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "key string")
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    words = (["join"] * 9 + ["hash"] * 5 + ["row"] * 2 + ["rare"]) * 3
+    df = _words_df(spark, words)
+    true = {r.key: r.cnt for r in df.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
+
+    # tiny sketch: collisions expected, but est >= true ALWAYS
+    sketch = sk.cms_build(df, width=4, depth=2)
+    est = {r.key: r.est for r in sk.cms_estimate(df, sketch, width=4, depth=2).collect()}
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)
+
+    # wide sketch: no collisions over 4 keys -> exact
+    sketch = sk.cms_build(df, width=1024, depth=4)
+    est = {r.key: r.est for r in sk.cms_estimate(df, sketch, width=1024, depth=4).collect()}
+    assert est == true
+
+
+def test_cms_rows_are_independent_hash_functions(spark):
+    """Same-LENGTH keys must not collide in every row at once (the affine
+    salted-init family did exactly that): with per-row multipliers there
+    is a same-length pair colliding in some row but not in all rows."""
+    keys = [f"k{i:03d}" for i in range(200)]  # all length 4
+    df = _words_df(spark, keys)
+    pos = df.select(
+        "key", F.explode(sk._cms_positions(F.col("key"), width=8, depth=3)).alias("rp")
+    ).select("key", "rp.row", "rp.pos").collect()
+    by_key = {}
+    for r in pos:
+        by_key.setdefault(r.key, {})[r.row] = r.pos
+    rows0 = {}
+    partial = full = 0
+    for k, m in by_key.items():
+        sig = (m[0], m[1], m[2])
+        for k2, sig2 in rows0.items():
+            same = sum(a == b for a, b in zip(sig, sig2))
+            if same == 3:
+                full += 1
+            elif same > 0:
+                partial += 1
+        rows0[k] = sig
+    # collisions happen (width=8) but are row-local, not all-row
+    assert partial > 0
+    assert full < partial
+
+
+def test_cms_sketch_is_mergeable(spark):
+    words = [f"w{i % 7}" for i in range(50)]
+    df = _words_df(spark, words)
+    half_a = _words_df(spark, words[:25])
+    half_b = _words_df(spark, words[25:])
+    merged = (
+        sk.cms_build(half_a, width=16, depth=3)
+        .unionByName(sk.cms_build(half_b, width=16, depth=3))
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sk.cms_build(df, width=16, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_heavy_hitters_no_false_negatives(spark):
+    words = ["hot"] * 30 + ["warm"] * 10 + [f"cold{i}" for i in range(40)]
+    out = {r.key for r in sk.heavy_hitters(_words_df(spark, words), width=8, depth=3, min_count=10).collect()}
+    assert {"hot", "warm"} <= out  # est >= true: true hitters always survive
+
+
+def test_hll_registers_mergeable_and_estimate_accuracy(spark):
+    n = 5000
+    keys = spark.range(n).select(F.concat(F.lit("user-"), F.col("id")).alias("key"))
+    regs = sk.hll_registers(keys, m=128)
+    assert regs.count() <= 128
+
+    # mergeability: max-merge of half-corpus registers == whole-corpus
+    ka = keys.where(F.col("key") < "user-3")
+    kb = keys.where(~(F.col("key") < "user-3"))
+    merged = (
+        sk.hll_registers(ka, m=128)
+        .unionByName(sk.hll_registers(kb, m=128))
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, regs.collect()))
+
+    est = sk.hll_estimate(regs, m=128).collect()[0]
+    assert est.m == 128 and est.n_registers_set <= 128
+    # raw HLL (no bias correction): 1.04/sqrt(128) ~ 9% std error; allow 3.5x
+    assert abs(est.estimate - n) / n < 0.32
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    df = _words_df(spark, [f"w{i}" for i in range(30)])
+    sketch = sk.cms_build(df, width=16, depth=3)
+    plan = (
+        sk.cms_estimate(df, sketch, width=16, depth=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
