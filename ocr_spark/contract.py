@@ -469,6 +469,15 @@ def q_pagerank(spark, sf):  # fixed-point integer PageRank over host graph
     )
 
 
+def q_hits(spark, sf):  # HITS hubs/authorities (integer L-inf fixed point)
+    """Kleinberg HITS over the same host graph as `pagerank`; the oracle
+    unrolls all 8 half-steps (auth then hub per round, each max-normalized
+    with integral //) over an independently re-derived edge set."""
+    from .operators.link_graph import extract_page_links, hits_hosts, host_graph
+
+    return hits_hosts(host_graph(extract_page_links(pages_df(spark, sf))))
+
+
 def q_bm25_topk(spark, sf):  # corpus keyword search: BM25 top-k
     from .operators.search import bm25_topk
 
@@ -1534,6 +1543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_summary": q_anchor_summary,
     "link_hosts": q_link_hosts,
     "pagerank": q_pagerank,
+    "hits": q_hits,
     "bm25_topk": q_bm25_topk,
     "asof_join": q_asof_join,
     "semdedup": q_semdedup,
@@ -2374,6 +2384,61 @@ ORACLE_SQL["link_hosts"] = f"""
 
 ORACLE_SQL["pagerank"] = _pagerank_oracle_sql()
 
+
+def _hits_oracle_sql(n_iters: int = 4) -> str:
+    """Unrolled HITS recurrence (auth/hub half-steps, global-max integral
+    normalization), replaying operators/link_graph.hits_hosts exactly.
+
+    Every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and each
+    level here references the previous one twice (the max subquery + the
+    rescale scan), so inlining re-expands the expensive link-extraction
+    SQL ~4^n_iters times — the same exponential-lineage trap the Spark
+    side avoids with localCheckpoint."""
+    parts = [
+        f"WITH rel AS MATERIALIZED ({_LINK_EDGE_SQL})",
+        "edges AS MATERIALIZED (SELECT DISTINCT src_host, dst_host FROM rel"
+        " WHERE src_host <> dst_host)",
+        "nodes AS MATERIALIZED (SELECT src_host AS host FROM edges"
+        " UNION SELECT dst_host FROM edges)",
+        "h0 AS MATERIALIZED"
+        " (SELECT host, CAST(1000000 AS BIGINT) AS hub FROM nodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"a{i}raw AS MATERIALIZED (SELECT n.host,"
+            " CAST(COALESCE(s.s, 0) AS BIGINT)"
+            " AS raw FROM nodes n LEFT JOIN ("
+            "SELECT e.dst_host AS host, SUM(h.hub) AS s "
+            f"FROM edges e JOIN h{i - 1} h ON h.host = e.src_host "
+            "GROUP BY 1) s ON s.host = n.host)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT host, CAST((raw * 1000000) // "
+            f"greatest((SELECT max(raw) FROM a{i}raw), 1) AS BIGINT)"
+            f" AS auth FROM a{i}raw)"
+        )
+        parts.append(
+            f"h{i}raw AS MATERIALIZED (SELECT n.host,"
+            " CAST(COALESCE(s.s, 0) AS BIGINT)"
+            " AS raw FROM nodes n LEFT JOIN ("
+            "SELECT e.src_host AS host, SUM(a.auth) AS s "
+            f"FROM edges e JOIN a{i} a ON a.host = e.dst_host "
+            "GROUP BY 1) s ON s.host = n.host)"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT host, CAST((raw * 1000000) // "
+            f"greatest((SELECT max(raw) FROM h{i}raw), 1) AS BIGINT)"
+            f" AS hub FROM h{i}raw)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.host, h.hub, a.auth FROM h{n_iters} h"
+        + f" JOIN a{n_iters} a USING (host)"
+    )
+
+
+ORACLE_SQL["hits"] = _hits_oracle_sql()
+
 ORACLE_SQL["bm25_topk"] = """
         WITH toks AS (SELECT doc_id,
                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -2668,11 +2733,18 @@ ORACLE_SQL["bloom_prefilter"] = """
                 || CAST(doc_id AS VARCHAR) AS url
         FROM documents),
     pos AS (SELECT doc_id, url,
-            list_transform([1000003, 2000006, 3000009],
-                s -> list_reduce(list_prepend(CAST(s AS BIGINT),
-                        list_transform(split(url, ''),
-                                       c -> CAST(ascii(c) AS BIGINT))),
-                     (a, b) -> (a * 31 + b) % 1000000007) % 4096) AS ps
+            [list_reduce(list_prepend(CAST(1000003 AS BIGINT),
+                    list_transform(split(url, ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) % 4096,
+             list_reduce(list_prepend(CAST(2000006 AS BIGINT),
+                    list_transform(split(url, ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 37 + b) % 1000000007) % 4096,
+             list_reduce(list_prepend(CAST(3000009 AS BIGINT),
+                    list_transform(split(url, ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 41 + b) % 1000000007) % 4096] AS ps
         FROM u),
     bits AS (SELECT DISTINCT p.x AS pos
         FROM pos, unnest(ps) AS p(x) WHERE doc_id % 3 = 0),

@@ -31,15 +31,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .corpus_filters import _poly_hash
+from .sketches import _MULTS, _poly_hash_m
 
 
 def _positions(col, *, m_bits: int, k: int):
     """k deterministic bit positions for a string: the portable poly hash
-    (corpus_filters._poly_hash) folded from k salt initializers. Returns
-    an array<long> column."""
+    folded from k salt initializers AND k distinct multipliers. Salted
+    inits alone give affinely-related hashes (h_i = base + salt_i*31^len
+    mod p), so same-length keys whose base hashes differ by a multiple of
+    m collide in ALL k positions at once — an effective k=1 filter. The
+    per-position multipliers (sketches._MULTS) make the k functions
+    independent. Returns an array<long> column."""
     return F.array(
-        *[_poly_hash(col, init=1000003 * (i + 1)) % m_bits for i in range(k)]
+        *[
+            _poly_hash_m(col, init=1000003 * (i + 1), mult=_MULTS[i]) % m_bits
+            for i in range(k)
+        ]
     )
 
 

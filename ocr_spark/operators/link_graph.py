@@ -225,3 +225,70 @@ def anchor_summary(links_df: DataFrame, *, k: int = 3) -> DataFrame:
 
     w = Window.partitionBy("dst_url").orderBy(F.desc("n_refs"), F.asc("anchor"))
     return per.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+HITS_SCALE = 1_000_000
+
+
+def hits_hosts(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
+    """Kleinberg HITS hubs/authorities over the host graph -> (host, hub,
+    auth), the link-analysis complement of :func:`pagerank_hosts`
+    (PageRank ranks endorsement flow; HITS separates directories/link
+    hubs from endorsed content — both standard crawl-prioritization and
+    spam-feature inputs).
+
+    Same determinism contract as PageRank: every step is integral and
+    order-independent. Instead of the usual L2 normalization (a sqrt per
+    round — engine-dependent libm), each half-step rescales by the
+    GLOBAL MAX via integral div:
+
+        a_k(v) = (sum_{(u,v)} h_{k-1}(u)) * SCALE div max_raw
+        h_k(u) = (sum_{(u,v)} a_k(v))     * SCALE div max_raw
+
+    L-infinity normalization preserves the HITS ranking fixpoint (power
+    iteration converges under any norm) and keeps every value a long in
+    [0, SCALE]. The global max is a 1-row aggregate broadcast back — two
+    bounded reduces per round next to the two edge joins, the same
+    exchange count as a PageRank round.
+
+    Each half-step's raw score table is localCheckpoint'ed (eager): it
+    feeds BOTH the max aggregate and the rescale projection, so without
+    lineage truncation the plan TREE doubles per half-step — a
+    2^(2*iters) blow-up that OOMs Catalyst's tree printer on a toy graph.
+    Checkpointing is the same bounded score-table-per-superstep footprint
+    GraphX/Pregel carry: one (host, long) row per host, one job per
+    half-step (8 for the default 4 iterations)."""
+    edges = edges_df.select("src_host", "dst_host").distinct().persist()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .persist()
+    )
+
+    def _half(scores: DataFrame, score_col: str, src: str, dst: str, out: str):
+        raw = (
+            edges.join(scores, edges[src] == scores["host"])
+            .select(F.col(dst).alias("host"), F.col(score_col).alias("v"))
+            .groupBy("host")
+            .agg(F.sum("v").alias("raw"))
+        )
+        raw = (
+            nodes.join(raw, "host", "left")
+            .select("host", F.coalesce("raw", F.lit(0).cast("long")).alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "host",
+            F.expr(f"(raw * {HITS_SCALE}) div greatest(mx, 1)")
+            .cast("long")
+            .alias(out),
+        )
+
+    hubs = nodes.select("host", F.lit(HITS_SCALE).cast("long").alias("hub"))
+    auths = None
+    for _ in range(n_iters):
+        auths = _half(hubs, "hub", "src_host", "dst_host", "auth")
+        hubs = _half(auths, "auth", "dst_host", "src_host", "hub")
+    return hubs.join(auths, "host").select("host", "hub", "auth")

@@ -210,3 +210,56 @@ def test_anchor_summary_topk_and_host_counts(spark):
     }
     # k=3 keeps Home(4), Start(2), then Alpha beats Beta on the tie
     assert out == {"Home": (4, 2, 1), "Start": (2, 1, 2), "Alpha": (1, 1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (integer L-inf fixed point)
+# ---------------------------------------------------------------------------
+
+def test_hits_hand_golden(spark):
+    """A->B, A->C, B->C, 2 iterations by hand (SCALE=1e6, L-inf integral
+    normalization per half-step):
+
+      it1: auth_raw = {B:1e6, C:2e6}        -> auth = {A:0, B:500000, C:1000000}
+           hub_raw  = {A:1.5e6, B:1e6}      -> hub  = {A:1000000, B:666666, C:0}
+      it2: auth_raw = {B:1e6, C:1666666}    -> auth = {A:0, B:600000, C:1000000}
+           hub_raw  = {A:1.6e6, B:1e6}      -> hub  = {A:1000000, B:625000, C:0}
+    """
+    from ocr_spark.operators.link_graph import hits_hosts
+
+    e = _edges(spark, [("A", "B"), ("A", "C"), ("B", "C")])
+    got = {r.host: (r.hub, r.auth) for r in hits_hosts(e, n_iters=2).collect()}
+    assert got == {
+        "A": (1_000_000, 0),
+        "B": (625_000, 600_000),
+        "C": (0, 1_000_000),
+    }
+
+
+def test_hits_partition_invariance(spark):
+    """Integer sums + integral div: bit-identical under any partitioning."""
+    from ocr_spark.operators.link_graph import hits_hosts
+
+    pairs = [(f"h{i}", f"h{(i * 7 + 3) % 11}") for i in range(11) for _ in (0, 1)]
+    a = {r.host: (r.hub, r.auth) for r in hits_hosts(_edges(spark, pairs)).collect()}
+    b = {
+        r.host: (r.hub, r.auth)
+        for r in hits_hosts(_edges(spark, pairs).repartition(17)).collect()
+    }
+    assert a == b
+
+
+def test_hits_dedupes_edges_and_ignores_self_loops(spark):
+    """Duplicate edges count once; a hub pointing only at itself must not
+    dominate (self-endorsement is excluded upstream by host_graph, but the
+    operator itself also dedupes rows)."""
+    from ocr_spark.operators.link_graph import hits_hosts
+
+    e = _edges(spark, [("A", "B"), ("A", "B"), ("C", "B")])
+    got = {r.host: (r.hub, r.auth) for r in hits_hosts(e, n_iters=1).collect()}
+    # auth_raw = {B: 2e6}; hub_raw = {A: 1e6, C: 1e6}
+    assert got == {
+        "A": (1_000_000, 0),
+        "B": (0, 1_000_000),
+        "C": (1_000_000, 0),
+    }
