@@ -57,11 +57,14 @@ BENCH_QUERIES = [
     "decontaminate",
     "stratified_sample",
     "url_latest",
+    "redirects",
+    "mirror_hosts",
     "url_changes",
     "token_budget",
     "page_links",
     "link_hosts",
     "pagerank",
+    "hits",
     "bm25_topk",
     "asof_join",
     "semdedup",

@@ -421,6 +421,54 @@ def q_refresh_schedule(spark, sf):  # adaptive re-crawl scheduling
     return refresh_schedule(_snapshots(spark, sf))
 
 
+def q_redirects(spark, sf):  # redirect-chain resolution (pointer doubling)
+    """Synthetic redirect graph over the documents urls: doc i redirects
+    to doc i-1 unless i % 13 == 0 (the terminals), so chains run 0..12
+    hops and the 9..12 tail exercises the max_hops=8 cap (resolved=false).
+    The oracle walks the SAME chains with a recursive CTE capped at 8
+    steps — unit-step semantics, which pointer doubling must reproduce
+    exactly."""
+    from .operators.crawl_edge import resolve_redirects
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+
+    def _url(i):
+        return F.concat(
+            F.lit("https://host"), (i % 50).cast("string"),
+            F.lit(".example/p/"), i.cast("string"),
+        )
+
+    edges = d.select(
+        _url(k).alias("url"),
+        F.when(k % 13 != 0, _url(k - 1)).alias("redirect_to"),
+    )
+    return resolve_redirects(edges, max_hops=8)
+
+
+def q_mirror_hosts(spark, sf):  # cross-host content-mirror detection
+    """Synthetic mirror corpus: each doc appears on 1-3 hosts
+    (m{(doc_id + v*17) % 40}) under one content fingerprint; docs with
+    doc_id % 11 == 0 share a single boilerplate fingerprint spread over
+    many hosts, which must be dropped by the max_hosts_per_fp cap rather
+    than explode into quadratic pairs."""
+    from .operators.crawl_history import mirror_hosts
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    v = F.explode(F.sequence(F.lit(0), (k % 3).cast("int"))).alias("v")
+    s = d.select("doc_id", "text", v)
+    snaps = s.select(
+        F.concat(
+            F.lit("m"), ((F.col("doc_id") + F.col("v") * 17) % 40).cast("string")
+        ).alias("host"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("BOILER"))
+        .otherwise(F.md5(F.substring("text", 1, 40)))
+        .alias("fingerprint"),
+    )
+    return mirror_hosts(snaps, min_shared=2, max_hosts_per_fp=8)
+
+
 def q_token_budget(spark, sf):  # greedy quality-ordered token budget per lang
     from .operators.corpus_filters import token_budget_sample
 
@@ -1536,6 +1584,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "url_latest": q_url_latest,
+    "redirects": q_redirects,
+    "mirror_hosts": q_mirror_hosts,
     "url_changes": q_url_changes,
     "refresh_schedule": q_refresh_schedule,
     "token_budget": q_token_budget,
@@ -2192,6 +2242,49 @@ ORACLE_SQL: dict[str, str] = {
                    ORDER BY warc_epoch DESC, fingerprint ASC) AS rn
              FROM snaps)
         SELECT url, warc_epoch, fingerprint FROM r WHERE rn = 1
+    """,
+    "redirects": """
+        WITH RECURSIVE e AS MATERIALIZED (SELECT
+               'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               'https://host' || CAST((doc_id - 1) % 50 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id - 1 AS VARCHAR)
+                   AS redirect_to
+             FROM documents WHERE doc_id % 13 <> 0),
+        nodes AS (SELECT DISTINCT url FROM (
+               SELECT url FROM e UNION ALL SELECT redirect_to FROM e)),
+        walk AS (
+            SELECT url AS start, url AS cur, 0 AS hops FROM nodes
+            UNION ALL
+            SELECT w.start, e.redirect_to, w.hops + 1
+            FROM walk w JOIN e ON e.url = w.cur WHERE w.hops < 8),
+        fin AS (SELECT start, max(hops) AS h FROM walk GROUP BY 1)
+        SELECT w.start AS url, w.cur AS final_url,
+               CAST(w.hops AS BIGINT) AS n_hops,
+               NOT EXISTS (SELECT 1 FROM e WHERE e.url = w.cur) AS resolved
+        FROM walk w JOIN fin f ON w.start = f.start AND w.hops = f.h
+    """,
+    "mirror_hosts": """
+        WITH s AS MATERIALIZED (SELECT
+               'm' || CAST((doc_id + u.v * 17) % 40 AS VARCHAR) AS host,
+               CASE WHEN doc_id % 11 = 0 THEN 'BOILER'
+                    ELSE md5(substr(text, 1, 40)) END AS fingerprint
+             FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(v)),
+        hf AS (SELECT DISTINCT host, fingerprint FROM s),
+        ph AS (SELECT host, count(*) AS n_fp FROM hf GROUP BY 1),
+        fps AS (SELECT fingerprint FROM hf GROUP BY 1
+                HAVING count(*) BETWEEN 2 AND 8),
+        pairs AS (SELECT a.host AS host_a, b.host AS host_b,
+                         count(*) AS shared
+             FROM hf a
+             JOIN hf b ON a.fingerprint = b.fingerprint AND a.host < b.host
+             JOIN fps f ON f.fingerprint = a.fingerprint
+             GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT p.host_a, p.host_b, CAST(p.shared AS BIGINT) AS shared,
+               CAST((p.shared * 1000) // least(pa.n_fp, pb.n_fp) AS BIGINT)
+                   AS containment_milli
+        FROM pairs p JOIN ph pa ON pa.host = p.host_a
+                     JOIN ph pb ON pb.host = p.host_b
     """,
     "url_changes": """
         WITH snaps AS (SELECT

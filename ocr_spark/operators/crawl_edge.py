@@ -179,3 +179,86 @@ def politeness_schedule(
             * F.coalesce(F.col("_delay"), F.lit(default_delay_ms).cast("long"))
         ).alias("fetch_offset_ms"),
     ).drop("_delay")
+
+
+def resolve_redirects(edges_df: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Resolve redirect chains to their terminal url by pointer doubling
+    -> (url, final_url, n_hops, resolved).
+
+    ``edges_df`` is (url, redirect_to) with one row per url that issues a
+    redirect; urls absent from it are terminals. Semantics are EXACTLY
+    "follow redirect edges one at a time, stop at a terminal or after
+    ``max_hops`` steps": ``final_url`` is where you stand after
+    min(dist_to_terminal, max_hops) steps, ``n_hops`` that step count,
+    ``resolved`` whether a terminal was reached (cycles and over-long
+    chains report False). A crawl consolidation pass needs this before
+    url-keyed dedup — 3xx chains and hostname moves otherwise split one
+    page's snapshots across keys.
+
+    Scale shape: the successor function f_k(u) = (node after 2^k steps,
+    steps taken, saturating at terminals) is computed on the NODE table —
+    doubling composes f_k with itself via ONE equi-join per round, so
+    ``max_hops`` (forced to a power of two) costs log2(max_hops) joins,
+    not max_hops. Each round is localCheckpoint'ed: the composed table
+    feeds both join sides, the same twice-referenced-lineage trap as
+    hits_hosts. Unit-step equivalence (and hence the recursive-CTE
+    oracle's semantics) holds because composition with saturation
+    simulates exactly 2^k unit steps."""
+    if max_hops & (max_hops - 1):
+        raise ValueError("max_hops must be a power of two")
+    edges = (
+        edges_df.select(
+            F.col("url").alias("node"), F.col("redirect_to").alias("nxt")
+        )
+        .where(F.col("nxt").isNotNull())
+        .dropDuplicates(["node"])
+        .persist()
+    )
+    nodes = (
+        edges.select("node")
+        .union(edges.select(F.col("nxt").alias("node")))
+        .distinct()
+    )
+    # f_1: one step (or stay put at a terminal)
+    f = (
+        nodes.join(edges, "node", "left")
+        .select(
+            "node",
+            F.coalesce("nxt", "node").alias("after"),
+            F.when(F.col("nxt").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("steps"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rounds = max_hops.bit_length() - 1  # log2
+    for _ in range(rounds):
+        nxt_hop = f.select(
+            F.col("node").alias("j_node"),
+            F.col("after").alias("j_after"),
+            F.col("steps").alias("j_steps"),
+        )
+        f = (
+            f.join(nxt_hop, f["after"] == nxt_hop["j_node"])
+            .select(
+                "node",
+                F.col("j_after").alias("after"),
+                (F.col("steps") + F.col("j_steps")).alias("steps"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        f.join(
+            edges.select(F.col("node").alias("t_node")),
+            f["after"] == F.col("t_node"),
+            "left",
+        )
+        .select(
+            F.col("node").alias("url"),
+            F.col("after").alias("final_url"),
+            F.col("steps").alias("n_hops"),
+            F.col("t_node").isNull().alias("resolved"),
+        )
+    )
+    return out

@@ -181,3 +181,69 @@ def asof_join(
         F.col("_match._rts").alias(f"{prefix}ts"),
         *[F.col(f"_match._r_{c}").alias(f"{prefix}{c}") for c in payload],
     )
+
+
+def mirror_hosts(
+    snap_df: DataFrame,
+    *,
+    min_shared: int = 2,
+    max_hosts_per_fp: int = 8,
+) -> DataFrame:
+    """Detect host mirrors from shared content fingerprints ->
+    (host_a, host_b, shared, containment_milli), host_a < host_b.
+
+    Mirror farms (the same corpus served under many hostnames) defeat
+    url- and host-keyed dedup; pairing hosts by how many distinct content
+    fingerprints they share is the standard detection pass. ``shared``
+    counts distinct fingerprints seen on BOTH hosts; ``containment_milli``
+    = shared * 1000 div min(|fp(a)|, |fp(b)|) — an integer, so ranking is
+    byte-deterministic.
+
+    Scale shape: (fingerprint, host) is made distinct first (map-side
+    partial agg), then fingerprints are grouped ONCE; only fingerprints
+    shared by 2..max_hosts_per_fp hosts expand into pairs, so the
+    explosion per fingerprint is bounded by max_hosts_per_fp^2 and
+    boilerplate mega-fingerprints (empty pages, error templates — the
+    Zipfian head) are dropped instead of producing quadratic pairs. The
+    cap is a documented recall bound: a corpus mirrored across MORE than
+    max_hosts_per_fp hosts needs a higher cap, not a different algorithm.
+    Host sets are sorted before pairing, so pair emission is
+    order-independent."""
+    hf = snap_df.select("host", "fingerprint").distinct().persist()
+    per_host = hf.groupBy("host").agg(F.count(F.lit(1)).alias("n_fp"))
+    grouped = (
+        hf.groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_set("host")).alias("hosts"))
+        .where(
+            (F.size("hosts") >= 2) & (F.size("hosts") <= max_hosts_per_fp)
+        )
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(hosts, (a, i) -> "
+                    "transform(slice(hosts, i + 2, size(hosts)), "
+                    "b -> struct(a as host_a, b as host_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.host_a", "p.host_b")
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    a_fp = per_host.select(F.col("host").alias("host_a"), F.col("n_fp").alias("n_a"))
+    b_fp = per_host.select(F.col("host").alias("host_b"), F.col("n_fp").alias("n_b"))
+    return (
+        pairs.join(a_fp, "host_a")
+        .join(b_fp, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            F.expr("(shared * 1000) div least(n_a, n_b)")
+            .cast("long")
+            .alias("containment_milli"),
+        )
+    )

@@ -148,3 +148,81 @@ def test_sitemap_priority_overflow_degrades():
         b"<url><loc>https://e.com/p</loc><priority>1e400</priority></url>"
     )
     assert es[0]["priority_milli"] is None
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution (pointer doubling)
+# ---------------------------------------------------------------------------
+
+def _redir(spark, pairs):
+    return spark.createDataFrame(pairs, "url string, redirect_to string")
+
+
+def test_resolve_redirects_chain_and_terminal(spark):
+    """a->b->c (c terminal): every node resolves to c with its own hop
+    count; pure targets appear with n_hops=0."""
+    from ocr_spark.operators.crawl_edge import resolve_redirects
+
+    out = {
+        r.url: (r.final_url, r.n_hops, r.resolved)
+        for r in resolve_redirects(
+            _redir(spark, [("a", "b"), ("b", "c")]), max_hops=8
+        ).collect()
+    }
+    assert out == {
+        "a": ("c", 2, True),
+        "b": ("c", 1, True),
+        "c": ("c", 0, True),
+    }
+
+
+def test_resolve_redirects_cycle_and_cap(spark):
+    """A 2-cycle never terminates: exactly max_hops unit steps are
+    simulated (even cycle -> back at the start), resolved=False. A chain
+    longer than max_hops stops mid-chain, also unresolved."""
+    from ocr_spark.operators.crawl_edge import resolve_redirects
+
+    cyc = {
+        r.url: (r.final_url, r.n_hops, r.resolved)
+        for r in resolve_redirects(
+            _redir(spark, [("x", "y"), ("y", "x")]), max_hops=4
+        ).collect()
+    }
+    assert cyc == {"x": ("x", 4, False), "y": ("y", 4, False)}
+
+    chain = [(f"n{i}", f"n{i + 1}") for i in range(6)]  # n0..n6, dist(n0)=6
+    got = {
+        r.url: (r.final_url, r.n_hops, r.resolved)
+        for r in resolve_redirects(_redir(spark, chain), max_hops=4).collect()
+    }
+    assert got["n0"] == ("n4", 4, False)  # capped mid-chain
+    assert got["n2"] == ("n6", 4, True)  # exactly at the cap, terminal
+    assert got["n3"] == ("n6", 3, True)
+    assert got["n6"] == ("n6", 0, True)
+
+
+def test_resolve_redirects_rejects_non_power_of_two(spark):
+    import pytest as _pytest
+
+    from ocr_spark.operators.crawl_edge import resolve_redirects
+
+    with _pytest.raises(ValueError):
+        resolve_redirects(_redir(spark, [("a", "b")]), max_hops=6)
+
+
+def test_resolve_redirects_partition_invariance(spark):
+    from ocr_spark.operators.crawl_edge import resolve_redirects
+
+    pairs = [(f"u{i}", f"u{i - 1}") for i in range(1, 40) if i % 7]
+    a = sorted(
+        map(tuple, resolve_redirects(_redir(spark, pairs), max_hops=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            resolve_redirects(
+                _redir(spark, pairs).repartition(13), max_hops=8
+            ).collect(),
+        )
+    )
+    assert a == b

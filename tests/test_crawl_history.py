@@ -123,3 +123,46 @@ def test_refresh_schedule_arithmetic(spark):
     assert out["u1"].next_fetch_epoch == 1000000 + 2 * 86400 + 86400
     assert out["u2"].fetch_interval_s == 30 * 86400
     assert out["u3"].fetch_interval_s == 3600
+
+
+# ---------------------------------------------------------------------------
+# cross-host mirror detection
+# ---------------------------------------------------------------------------
+
+def _mirror_df(spark, rows):
+    return spark.createDataFrame(rows, "host string, fingerprint string")
+
+
+def test_mirror_hosts_hand_golden(spark):
+    """h1/h2 share f1,f2 (shared=2); h3 shares only f1 (below min_shared);
+    containment = shared*1000 div min(|fp|) with h2 holding 3 fps."""
+    from ocr_spark.operators.crawl_history import mirror_hosts
+
+    rows = [
+        ("h1", "f1"), ("h1", "f2"),
+        ("h2", "f1"), ("h2", "f2"), ("h2", "f9"),
+        ("h3", "f1"),
+        ("h3", "f1"),  # duplicate snapshot rows count once
+    ]
+    out = {
+        (r.host_a, r.host_b): (r.shared, r.containment_milli)
+        for r in mirror_hosts(_mirror_df(spark, rows), min_shared=2).collect()
+    }
+    assert out == {("h1", "h2"): (2, 1000)}
+
+
+def test_mirror_hosts_caps_boilerplate_fingerprint(spark):
+    """A fingerprint on more than max_hosts_per_fp hosts is dropped before
+    pair expansion — boilerplate must not produce quadratic pairs."""
+    from ocr_spark.operators.crawl_history import mirror_hosts
+
+    rows = [(f"b{i}", "BOILER") for i in range(10)]
+    rows += [("b0", "fx"), ("b1", "fx"), ("b0", "fy"), ("b1", "fy")]
+    out = {
+        (r.host_a, r.host_b): r.shared
+        for r in mirror_hosts(
+            _mirror_df(spark, rows), min_shared=2, max_hosts_per_fp=8
+        ).collect()
+    }
+    # only the real fx/fy overlap survives; BOILER (10 hosts > 8) is gone
+    assert out == {("b0", "b1"): 2}
