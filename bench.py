@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "url_latest",
     "redirects",
     "mirror_hosts",
+    "surt",
     "url_changes",
     "token_budget",
     "page_links",

@@ -469,6 +469,28 @@ def q_mirror_hosts(spark, sf):  # cross-host content-mirror detection
     return mirror_hosts(snaps, min_shared=2, max_hosts_per_fp=8)
 
 
+def q_surt(spark, sf):  # SURT keys for range-partitionable URL indexes
+    """Messy-url corpus (mixed-case hosts, www., default ports, unsorted
+    query params, fragments) -> (url, surt); the oracle re-derives every
+    string transform independently in DuckDB SQL."""
+    from .operators.urls import surt_keys
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(k % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Host"), (k % 50).cast("string"), F.lit(".Example.org"),
+        F.when(k % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/P/"), k.cast("string"),
+        F.when(
+            k % 2 == 0, F.concat(F.lit("?b=2&a="), (k % 7).cast("string"))
+        ).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return surt_keys(d.select(url.alias("url"))).select("url", "surt")
+
+
 def q_token_budget(spark, sf):  # greedy quality-ordered token budget per lang
     from .operators.corpus_filters import token_budget_sample
 
@@ -1586,6 +1608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_latest": q_url_latest,
     "redirects": q_redirects,
     "mirror_hosts": q_mirror_hosts,
+    "surt": q_surt,
     "url_changes": q_url_changes,
     "refresh_schedule": q_refresh_schedule,
     "token_budget": q_token_budget,
@@ -2285,6 +2308,38 @@ ORACLE_SQL: dict[str, str] = {
                    AS containment_milli
         FROM pairs p JOIN ph pa ON pa.host = p.host_a
                      JOIN ph pb ON pb.host = p.host_b
+    """,
+    "surt": r"""
+        WITH u AS (SELECT
+               'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+               || 'Host' || CAST(doc_id % 50 AS VARCHAR) || '.Example.org'
+               || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+               || '/P/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '?b=2&a=' || CAST(doc_id % 7 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+             FROM documents),
+        parts AS (SELECT url,
+               regexp_replace(regexp_replace(regexp_replace(
+                   lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                   '^[^@]*@', ''), ':(80|443)$', ''), '^www\.', '') AS host,
+               regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '\?([^#]*)', 1) AS query
+             FROM u)
+        SELECT url,
+               list_aggregate(list_reverse(string_split(host, '.')),
+                              'string_agg', ',')
+               || ')'
+               || CASE WHEN path = '' THEN '/' ELSE path END
+               || CASE WHEN query <> ''
+                       THEN '?' || list_aggregate(
+                           list_sort(string_split(query, '&')),
+                           'string_agg', '&')
+                       ELSE '' END AS surt
+        FROM parts
     """,
     "url_changes": """
         WITH snaps AS (SELECT

@@ -251,13 +251,19 @@ def hits_hosts(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
     bounded reduces per round next to the two edge joins, the same
     exchange count as a PageRank round.
 
-    Each half-step's raw score table is localCheckpoint'ed (eager): it
-    feeds BOTH the max aggregate and the rescale projection, so without
-    lineage truncation the plan TREE doubles per half-step — a
-    2^(2*iters) blow-up that OOMs Catalyst's tree printer on a toy graph.
-    Checkpointing is the same bounded score-table-per-superstep footprint
-    GraphX/Pregel carry: one (host, long) row per host, one job per
-    half-step (8 for the default 4 iterations)."""
+    Each half-step's raw score table feeds BOTH the max aggregate and the
+    rescale projection, so without lineage truncation the plan TREE
+    doubles per half-step — a 2^(2*iters) blow-up that OOMs Catalyst's
+    tree printer on a toy graph. Every half-step is persisted (so the two
+    references share one InMemoryRelation and execute once) and every
+    SECOND half-step is localCheckpoint'ed eagerly (truncating the tree
+    before the doubling compounds). Checkpointing every half-step also
+    works but pays an eager job per half-step — measured 2.3x slower at
+    sf0.1/local[32] (3.5 s vs 8.2 s) because per-job scheduling dominates
+    the tiny score table; every 4th half-step lets 16x duplicated
+    plan/execution segments creep back in and is slower again. The
+    checkpointed state is the bounded score-table-per-superstep footprint
+    GraphX/Pregel carry: one (host, long) row per host."""
     edges = edges_df.select("src_host", "dst_host").distinct().persist()
     nodes = (
         edges.select(F.col("src_host").alias("host"))
@@ -266,18 +272,21 @@ def hits_hosts(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
         .persist()
     )
 
+    step = 0
+
     def _half(scores: DataFrame, score_col: str, src: str, dst: str, out: str):
+        nonlocal step
         raw = (
             edges.join(scores, edges[src] == scores["host"])
             .select(F.col(dst).alias("host"), F.col(score_col).alias("v"))
             .groupBy("host")
             .agg(F.sum("v").alias("raw"))
         )
-        raw = (
-            nodes.join(raw, "host", "left")
-            .select("host", F.coalesce("raw", F.lit(0).cast("long")).alias("raw"))
-            .localCheckpoint(eager=True)
+        raw = nodes.join(raw, "host", "left").select(
+            "host", F.coalesce("raw", F.lit(0).cast("long")).alias("raw")
         )
+        step += 1
+        raw = raw.localCheckpoint(eager=True) if step % 2 == 0 else raw.persist()
         mx = raw.agg(F.max("raw").alias("mx"))
         return raw.crossJoin(F.broadcast(mx)).select(
             "host",

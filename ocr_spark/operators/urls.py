@@ -220,3 +220,43 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     return df.mapInPandas(gen, schema=schema + ", canonical_url string")
+
+
+def surt_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append the SURT key (Sort-friendly URI Reordering Transform) ->
+    ``surt`` column: ``com,example)/path?a=1&b=2``.
+
+    SURT is the canonical key of web-archive URL indexes (Wayback CDX,
+    Common Crawl's cc-index): reversing the host labels makes one
+    registrable domain a contiguous key RANGE, so range-partitioning an
+    index by SURT keeps a site's urls in one shard — the locality that
+    host-hashed keys destroy. Documented contract (pinned by tests and
+    the DuckDB oracle): host lowercased, userinfo dropped, ports :80/:443
+    dropped, a leading ``www.`` dropped, labels reversed and
+    comma-joined; path kept verbatim (default ``/``), fragment dropped,
+    query parameters sorted bytewise as whole ``k=v`` tokens with an
+    empty query dropping the ``?``.
+
+    Pure Column algebra — regexp extracts + split/sort/reverse/join, zero
+    exchanges and zero Python, so it composes under any scan."""
+    u = F.col(url_col)
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
+        r"^[^@]*@",
+        "",
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":(80|443)$", ""), r"^www\.", ""
+    )
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    surt = F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+    return df.withColumn("surt", surt)

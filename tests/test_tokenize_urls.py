@@ -248,3 +248,25 @@ def test_bitext_no_self_pairs_or_dup_multiplication(spark):
     # only (en/story as 'en') x (fr/story as 'fr') survives: the
     # conflicting-label row shares either the url (self-pair) or the lang
     assert len(out) == len(pairs) == 1
+
+
+def test_surt_keys_semantics(spark):
+    """SURT contract: lowercase host, drop userinfo/:80/:443/www., reverse
+    labels, keep path verbatim (default /), sort query k=v tokens, drop
+    fragment and empty query."""
+    from ocr_spark.operators.urls import surt_keys
+
+    rows = [
+        ("https://www.Example.COM/Path/X?b=2&a=1#frag",),
+        ("http://user:pw@sub.site.org:80/",),
+        ("https://plain.net",),
+        ("https://one.two.three.example/p?z=9",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r.url: r.surt for r in surt_keys(df).collect()}
+    assert got == {
+        rows[0][0]: "com,example)/Path/X?a=1&b=2",
+        rows[1][0]: "org,site,sub)/",
+        rows[2][0]: "net,plain)/",
+        rows[3][0]: "example,three,two,one)/p?z=9",
+    }
