@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "redirects",
     "mirror_hosts",
     "surt",
+    "mirror_clusters",
     "url_changes",
     "token_budget",
     "page_links",

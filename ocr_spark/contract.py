@@ -469,6 +469,15 @@ def q_mirror_hosts(spark, sf):  # cross-host content-mirror detection
     return mirror_hosts(snaps, min_shared=2, max_hosts_per_fp=8)
 
 
+def q_mirror_clusters(spark, sf):  # mirror farms: components of mirror graph
+    """Connected components over the q_mirror_hosts pair graph; the
+    oracle computes the same closure with a recursive CTE and takes the
+    per-host min reachable host."""
+    from .operators.crawl_history import mirror_clusters
+
+    return mirror_clusters(q_mirror_hosts(spark, sf))
+
+
 def q_surt(spark, sf):  # SURT keys for range-partitionable URL indexes
     """Messy-url corpus (mixed-case hosts, www., default ports, unsorted
     query params, fragments) -> (url, surt); the oracle re-derives every
@@ -1608,6 +1617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_latest": q_url_latest,
     "redirects": q_redirects,
     "mirror_hosts": q_mirror_hosts,
+    "mirror_clusters": q_mirror_clusters,
     "surt": q_surt,
     "url_changes": q_url_changes,
     "refresh_schedule": q_refresh_schedule,
@@ -2308,6 +2318,28 @@ ORACLE_SQL: dict[str, str] = {
                    AS containment_milli
         FROM pairs p JOIN ph pa ON pa.host = p.host_a
                      JOIN ph pb ON pb.host = p.host_b
+    """,
+    "mirror_clusters": """
+        WITH RECURSIVE s AS MATERIALIZED (SELECT
+               'm' || CAST((doc_id + u.v * 17) % 40 AS VARCHAR) AS host,
+               CASE WHEN doc_id % 11 = 0 THEN 'BOILER'
+                    ELSE md5(substr(text, 1, 40)) END AS fingerprint
+             FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(v)),
+        hf AS MATERIALIZED (SELECT DISTINCT host, fingerprint FROM s),
+        fps AS MATERIALIZED (SELECT fingerprint FROM hf GROUP BY 1
+                HAVING count(*) BETWEEN 2 AND 8),
+        prs AS MATERIALIZED (SELECT a.host AS host_a, b.host AS host_b
+             FROM hf a
+             JOIN hf b ON a.fingerprint = b.fingerprint AND a.host < b.host
+             JOIN fps f ON f.fingerprint = a.fingerprint
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS MATERIALIZED (SELECT host_a AS a, host_b AS b FROM prs
+             UNION ALL SELECT host_b, host_a FROM prs),
+        reach AS (
+            SELECT a AS host, a AS r FROM und
+            UNION
+            SELECT re.host, u.b FROM reach re JOIN und u ON u.a = re.r)
+        SELECT host, min(r) AS canonical_host FROM reach GROUP BY 1
     """,
     "surt": r"""
         WITH u AS (SELECT

@@ -206,12 +206,16 @@ def resolve_redirects(edges_df: DataFrame, max_hops: int = 8) -> DataFrame:
     simulates exactly 2^k unit steps."""
     if max_hops & (max_hops - 1):
         raise ValueError("max_hops must be a power of two")
+    # a url seen with conflicting targets (e.g. across crawl snapshots)
+    # keeps the smallest — dropDuplicates would keep a partition-order-
+    # dependent row, breaking the bit-identity contract
     edges = (
         edges_df.select(
             F.col("url").alias("node"), F.col("redirect_to").alias("nxt")
         )
         .where(F.col("nxt").isNotNull())
-        .dropDuplicates(["node"])
+        .groupBy("node")
+        .agg(F.min("nxt").alias("nxt"))
         .persist()
     )
     nodes = (

@@ -247,3 +247,26 @@ def mirror_hosts(
             .alias("containment_milli"),
         )
     )
+
+
+def mirror_clusters(pairs_df: DataFrame) -> DataFrame:
+    """Mirror-pair list -> mirror FARMS: (host, canonical_host), where
+    canonical_host is the lexicographically smallest host reachable
+    through the mirror graph. A farm serving one corpus under 20
+    hostnames yields 20 rows with one canonical host — the key to fold
+    per-host stats (pagerank, politeness budgets, quality priors) across
+    a farm instead of crediting each alias separately.
+
+    Reuses :func:`ocr_spark.operators.dedup.dedup_clusters` (min-label
+    propagation with pointer jumping, O(log diameter) rounds) — the
+    propagation is ordering-generic, so string hosts work exactly like
+    long doc_ids."""
+    from .dedup import dedup_clusters
+
+    e = pairs_df.select(
+        F.col("host_a").alias("doc_a"), F.col("host_b").alias("doc_b")
+    )
+    return dedup_clusters(e).select(
+        F.col("doc_id").alias("host"),
+        F.col("cluster_id").alias("canonical_host"),
+    )

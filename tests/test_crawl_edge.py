@@ -226,3 +226,20 @@ def test_resolve_redirects_partition_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_resolve_redirects_conflicting_targets_deterministic(spark):
+    """One url seen with two different targets (cross-snapshot conflict)
+    must deterministically keep the SMALLEST target, independent of
+    partitioning — dropDuplicates semantics would keep an arbitrary row."""
+    from ocr_spark.operators.crawl_edge import resolve_redirects
+
+    pairs = [("a", "c"), ("a", "b")]
+    for parts in (1, 7):
+        out = {
+            r.url: (r.final_url, r.n_hops)
+            for r in resolve_redirects(
+                _redir(spark, pairs).repartition(parts), max_hops=4
+            ).collect()
+        }
+        assert out["a"] == ("b", 1)

@@ -166,3 +166,20 @@ def test_mirror_hosts_caps_boilerplate_fingerprint(spark):
     }
     # only the real fx/fy overlap survives; BOILER (10 hosts > 8) is gone
     assert out == {("b0", "b1"): 2}
+
+
+def test_mirror_clusters_folds_transitive_farms(spark):
+    """h1-h2 and h2-h3 mirror pairs (h1,h3 never directly paired) must
+    land in ONE farm with canonical h1; an unrelated pair stays its own
+    cluster."""
+    from ocr_spark.operators.crawl_history import mirror_clusters
+
+    pairs = spark.createDataFrame(
+        [("h1", "h2"), ("h2", "h3"), ("x1", "x2")],
+        "host_a string, host_b string",
+    )
+    got = {r.host: r.canonical_host for r in mirror_clusters(pairs).collect()}
+    assert got == {
+        "h1": "h1", "h2": "h1", "h3": "h1",
+        "x1": "x1", "x2": "x1",
+    }
