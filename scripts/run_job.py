@@ -49,6 +49,12 @@ def main():
         help="after the commit, export the extracted table as WET "
         "(.warc.wet.gz conversion records) into this directory",
     )
+    ap.add_argument(
+        "--export-cdx",
+        help="after the commit, export the INPUT pages as a SURT-sorted "
+        "CDXJ url index (.cdxj.gz shards + range manifest) into this "
+        "directory",
+    )
     ap.add_argument("--cpus", type=int, default=None, help="local-mode cores")
     ap.add_argument(
         "--compact",
@@ -114,6 +120,12 @@ def main():
             manifest = export_wet(extracted, args.export_wet).collect()
             total = sum(r.n_records for r in manifest)
             print(f"wet_export files={len(manifest)} records={total}")
+        if args.export_cdx:
+            from ocr_spark.sources.cdx import export_cdxj
+
+            manifest = export_cdxj(pages, args.export_cdx).collect()
+            total = sum(r.n_records for r in manifest)
+            print(f"cdx_export files={len(manifest)} records={total}")
     finally:
         spark.stop()
 

@@ -1,0 +1,56 @@
+"""CDXJ index export: round-trip identity, global sort order across
+shards, disjoint manifest ranges, digest/length correctness, NaT fallback."""
+
+import hashlib
+
+import pytest
+
+from ocr_spark.sources.cdx import export_cdxj, read_cdxj
+from ocr_spark.sources.pages import pages_df
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def cdx_export(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cdx"))
+    pages = pages_df(spark, SF_SMOKE)
+    manifest = sorted(
+        export_cdxj(pages, out, shards=4).collect(), key=lambda r: r.first_key
+    )
+    return pages, manifest
+
+
+def test_cdxj_round_trip_identity(spark, cdx_export):
+    pages, manifest = cdx_export
+    rows = [r for m in manifest for r in read_cdxj(m.path)]
+    assert sum(m.n_records for m in manifest) == len(rows) == pages.count()
+    src = {
+        r.url: (hashlib.sha256(bytes(r.html)).hexdigest(), len(bytes(r.html)))
+        for r in pages.select("url", "html").collect()
+    }
+    got = {r["url"]: (r["digest"], r["length"]) for r in rows}
+    assert got == src
+
+
+def test_cdxj_globally_sorted_and_disjoint(cdx_export):
+    _, manifest = cdx_export
+    # shard ranges disjoint and ordered
+    for a, b in zip(manifest, manifest[1:]):
+        assert a.last_key <= b.first_key
+    # concatenated key sequence is non-decreasing
+    keys = [
+        (r["surt"], r["ts14"]) for m in manifest for r in read_cdxj(m.path)
+    ]
+    assert keys == sorted(keys)
+
+
+def test_cdxj_nat_timestamp_fallback(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("https://x.example/a", None, b"<p>hi</p>")],
+        "url string, warc_ts timestamp, html binary",
+    )
+    m = export_cdxj(df, str(tmp_path), shards=1).collect()
+    rows = read_cdxj(m[0].path)
+    assert rows[0]["ts14"] == "20260101000000"
+    assert rows[0]["surt"] == "example,x)/a"
