@@ -2593,7 +2593,8 @@ def _hits_oracle_sql(n_iters: int = 4) -> str:
             "GROUP BY 1) s ON s.host = n.host)"
         )
         parts.append(
-            f"a{i} AS MATERIALIZED (SELECT host, CAST((raw * 1000000) // "
+            f"a{i} AS MATERIALIZED (SELECT host,"
+            " CAST((CAST(raw AS HUGEINT) * 1000000) // "
             f"greatest((SELECT max(raw) FROM a{i}raw), 1) AS BIGINT)"
             f" AS auth FROM a{i}raw)"
         )
@@ -2606,7 +2607,8 @@ def _hits_oracle_sql(n_iters: int = 4) -> str:
             "GROUP BY 1) s ON s.host = n.host)"
         )
         parts.append(
-            f"h{i} AS MATERIALIZED (SELECT host, CAST((raw * 1000000) // "
+            f"h{i} AS MATERIALIZED (SELECT host,"
+            " CAST((CAST(raw AS HUGEINT) * 1000000) // "
             f"greatest((SELECT max(raw) FROM h{i}raw), 1) AS BIGINT)"
             f" AS hub FROM h{i}raw)"
         )

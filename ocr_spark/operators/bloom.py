@@ -42,6 +42,8 @@ def _positions(col, *, m_bits: int, k: int):
     m collide in ALL k positions at once — an effective k=1 filter. The
     per-position multipliers (sketches._MULTS) make the k functions
     independent. Returns an array<long> column."""
+    if k > len(_MULTS):
+        raise ValueError(f"k must be <= {len(_MULTS)} (one multiplier per hash)")
     return F.array(
         *[
             _poly_hash_m(col, init=1000003 * (i + 1), mult=_MULTS[i]) % m_bits

@@ -204,8 +204,8 @@ def resolve_redirects(edges_df: DataFrame, max_hops: int = 8) -> DataFrame:
     hits_hosts. Unit-step equivalence (and hence the recursive-CTE
     oracle's semantics) holds because composition with saturation
     simulates exactly 2^k unit steps."""
-    if max_hops & (max_hops - 1):
-        raise ValueError("max_hops must be a power of two")
+    if max_hops < 1 or (max_hops & (max_hops - 1)):
+        raise ValueError("max_hops must be a positive power of two")
     # a url seen with conflicting targets (e.g. across crawl snapshots)
     # keeps the smallest — dropDuplicates would keep a partition-order-
     # dependent row, breaking the bit-identity contract

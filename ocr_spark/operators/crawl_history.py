@@ -209,7 +209,15 @@ def mirror_hosts(
     max_hosts_per_fp hosts needs a higher cap, not a different algorithm.
     Host sets are sorted before pairing, so pair emission is
     order-independent."""
-    hf = snap_df.select("host", "fingerprint").distinct().persist()
+    # NULL fingerprints (unfetched/failed pages) must not pair hosts:
+    # Spark's groupBy would put every NULL in one group while a SQL
+    # equi-join drops them — filter to keep oracle parity and semantics
+    hf = (
+        snap_df.select("host", "fingerprint")
+        .where(F.col("fingerprint").isNotNull() & F.col("host").isNotNull())
+        .distinct()
+        .persist()
+    )
     per_host = hf.groupBy("host").agg(F.count(F.lit(1)).alias("n_fp"))
     grouped = (
         hf.groupBy("fingerprint")

@@ -273,6 +273,7 @@ def hits_hosts(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
     )
 
     step = 0
+    cached: list[DataFrame] = []
 
     def _half(scores: DataFrame, score_col: str, src: str, dst: str, out: str):
         nonlocal step
@@ -286,11 +287,28 @@ def hits_hosts(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
             "host", F.coalesce("raw", F.lit(0).cast("long")).alias("raw")
         )
         step += 1
-        raw = raw.localCheckpoint(eager=True) if step % 2 == 0 else raw.persist()
+        if step % 2 == 0:
+            raw = raw.localCheckpoint(eager=True)
+            # the eager checkpoint consumed the older persisted half-steps
+            # — release all but the newest (the final result still joins
+            # the LAST odd half-step) so repeated hits_hosts calls in a
+            # long session don't accumulate dead storage
+            while len(cached) > 1:
+                cached.pop(0).unpersist(blocking=False)
+        else:
+            raw = raw.persist()
+            cached.append(raw)
         mx = raw.agg(F.max("raw").alias("mx"))
+        # raw*SCALE through decimal(38,0): a Common-Crawl-sized host graph
+        # can push max raw past 2^63/SCALE (~9.2e12), where a long multiply
+        # wraps silently under non-ANSI arithmetic. div is exact integral
+        # division on decimals; the result is back in [0, SCALE].
         return raw.crossJoin(F.broadcast(mx)).select(
             "host",
-            F.expr(f"(raw * {HITS_SCALE}) div greatest(mx, 1)")
+            F.expr(
+                f"(cast(raw as decimal(38,0)) * {HITS_SCALE})"
+                " div greatest(mx, 1)"
+            )
             .cast("long")
             .alias(out),
         )

@@ -40,6 +40,9 @@ def get_spark(app: str = "ocr_spark", cpus: int | None = None, **conf) -> SparkS
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.default.parallelism", str(max(cpus, 8)))
+        # timestamps render in the session zone (date_format in the CDX
+        # sink); pin UTC so exports are byte-identical across machines
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -49,8 +49,12 @@ def export_cdxj(pages: DataFrame, out_dir: str, shards: int = 8) -> DataFrame:
     ts14 = F.coalesce(
         F.date_format("warc_ts", "yyyyMMddHHmmss"), F.lit(_TS_FALLBACK)
     )
+    # the line format is space-delimited: a space inside the SURT (urls
+    # with unescaped spaces survive real crawls) would shear the key off
+    # at read time. Encode BEFORE the range sort so file order == key
+    # order, matching cc-index's percent-encoded key convention.
     rows = surt_keys(pages).select(
-        "surt",
+        F.regexp_replace("surt", " ", "%20").alias("surt"),
         ts14.alias("ts14"),
         F.to_json(
             F.struct(

@@ -73,3 +73,13 @@ def test_probe_duplicates_preserved_and_no_row_ids(spark):
         .toString()
     )
     assert "monotonically_increasing_id" not in plan
+
+
+def test_bloom_rejects_k_beyond_multipliers(spark):
+    import pytest as _pytest
+
+    from ocr_spark.operators.bloom import _positions
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError):
+        _positions(F.lit("x"), m_bits=4096, k=9)

@@ -54,3 +54,17 @@ def test_cdxj_nat_timestamp_fallback(spark, tmp_path):
     rows = read_cdxj(m[0].path)
     assert rows[0]["ts14"] == "20260101000000"
     assert rows[0]["surt"] == "example,x)/a"
+
+
+def test_cdxj_space_in_url_survives_round_trip(spark, tmp_path):
+    """A raw space in the url would shear the space-delimited key; the
+    writer percent-encodes it (cc-index convention) before the sort."""
+    df = spark.createDataFrame(
+        [("https://x.example/a b", None, b"<p>s</p>")],
+        "url string, warc_ts timestamp, html binary",
+    )
+    m = export_cdxj(df, str(tmp_path), shards=1).collect()
+    rows = read_cdxj(m[0].path)
+    assert rows[0]["surt"] == "example,x)/a%20b"
+    assert rows[0]["url"] == "https://x.example/a b"  # json keeps it raw
+    assert m[0].first_key.split(" ")[0] == "example,x)/a%20b"

@@ -243,3 +243,12 @@ def test_resolve_redirects_conflicting_targets_deterministic(spark):
             ).collect()
         }
         assert out["a"] == ("b", 1)
+
+
+def test_resolve_redirects_rejects_zero_hops(spark):
+    import pytest as _pytest
+
+    from ocr_spark.operators.crawl_edge import resolve_redirects
+
+    with _pytest.raises(ValueError):
+        resolve_redirects(_redir(spark, [("a", "b")]), max_hops=0)

@@ -183,3 +183,17 @@ def test_mirror_clusters_folds_transitive_farms(spark):
         "h1": "h1", "h2": "h1", "h3": "h1",
         "x1": "x1", "x2": "x1",
     }
+
+
+def test_mirror_hosts_ignores_null_fingerprints(spark):
+    """NULL fingerprints (failed fetches) must not pair hosts: a groupBy
+    would bucket all NULLs together while the SQL-oracle equi-join drops
+    them."""
+    from ocr_spark.operators.crawl_history import mirror_hosts
+
+    rows = [("h1", None), ("h2", None), ("h1", "fx"), ("h2", "fx")]
+    out = mirror_hosts(
+        spark.createDataFrame(rows, "host string, fingerprint string"),
+        min_shared=2,
+    ).collect()
+    assert out == []  # fx alone is below min_shared; NULLs don't count
