@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "link_hosts",
     "pagerank",
     "hits",
+    "reciprocity",
     "bm25_topk",
     "asof_join",
     "semdedup",

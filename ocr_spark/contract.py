@@ -557,6 +557,12 @@ def q_hits(spark, sf):  # HITS hubs/authorities (integer L-inf fixed point)
     return hits_hosts(host_graph(extract_page_links(pages_df(spark, sf))))
 
 
+def q_reciprocity(spark, sf):  # per-host outlink reciprocity (spam feature)
+    from .operators.link_graph import extract_page_links, host_graph, host_reciprocity
+
+    return host_reciprocity(host_graph(extract_page_links(pages_df(spark, sf))))
+
+
 def q_bm25_topk(spark, sf):  # corpus keyword search: BM25 top-k
     from .operators.search import bm25_topk
 
@@ -1627,6 +1633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_hosts": q_link_hosts,
     "pagerank": q_pagerank,
     "hits": q_hits,
+    "reciprocity": q_reciprocity,
     "bm25_topk": q_bm25_topk,
     "asof_join": q_asof_join,
     "semdedup": q_semdedup,
@@ -2620,6 +2627,22 @@ def _hits_oracle_sql(n_iters: int = 4) -> str:
 
 
 ORACLE_SQL["hits"] = _hits_oracle_sql()
+
+ORACLE_SQL["reciprocity"] = f"""
+        WITH rel AS MATERIALIZED ({_LINK_EDGE_SQL}),
+        e AS MATERIALIZED (SELECT DISTINCT src_host, dst_host FROM rel
+            WHERE src_host <> dst_host),
+        recip AS (SELECT e.src_host, count(*) AS n_recip
+            FROM e JOIN e r ON r.src_host = e.dst_host
+                           AND r.dst_host = e.src_host
+            GROUP BY 1),
+        outs AS (SELECT src_host, count(*) AS n_out FROM e GROUP BY 1)
+        SELECT o.src_host AS host, CAST(o.n_out AS BIGINT) AS n_out,
+               CAST(coalesce(r.n_recip, 0) AS BIGINT) AS n_recip,
+               CAST((coalesce(r.n_recip, 0) * 1000) // o.n_out AS BIGINT)
+                   AS recip_milli
+        FROM outs o LEFT JOIN recip r ON r.src_host = o.src_host
+"""
 
 ORACLE_SQL["bm25_topk"] = """
         WITH toks AS (SELECT doc_id,

@@ -319,3 +319,38 @@ def hits_hosts(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
         auths = _half(hubs, "hub", "src_host", "dst_host", "auth")
         hubs = _half(auths, "auth", "dst_host", "src_host", "hub")
     return hubs.join(auths, "host").select("host", "hub", "auth")
+
+
+def host_reciprocity(edges_df: DataFrame) -> DataFrame:
+    """Per-host outlink reciprocity -> (host, n_out, n_recip,
+    recip_milli): the share of a host's distinct out-neighbors that link
+    back. Organic linking is mostly one-directional (reciprocity near 0
+    for reference sites); link farms and paid-exchange rings approach
+    1000 milli — the classic TrustRank-era spam feature, and a cheap
+    input to crawl prioritization next to pagerank/hits.
+
+    Scale shape: ONE edge-key self-join (left-semi against the reversed
+    edge set — no payload columns, both sides are the same deduped edge
+    table) sharing its exchange with the per-src groupBy; integer milli
+    ratio via div, so the feature is byte-deterministic."""
+    e = edges_df.select("src_host", "dst_host").distinct()
+    rev = e.select(
+        F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
+    )
+    out = e.groupBy("src_host").agg(F.count(F.lit(1)).cast("long").alias("n_out"))
+    recip = (
+        e.join(rev, ["src_host", "dst_host"], "left_semi")
+        .groupBy("src_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_recip"))
+    )
+    return (
+        out.join(recip, "src_host", "left")
+        .select(
+            F.col("src_host").alias("host"),
+            "n_out",
+            F.coalesce("n_recip", F.lit(0).cast("long")).alias("n_recip"),
+            F.expr("(coalesce(n_recip, 0) * 1000) div n_out")
+            .cast("long")
+            .alias("recip_milli"),
+        )
+    )

@@ -263,3 +263,19 @@ def test_hits_dedupes_edges_and_ignores_self_loops(spark):
         "B": (0, 1_000_000),
         "C": (1_000_000, 0),
     }
+
+
+# ---------------------------------------------------------------------------
+# outlink reciprocity
+# ---------------------------------------------------------------------------
+
+def test_host_reciprocity_hand_golden(spark):
+    """A<->B reciprocated; A->C one-way; C has no outlinks (absent)."""
+    from ocr_spark.operators.link_graph import host_reciprocity
+
+    e = _edges(spark, [("A", "B"), ("B", "A"), ("A", "C"), ("A", "C")])
+    got = {
+        r.host: (r.n_out, r.n_recip, r.recip_milli)
+        for r in host_reciprocity(e).collect()
+    }
+    assert got == {"A": (2, 1, 500), "B": (1, 1, 1000)}
