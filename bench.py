@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "url_latest",
     "redirects",
+    "snapshot_drift",
     "mirror_hosts",
     "surt",
     "mirror_clusters",

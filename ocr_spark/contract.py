@@ -469,6 +469,35 @@ def q_mirror_hosts(spark, sf):  # cross-host content-mirror detection
     return mirror_hosts(snaps, min_shared=2, max_hosts_per_fp=8)
 
 
+def q_snapshot_drift(spark, sf):  # graded change magnitude between snapshots
+    """Same synthetic crawl timeline as url_changes but carrying snapshot
+    TEXT (first 200 chars, alternating revision marker); drift is 1000 -
+    shingle-Jaccard_milli vs the previous snapshot."""
+    from .operators.crawl_history import snapshot_drift
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    v = F.explode(F.sequence(F.lit(0), (k % 3).cast("int"))).alias("v")
+    s = d.select("doc_id", "text", v)
+    snaps = s.select(
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) + F.col("v") * 86400 + F.col("doc_id") % 1000)
+        .cast("long")
+        .alias("warc_epoch"),
+        F.concat(
+            F.substring("text", 1, 200),
+            F.when(
+                (F.col("doc_id") + F.col("v")) % 2 == 0,
+                F.lit(" revision marker alpha"),
+            ).otherwise(F.lit("")),
+        ).alias("snap_text"),
+    )
+    return snapshot_drift(snaps)
+
+
 def q_mirror_clusters(spark, sf):  # mirror farms: components of mirror graph
     """Connected components over the q_mirror_hosts pair graph; the
     oracle computes the same closure with a recursive CTE and takes the
@@ -1622,6 +1651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "url_latest": q_url_latest,
     "redirects": q_redirects,
+    "snapshot_drift": q_snapshot_drift,
     "mirror_hosts": q_mirror_hosts,
     "mirror_clusters": q_mirror_clusters,
     "surt": q_surt,
@@ -2325,6 +2355,36 @@ ORACLE_SQL: dict[str, str] = {
                    AS containment_milli
         FROM pairs p JOIN ph pa ON pa.host = p.host_a
                      JOIN ph pb ON pb.host = p.host_b
+    """,
+    "snapshot_drift": r"""
+        WITH snaps AS MATERIALIZED (SELECT
+               'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               CAST(1700000000 + u.v * 86400 + doc_id % 1000 AS BIGINT)
+                   AS warc_epoch,
+               substr(text, 1, 200) ||
+                   CASE WHEN (doc_id + u.v) % 2 = 0
+                        THEN ' revision marker alpha' ELSE '' END AS snap_text
+             FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(v)),
+        sh AS (SELECT url, warc_epoch,
+               list_distinct([list_aggregate(w[i:i+2], 'string_agg', ' ')
+                              for i in range(1, greatest(len(w) - 1, 1))])
+                   AS sh
+             FROM (SELECT url, warc_epoch,
+                     list_filter(string_split_regex(lower(snap_text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS w
+                   FROM snaps)),
+        lagged AS (SELECT url, warc_epoch, sh,
+               lag(sh) OVER (PARTITION BY url ORDER BY warc_epoch) AS prev
+             FROM sh)
+        SELECT url, warc_epoch,
+               CAST(CASE WHEN len(list_distinct(list_concat(sh, prev))) = 0
+                         THEN 0
+                         ELSE 1000 - (len(list_intersect(sh, prev)) * 1000)
+                              // len(list_distinct(list_concat(sh, prev)))
+                    END AS BIGINT) AS drift_milli
+        FROM lagged WHERE prev IS NOT NULL
     """,
     "mirror_clusters": """
         WITH RECURSIVE s AS MATERIALIZED (SELECT

@@ -197,3 +197,32 @@ def test_mirror_hosts_ignores_null_fingerprints(spark):
         min_shared=2,
     ).collect()
     assert out == []  # fx alone is below min_shared; NULLs don't count
+
+
+def test_snapshot_drift_grades_change_magnitude(spark):
+    """Identical consecutive snapshots -> 0; disjoint texts -> 1000; a
+    half-overlapping rewrite lands in between; first snapshot emits no
+    row; short texts (no shingles) compare as unchanged."""
+    from ocr_spark.operators.crawl_history import snapshot_drift
+
+    rows = [
+        ("u1", 1, "alpha beta gamma delta"),
+        ("u1", 2, "alpha beta gamma delta"),      # identical -> 0
+        ("u1", 3, "zeta eta theta iota kappa"),    # disjoint -> 1000
+        ("u2", 1, "one two three four"),
+        ("u2", 2, "one two three five"),           # 1 of 3 shingles kept
+        ("u3", 1, "hi"),
+        ("u3", 2, "yo"),                           # no shingles -> 0
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_epoch long, snap_text string")
+    got = {
+        (r.url, r.warc_epoch): r.drift_milli for r in snapshot_drift(df).collect()
+    }
+    # u2: shingles A={one two three, two three four}, B={one two three,
+    # two three five}; |I|=1, |U|=3 -> 1000 - 333 = 667
+    assert got == {
+        ("u1", 2): 0,
+        ("u1", 3): 1000,
+        ("u2", 2): 667,
+        ("u3", 2): 0,
+    }
