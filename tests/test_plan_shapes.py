@@ -219,3 +219,45 @@ def test_dedup_keep_best_retention_policy(spark):
     }
     # quality tie between 2 and 3 (both 30) -> min doc_id wins
     assert {d for d, r in out.items() if r.keep} == {2, 4, 5}
+
+
+def test_surt_zero_exchange_zero_python(spark):
+    """SURT keys are pure Column algebra: no Exchange, no python runner —
+    they must compose under any scan for free."""
+    from ocr_spark.operators.urls import surt_keys
+
+    df = surt_keys(
+        spark.createDataFrame([("https://www.a.example/x?b=2&a=1",)], "url string")
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_snapshot_drift_single_url_exchange(spark):
+    """The lag window is the only exchange; shingle construction stays
+    narrow (no python, no extra shuffle)."""
+    from ocr_spark.operators.crawl_history import snapshot_drift
+
+    df = snapshot_drift(
+        spark.createDataFrame(
+            [("u", 1, "a b c d"), ("u", 2, "a b c e")],
+            "url string, warc_epoch long, snap_text string",
+        )
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_reciprocity_no_python_and_bounded_exchanges(spark):
+    """Edge-key self-join + groupBys only: JVM-side end to end; the
+    left-semi probe must not introduce a cartesian/nested-loop join."""
+    from ocr_spark.operators.link_graph import host_reciprocity
+
+    df = host_reciprocity(
+        spark.createDataFrame([("A", "B"), ("B", "A")], "src_host string, dst_host string")
+    )
+    plan = _plan(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
