@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "url_latest",
     "redirects",
     "snapshot_drift",
+    "page_meta",
     "mirror_hosts",
     "surt",
     "mirror_clusters",

@@ -469,6 +469,56 @@ def q_mirror_hosts(spark, sf):  # cross-host content-mirror detection
     return mirror_hosts(snaps, min_shared=2, max_hosts_per_fp=8)
 
 
+def q_page_meta(spark, sf):  # head metadata: title/canonical/desc/lang/hreflang
+    """HTML heads constructed per doc_id with known fields (missing
+    title/canonical/description/lang cases, relative canonical hrefs,
+    hreflang alternates); the parser must recover EXACTLY the closed-form
+    case table the oracle states directly."""
+    from .operators.page_meta import extract_page_meta
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    host = F.concat(F.lit("https://host"), (k % 50).cast("string"), F.lit(".example"))
+    url = F.concat(host, F.lit("/p/"), ks)
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html"),
+        F.when(k % 7 != 0, F.lit(' lang="en-GB"')).otherwise(F.lit("")),
+        F.lit("><head>"),
+        F.when(
+            k % 4 != 0,
+            F.concat(F.lit("<title>Doc "), ks, F.lit(" — news</title>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 3 != 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="'),
+                F.when(k % 5 == 0, F.concat(F.lit("/canon/"), ks)).otherwise(
+                    F.concat(F.lit("https://canon.example/c/"), ks)
+                ),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit('<meta name="description" content="Summary '), ks, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 6 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="fr" href="https://fr.example/p/'),
+                ks,
+                F.lit('"><link rel="alternate" hreflang="de" href="https://de.example/p/'),
+                ks,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    pages = d.select(url.alias("url"), html.cast("binary").alias("html"))
+    return extract_page_meta(pages)
+
+
 def q_snapshot_drift(spark, sf):  # graded change magnitude between snapshots
     """Same synthetic crawl timeline as url_changes but carrying snapshot
     TEXT (first 200 chars, alternating revision marker); drift is 1000 -
@@ -1652,6 +1702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_latest": q_url_latest,
     "redirects": q_redirects,
     "snapshot_drift": q_snapshot_drift,
+    "page_meta": q_page_meta,
     "mirror_hosts": q_mirror_hosts,
     "mirror_clusters": q_mirror_clusters,
     "surt": q_surt,
@@ -2355,6 +2406,31 @@ ORACLE_SQL: dict[str, str] = {
                    AS containment_milli
         FROM pairs p JOIN ph pa ON pa.host = p.host_a
                      JOIN ph pb ON pb.host = p.host_b
+    """,
+    "page_meta": """
+        WITH u AS (SELECT doc_id,
+               'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example'
+                   AS host,
+               'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url
+             FROM documents)
+        SELECT url,
+               CASE WHEN doc_id % 4 <> 0
+                    THEN 'Doc ' || CAST(doc_id AS VARCHAR) || ' — news'
+               END AS title,
+               CASE WHEN doc_id % 3 <> 0 THEN
+                    CASE WHEN doc_id % 5 = 0
+                         THEN host || '/canon/' || CAST(doc_id AS VARCHAR)
+                         ELSE 'https://canon.example/c/'
+                              || CAST(doc_id AS VARCHAR) END
+               END AS canonical_url,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'Summary ' || CAST(doc_id AS VARCHAR)
+               END AS description,
+               CASE WHEN doc_id % 7 <> 0 THEN 'en-gb' END AS html_lang,
+               CAST(CASE WHEN doc_id % 6 = 0 THEN 2 ELSE 0 END AS INT)
+                   AS n_hreflang
+        FROM u
     """,
     "snapshot_drift": r"""
         WITH snaps AS MATERIALIZED (SELECT
