@@ -969,6 +969,70 @@ def q_sitemap_urls(spark, sf):  # sitemaps.org parse (urlset + sitemapindex)
     return sitemap_entries(sm)
 
 
+def q_feed_entries(spark, sf):  # RSS 2.0 + Atom feed parse (crawl discovery)
+    """Deterministic feed XML per host — even-residue hosts publish RSS
+    2.0 (RFC 822 pubDate, one GMT + one +0200, &amp; in the link, guid
+    fallback), odd publish Atom (ISO 8601 updated, one Z + one
+    fractional +02:00, rel=self decoy link) — PARSED from bytes by
+    operators/feeds.py into integer epoch ms; the oracle re-derives
+    every epoch with make_timestamp/epoch_ms from the host residue."""
+    from .operators.feeds import feed_entries
+
+    hosts = (
+        _t(spark, sf, "documents")
+        .select((F.col("doc_id") % 10).alias("hnum"))
+        .distinct()
+    )
+    hn = F.col("hnum").cast("string")
+    hh = (F.col("hnum") + 10).cast("string")  # 2-digit hour AND iso day
+    base = F.concat(F.lit("https://host"), hn, F.lit(".example.com"))
+    rss = F.concat(
+        F.lit(
+            '<?xml version="1.0"?>\n<rss version="2.0"><channel>\n'
+            "<title>channel title</title>\n<item><title>Post &amp; 0"
+            "</title><link>"
+        ),
+        base, F.lit("/post0?a=1&amp;b="), hn,
+        F.lit("</link><guid>tag:host"), hn,
+        F.lit(":0</guid><pubDate>Mon, "),
+        (F.col("hnum") + 1).cast("string"),
+        F.lit(" Jun 2026 "), hh,
+        F.lit(":15:30 GMT</pubDate></item>\n<item><title>Post 1</title><link>"),
+        base,
+        F.lit("/post1</link><pubDate>Mon, "),
+        (F.col("hnum") + 1).cast("string"),
+        F.lit(" Jun 2026 "), hh,
+        F.lit(":15:30 +0200</pubDate></item>\n</channel></rss>\n"),
+    )
+    atom = F.concat(
+        F.lit(
+            '<?xml version="1.0"?>\n<feed xmlns="http://www.w3.org/2005/Atom">\n'
+            "<title>feed title</title>\n"
+            '<link rel="self" href="https://decoy.invalid/feed"/>\n'
+            "<entry><title>Entry 0</title><id>urn:host"
+        ),
+        hn,
+        F.lit(':0</id><link rel="self" href="https://decoy.invalid/e0"/>'
+              '<link rel="alternate" href="'),
+        base,
+        F.lit('/e0"/><updated>2026-07-'), hh,
+        F.lit("T"), hh,
+        F.lit(":15:30Z</updated></entry>\n<entry><title>Entry 1</title>"
+              "<id>urn:host"),
+        hn,
+        F.lit(':1</id><link href="'),
+        base,
+        F.lit('/e1"/><updated>2026-07-'), hh,
+        F.lit("T"), hh,
+        F.lit(":15:30.250+02:00</updated></entry>\n</feed>\n"),
+    )
+    feeds = hosts.select(
+        F.concat(F.lit("host"), hn, F.lit(".example.com")).alias("host"),
+        F.when(F.col("hnum") % 2 == 0, rss).otherwise(atom).alias("feed_xml"),
+    )
+    return feed_entries(feeds)
+
+
 def q_politeness(spark, sf):  # per-host fetch-slot schedule w/ robots delay
     """Crawl-delay is PARSED from robots.txt text by robots_directives
     (fractional-second and integer flavors); slots come from the window
@@ -1722,6 +1786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "robots_filter": q_robots_filter,
     "sitemap_urls": q_sitemap_urls,
+    "feed_entries": q_feed_entries,
     "politeness": q_politeness,
     "dsir": q_dsir,
     "audio_features": q_audio_features,
@@ -2934,6 +2999,34 @@ ORACLE_SQL["sitemap_urls"] = """
     UNION ALL
     SELECT host, 'url', b || '/page2', NULL, NULL, NULL
     FROM base WHERE hnum % 3 <> 0
+"""
+
+ORACLE_SQL["feed_entries"] = """
+    WITH h AS (SELECT DISTINCT doc_id % 10 AS hnum FROM documents),
+    base AS (SELECT hnum,
+            'host' || CAST(hnum AS VARCHAR) || '.example.com' AS host,
+            'https://host' || CAST(hnum AS VARCHAR) || '.example.com' AS b,
+            CAST(hnum AS VARCHAR) AS hs
+        FROM h)
+    SELECT host, 'rss' AS fmt, 'tag:host' || hs || ':0' AS entry_id,
+           b || '/post0?a=1&b=' || hs AS link, 'Post & 0' AS title,
+           epoch_ms(make_timestamp(2026, 6, hnum + 1, hnum + 10, 15, 30.0))
+               AS published_ms
+    FROM base WHERE hnum % 2 = 0
+    UNION ALL
+    SELECT host, 'rss', b || '/post1', b || '/post1', 'Post 1',
+           epoch_ms(make_timestamp(2026, 6, hnum + 1, hnum + 10, 15, 30.0))
+               - 7200000
+    FROM base WHERE hnum % 2 = 0
+    UNION ALL
+    SELECT host, 'atom', 'urn:host' || hs || ':0', b || '/e0', 'Entry 0',
+           epoch_ms(make_timestamp(2026, 7, hnum + 10, hnum + 10, 15, 30.0))
+    FROM base WHERE hnum % 2 = 1
+    UNION ALL
+    SELECT host, 'atom', 'urn:host' || hs || ':1', b || '/e1', 'Entry 1',
+           epoch_ms(make_timestamp(2026, 7, hnum + 10, hnum + 10, 15, 30.0))
+               + 250 - 7200000
+    FROM base WHERE hnum % 2 = 1
 """
 
 ORACLE_SQL["politeness"] = """
