@@ -519,6 +519,72 @@ def q_page_meta(spark, sf):  # head metadata: title/canonical/desc/lang/hreflang
     return extract_page_meta(pages)
 
 
+def q_og_meta(spark, sf):  # OpenGraph + JSON-LD structured metadata
+    """Heads constructed per doc_id exercise attribute-order variants,
+    single/double quoting, a duplicate og:title (FIRST wins), a
+    malformed JSON-LD block (skipped, not counted), and an @graph
+    wrapper (first node's @type); the oracle states the closed-form
+    case table directly."""
+    from .operators.page_meta import extract_og_meta
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    host = F.concat(F.lit("https://host"), (k % 50).cast("string"), F.lit(".example"))
+    url = F.concat(host, F.lit("/p/"), ks)
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head>"),
+        # og:title — attr order flips by parity; duplicate on k%6==0 loses
+        F.when(
+            (k % 3 != 0) & (k % 2 == 0),
+            F.concat(F.lit('<meta property="og:title" content="OG Doc '), ks, F.lit('">')),
+        )
+        .when(
+            (k % 3 != 0) & (k % 2 == 1),
+            F.concat(F.lit("<meta content='OG Doc "), ks, F.lit("' property='og:title'>")),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            k % 6 == 0,
+            F.lit('<meta property="og:title" content="WRONG duplicate">'),
+        ).otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.lit('<meta property="og:type" content="article">')).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            k % 4 != 0,
+            F.concat(F.lit('<meta property="og:url" content="'), host, F.lit("/og/"), ks, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit('<meta property="og:image" content="https://img.example/'), ks, F.lit('.jpg">')),
+        ).otherwise(F.lit("")),
+        # JSON-LD: even docs a NewsArticle object (+ one malformed block on
+        # k%8==0 that must be skipped); k%4==1 an @graph wrapper
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit('<script type="application/ld+json">{"@context":'
+                      '"https://schema.org","@type":"NewsArticle","headline":"H'),
+                ks,
+                F.lit('"}</script>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 8 == 0,
+            F.lit('<script type="application/ld+json">{"@type": broken</script>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 4 == 1,
+            F.lit('<script type="application/ld+json">{"@graph":[{"@type":'
+                  '"WebSite"},{"@type":"Organization"}]}</script>'),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    pages = d.select(url.alias("url"), html.cast("binary").alias("html"))
+    return extract_og_meta(pages)
+
+
 def q_snapshot_drift(spark, sf):  # graded change magnitude between snapshots
     """Same synthetic crawl timeline as url_changes but carrying snapshot
     TEXT (first 200 chars, alternating revision marker); drift is 1000 -
@@ -1767,6 +1833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirects": q_redirects,
     "snapshot_drift": q_snapshot_drift,
     "page_meta": q_page_meta,
+    "og_meta": q_og_meta,
     "mirror_hosts": q_mirror_hosts,
     "mirror_clusters": q_mirror_clusters,
     "surt": q_surt,
@@ -2495,6 +2562,33 @@ ORACLE_SQL: dict[str, str] = {
                CASE WHEN doc_id % 7 <> 0 THEN 'en-gb' END AS html_lang,
                CAST(CASE WHEN doc_id % 6 = 0 THEN 2 ELSE 0 END AS INT)
                    AS n_hreflang
+        FROM u
+    """,
+    "og_meta": """
+        WITH u AS (SELECT doc_id,
+               'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example'
+                   AS host,
+               'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url
+             FROM documents)
+        SELECT url,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN 'OG Doc ' || CAST(doc_id AS VARCHAR)
+                    WHEN doc_id % 6 = 0 THEN 'WRONG duplicate'
+               END AS og_title,
+               CASE WHEN doc_id % 2 = 0 THEN 'article' END AS og_type,
+               CASE WHEN doc_id % 4 <> 0
+                    THEN host || '/og/' || CAST(doc_id AS VARCHAR)
+               END AS og_url,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'https://img.example/' || CAST(doc_id AS VARCHAR)
+                         || '.jpg'
+               END AS og_image,
+               CASE WHEN doc_id % 2 = 0 THEN 'NewsArticle'
+                    WHEN doc_id % 4 = 1 THEN 'WebSite'
+               END AS ld_type,
+               CAST(CASE WHEN doc_id % 2 = 0 OR doc_id % 4 = 1 THEN 1
+                         ELSE 0 END AS INT) AS n_ld
         FROM u
     """,
     "snapshot_drift": r"""

@@ -101,6 +101,96 @@ def _page_meta(url: str, blob: bytes) -> dict:
     return out
 
 
+OG_SCHEMA = (
+    "url string, og_title string, og_type string, og_url string,"
+    " og_image string, ld_type string, n_ld int"
+)
+
+_LD_SCRIPT_RE = re.compile(
+    r"<script\b[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>(.*?)"
+    r"</script\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_OG_KEYS = ("og:title", "og:type", "og:url", "og:image")
+
+
+def _ld_first_type(obj) -> str | None:
+    """@type of a parsed JSON-LD payload: dict -> its @type (first item
+    when a list), top-level list or @graph -> the first node's @type."""
+    if isinstance(obj, list):
+        return _ld_first_type(obj[0]) if obj else None
+    if not isinstance(obj, dict):
+        return None
+    t = obj.get("@type")
+    if t is None and "@graph" in obj:
+        return _ld_first_type(obj["@graph"])
+    if isinstance(t, list):
+        t = t[0] if t else None
+    return t if isinstance(t, str) and t.strip() else None
+
+
+def _og_meta(blob: bytes) -> dict:
+    """OpenGraph + JSON-LD structured metadata of one page's head region.
+
+    FIRST occurrence wins for each og:* property (the page_meta policy);
+    ``ld_type`` is the @type of the first *parseable* JSON-LD block and
+    ``n_ld`` counts parseable blocks — unparseable JSON degrades to
+    fewer counted blocks, never a task failure."""
+    import json
+
+    from ..kernels.encoding import decode_bytes
+    from ..kernels.md_extract import looks_like_html
+
+    out: dict = {k.replace(":", "_"): None for k in _OG_KEYS}
+    out["ld_type"] = None
+    out["n_ld"] = 0
+    if not blob or not looks_like_html(blob[:HEAD_BYTES]):
+        return out
+    text = decode_bytes(blob[:HEAD_BYTES])[0]
+    for m in _META_RE.finditer(text):
+        a = _attrs(m.group(0))
+        prop = (a.get("property") or "").strip().lower()
+        if prop in _OG_KEYS:
+            key = prop.replace(":", "_")
+            if out[key] is None:
+                content = _WS_RE.sub(" ", a.get("content") or "").strip()
+                out[key] = content or None
+    for m in _LD_SCRIPT_RE.finditer(text):
+        try:
+            obj = json.loads(m.group(1))
+        except (ValueError, RecursionError):
+            continue
+        out["n_ld"] += 1
+        if out["ld_type"] is None:
+            out["ld_type"] = _ld_first_type(obj)
+    return out
+
+
+def extract_og_meta(pages_df: DataFrame) -> DataFrame:
+    """pages (url, html) -> one OpenGraph/JSON-LD row per page (all pages
+    kept; non-HTML payloads carry NULL fields). Single narrow python
+    stage, zero exchanges — same shape as :func:`extract_page_meta`."""
+
+    cols = ["url", "og_title", "og_type", "og_url", "og_image",
+            "ld_type", "n_ld"]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    meta = _og_meta(bytes(html) if html is not None else b"")
+                except Exception:
+                    meta = {c: None for c in cols[1:-1]} | {"n_ld": 0}
+                rows.append({"url": url, **meta})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages_df.select("url", "html").mapInPandas(gen, schema=OG_SCHEMA)
+
+
 def extract_page_meta(pages_df: DataFrame) -> DataFrame:
     """pages (url, html) -> one metadata row per page (all pages kept;
     non-HTML payloads carry NULL fields). Single narrow python stage."""

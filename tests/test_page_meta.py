@@ -59,3 +59,58 @@ def test_page_meta_plan_single_python_stage(spark):
     )
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# OpenGraph + JSON-LD (extract_og_meta)
+# ---------------------------------------------------------------------------
+
+from ocr_spark.operators.page_meta import _og_meta, extract_og_meta
+
+
+def test_og_meta_first_wins_and_quoting():
+    html = (
+        b"<html><head>"
+        b"<meta content='T1' property='og:title'>"  # single quotes, attr order
+        b'<meta property="og:title" content="T2-loses">'
+        b'<meta property="og:image" content="  https://i.x/a.jpg ">'
+        b"</head></html>"
+    )
+    m = _og_meta(html)
+    assert m["og_title"] == "T1"
+    assert m["og_image"] == "https://i.x/a.jpg"
+    assert m["og_type"] is None and m["og_url"] is None
+
+
+def test_og_meta_jsonld_variants():
+    html = (
+        b"<html><head>"
+        b'<script type="application/ld+json">{"@type": broken</script>'
+        b'<script type="application/ld+json">'
+        b'{"@graph":[{"@type":["NewsArticle","Article"]},{"@type":"x"}]}'
+        b"</script>"
+        b'<script type="application/ld+json">{"@type":"WebSite"}</script>'
+        b"</head></html>"
+    )
+    m = _og_meta(html)
+    # malformed block skipped; first parseable wins; list @type -> first
+    assert m["n_ld"] == 2
+    assert m["ld_type"] == "NewsArticle"
+
+
+def test_og_meta_non_html():
+    m = _og_meta(b"%PDF-1.7 junk")
+    assert m["og_title"] is None and m["n_ld"] == 0
+
+
+def test_og_meta_plan_single_python_stage(spark):
+    pages = spark.createDataFrame(
+        [("u", b'<html><head><meta property="og:type" content="article">'
+               b"</head></html>")],
+        "url string, html binary",
+    )
+    df = extract_og_meta(pages)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert df.collect()[0].og_type == "article"
