@@ -519,6 +519,56 @@ def q_page_meta(spark, sf):  # head metadata: title/canonical/desc/lang/hreflang
     return extract_page_meta(pages)
 
 
+def q_http_headers(spark, sf):  # WARC response-header parse + revalidation plan
+    """Raw HTTP/1.1 header blocks constructed per doc_id (status
+    variants, redirect Location, quoted/weak ETags, RFC 822
+    Last-Modified, Cache-Control max-age/no-store, header-name case
+    variation, a body line past the blank separator that must NOT be
+    read) are PARSED by operators/http_headers.py; the oracle states the
+    closed-form case table, re-deriving epochs via make_timestamp."""
+    from .operators.http_headers import http_header_fields
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    url = F.concat(F.lit("https://host"), (k % 50).cast("string"),
+                   F.lit(".example/p/"), ks)
+    status = F.when(k % 10 == 7, F.lit("301 Moved Permanently")).when(
+        k % 10 == 9, F.lit("404 Not Found")
+    ).otherwise(F.lit("200 OK"))
+    raw = F.concat(
+        F.lit("HTTP/1.1 "), status, F.lit("\r\n"),
+        F.when(k % 2 == 0,
+               F.lit("Content-Type: text/html; charset=UTF-8\r\n"))
+        .otherwise(F.lit("content-type: application/pdf\r\n")),
+        F.when((k % 3 != 0) & (k % 9 == 1),
+               F.concat(F.lit('ETag: W/"v'), ks, F.lit('"\r\n')))
+        .when(k % 3 != 0,
+              F.concat(F.lit('etag: "v'), ks, F.lit('"\r\n')))
+        .otherwise(F.lit("")),
+        F.when(
+            k % 4 != 1,
+            F.concat(
+                F.lit("Last-Modified: Mon, "),
+                ((k % 27) + 1).cast("string"),
+                F.lit(" Jun 2026 "),
+                ((k % 14) + 10).cast("string"),
+                F.lit(":15:30 GMT\r\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.lit("Cache-Control: public, max-age=3600\r\n"))
+        .when(k % 5 == 1, F.lit("CACHE-CONTROL: no-store\r\n"))
+        .otherwise(F.lit("")),
+        F.when(k % 10 == 7,
+               F.concat(F.lit("Location: https://moved.example/p/"), ks,
+                        F.lit("\r\n")))
+        .otherwise(F.lit("")),
+        F.lit("\r\nETag: \"body-noise-must-not-parse\"\r\n"),
+    )
+    resp = d.select(url.alias("url"), raw.cast("binary").alias("http_headers"))
+    return http_header_fields(resp)
+
+
 def q_og_meta(spark, sf):  # OpenGraph + JSON-LD structured metadata
     """Heads constructed per doc_id exercise attribute-order variants,
     single/double quoting, a duplicate og:title (FIRST wins), a
@@ -1834,6 +1884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_drift": q_snapshot_drift,
     "page_meta": q_page_meta,
     "og_meta": q_og_meta,
+    "http_headers": q_http_headers,
     "mirror_hosts": q_mirror_hosts,
     "mirror_clusters": q_mirror_clusters,
     "surt": q_surt,
@@ -2563,6 +2614,36 @@ ORACLE_SQL: dict[str, str] = {
                CAST(CASE WHEN doc_id % 6 = 0 THEN 2 ELSE 0 END AS INT)
                    AS n_hreflang
         FROM u
+    """,
+    "http_headers": """
+        SELECT 'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(CASE WHEN doc_id % 10 = 7 THEN 301
+                         WHEN doc_id % 10 = 9 THEN 404
+                         ELSE 200 END AS INT) AS status,
+               CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+                    ELSE 'application/pdf' END AS content_type,
+               CASE WHEN doc_id % 2 = 0 THEN 'utf-8' END AS charset,
+               CASE WHEN doc_id % 3 <> 0 AND doc_id % 9 = 1
+                    THEN 'W/"v' || CAST(doc_id AS VARCHAR) || '"'
+                    WHEN doc_id % 3 <> 0
+                    THEN '"v' || CAST(doc_id AS VARCHAR) || '"'
+               END AS etag,
+               CASE WHEN doc_id % 4 <> 1
+                    THEN epoch_ms(make_timestamp(2026, 6, doc_id % 27 + 1,
+                                                 doc_id % 14 + 10, 15, 30.0))
+               END AS last_modified_ms,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 3600 END AS BIGINT)
+                   AS max_age_s,
+               doc_id % 5 = 1 AS no_store,
+               CASE WHEN doc_id % 10 = 7
+                    THEN 'https://moved.example/p/' || CAST(doc_id AS VARCHAR)
+               END AS location,
+               CASE WHEN doc_id % 5 = 1 THEN 'refetch'
+                    WHEN doc_id % 3 <> 0 THEN 'etag'
+                    WHEN doc_id % 4 <> 1 THEN 'last-modified'
+                    ELSE 'none' END AS strategy
+        FROM documents
     """,
     "og_meta": """
         WITH u AS (SELECT doc_id,
