@@ -1185,6 +1185,50 @@ def q_politeness(spark, sf):  # per-host fetch-slot schedule w/ robots delay
     )
 
 
+def q_frontier_plan(spark, sf):  # crawl-loop composition (discover->gate->pace)
+    """Candidates from two discovery channels (k%5==0 urls arrive via
+    BOTH with a fresher second sighting — dedup must keep it), a crawled
+    set (k%3==0) removed by anti-join, robots with `Disallow: /priv`
+    (k%7==0 paths) and per-host Crawl-delay, recency-priority slots.
+    Every stage is re-derived arithmetically by the oracle."""
+    from .operators.crawl_edge import frontier_plan
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    host = F.concat(F.lit("host"), (k % 10).cast("string"), F.lit(".example.com"))
+    path = F.when(k % 7 == 0, F.concat(F.lit("/priv"), ks)).otherwise(
+        F.concat(F.lit("/p"), ks)
+    )
+    url = F.concat(F.lit("https://"), host, path)
+    src1 = F.when(k % 2 == 0, F.lit("sitemap")).otherwise(F.lit("feed"))
+    src2 = F.when(k % 2 == 0, F.lit("feed")).otherwise(F.lit("sitemap"))
+    base_ms = F.lit(1700000000000).cast("long") + k.cast("long") * 1000
+    primary = d.select(
+        host.alias("host"), path.alias("path"), url.alias("url"),
+        src1.alias("src"), base_ms.alias("recency_ms"),
+    )
+    resight = d.where(k % 5 == 0).select(
+        host.alias("host"), path.alias("path"), url.alias("url"),
+        src2.alias("src"), (base_ms + 500).alias("recency_ms"),
+    )
+    discovered = primary.unionByName(resight)
+    crawled = d.where(k % 3 == 0).select(url.alias("url"))
+    hosts = d.select((k % 10).alias("hnum")).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("host"), F.col("hnum").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            F.when(F.col("hnum") % 4 == 3, F.lit("0.5")).otherwise(
+                ((F.col("hnum") % 4) + 1).cast("string")
+            ),
+            F.lit("\nDisallow: /priv\n"),
+        ).alias("robots_txt"),
+    )
+    return frontier_plan(discovered, crawled, robots)
+
+
 def q_dsir(spark, sf):  # DSIR importance weights (target = lang 'en')
     """Two-pass hashed-unigram importance estimator: bounded bucket counts
     -> integer milli-log-ratio literal -> zero-exchange integer scoring.
@@ -1906,6 +1950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_urls": q_sitemap_urls,
     "feed_entries": q_feed_entries,
     "politeness": q_politeness,
+    "frontier_plan": q_frontier_plan,
     "dsir": q_dsir,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
@@ -3218,6 +3263,37 @@ ORACLE_SQL["politeness"] = """
                              ELSE ((doc_id % 10) % 4 + 1) * 1000 END)
                 AS BIGINT) AS fetch_offset_ms
     FROM s
+"""
+
+ORACLE_SQL["frontier_plan"] = """
+    WITH d AS (SELECT doc_id AS k FROM documents),
+    cand AS (
+        SELECT k,
+               'host' || CAST(k % 10 AS VARCHAR) || '.example.com' AS host,
+               CASE WHEN k % 7 = 0 THEN '/priv' || CAST(k AS VARCHAR)
+                    ELSE '/p' || CAST(k AS VARCHAR) END AS path,
+               -- resighted urls (k%5=0) keep the fresher second sighting
+               -- from the OTHER channel; dedup tie-break never fires
+               CASE WHEN k % 5 = 0 THEN
+                        CASE WHEN k % 2 = 0 THEN 'feed' ELSE 'sitemap' END
+                    WHEN k % 2 = 0 THEN 'sitemap' ELSE 'feed' END AS src,
+               CAST(1700000000000 + k * 1000
+                    + CASE WHEN k % 5 = 0 THEN 500 ELSE 0 END AS BIGINT)
+                   AS recency_ms
+        FROM d
+        WHERE k % 3 <> 0   -- crawled anti-join
+          AND k % 7 <> 0   -- robots Disallow: /priv
+    ),
+    withurl AS (SELECT *, 'https://' || host || path AS url FROM cand),
+    sched AS (SELECT *, row_number() OVER
+                  (PARTITION BY host ORDER BY recency_ms DESC, url ASC) - 1
+                  AS slot
+              FROM withurl)
+    SELECT host, path, url, src, recency_ms, CAST(slot AS INT) AS slot,
+           CAST(slot * (CASE WHEN (k % 10) % 4 = 3 THEN 500
+                             ELSE ((k % 10) % 4 + 1) * 1000 END)
+                AS BIGINT) AS fetch_offset_ms
+    FROM sched
 """
 
 ORACLE_SQL["dsir"] = r"""

@@ -181,6 +181,61 @@ def politeness_schedule(
     ).drop("_delay")
 
 
+def frontier_plan(
+    discovered: DataFrame,
+    crawled: DataFrame,
+    robots: DataFrame,
+    *,
+    agent: str = "*",
+    default_delay_ms: int = 1000,
+) -> DataFrame:
+    """The crawl-loop composition: discovery -> cross-source dedup ->
+    already-crawled anti-join -> robots gate -> politeness schedule.
+
+    This is the crawl-side sibling of ``training_pipeline_v2``: the same
+    operators the contract verifies individually (sitemap/feed discovery
+    feeds ``discovered``, lineage feeds ``crawled``,
+    :mod:`ocr_spark.operators.robots` gates and paces), composed into the
+    ONE plan a production frontier builder runs per cycle.
+
+    - ``discovered``: (host, path, url, src, recency_ms) candidate urls —
+      the union of sitemap_entries / feed_entries / page_links output.
+      The same url discovered by several channels keeps the freshest
+      recency (tie -> lexicographically smallest src) — deterministic
+      under any partitioning.
+    - ``crawled``: (url) — urls already fetched (the lineage table);
+      removed with a left_anti join (AQE broadcasts it when small).
+    - ``robots``: (host, robots_txt) — evaluated TWICE on purpose:
+      longest-match Allow/Disallow gate, then Crawl-delay for the
+      per-host fetch-slot schedule (priority = recency desc).
+
+    Scale shape: one url-key window (dedup), one url anti-join, one
+    host-key rule join, one host window — four key exchanges total, each
+    on the natural key of its step; no driver logic, no collect.
+    """
+    from .robots import robots_directives, robots_filter
+
+    w = Window.partitionBy("url").orderBy(F.desc("recency_ms"), F.asc("src"))
+    cand = (
+        discovered.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    cand = cand.join(crawled.select("url"), "url", "left_anti")
+    gated = (
+        robots_filter(cand, robots, agent=agent)
+        .where(F.col("allowed"))
+        .drop("allowed")
+    )
+    return politeness_schedule(
+        gated,
+        robots_directives(robots, agent=agent),
+        priority_col="recency_ms",
+        order_col="url",
+        default_delay_ms=default_delay_ms,
+    )
+
+
 def resolve_redirects(edges_df: DataFrame, max_hops: int = 8) -> DataFrame:
     """Resolve redirect chains to their terminal url by pointer doubling
     -> (url, final_url, n_hops, resolved).

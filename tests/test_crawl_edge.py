@@ -252,3 +252,45 @@ def test_resolve_redirects_rejects_zero_hops(spark):
 
     with _pytest.raises(ValueError):
         resolve_redirects(_redir(spark, [("a", "b")]), max_hops=0)
+
+
+# ---------------------------------------------------------------------------
+# frontier_plan (crawl-loop composition)
+# ---------------------------------------------------------------------------
+
+def test_frontier_plan_composition(spark):
+    from ocr_spark.operators.crawl_edge import frontier_plan
+
+    discovered = spark.createDataFrame(
+        [
+            # /a seen by both channels: feed sighting is fresher -> wins
+            ("h1", "/a", "https://h1/a", "sitemap", 1000),
+            ("h1", "/a", "https://h1/a", "feed", 2000),
+            ("h1", "/b", "https://h1/b", "sitemap", 3000),
+            ("h1", "/priv/x", "https://h1/priv/x", "feed", 9000),  # robots
+            ("h1", "/c", "https://h1/c", "feed", 500),  # already crawled
+            ("h2", "/z", "https://h2/z", "feed", 100),
+        ],
+        "host string, path string, url string, src string, recency_ms long",
+    )
+    crawled = spark.createDataFrame([("https://h1/c",)], "url string")
+    robots = spark.createDataFrame(
+        [
+            ("h1", "User-agent: *\nCrawl-delay: 2\nDisallow: /priv\n"),
+            ("h2", "User-agent: *\nDisallow:\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    rows = {
+        r.url: r for r in frontier_plan(discovered, crawled, robots).collect()
+    }
+    assert set(rows) == {"https://h1/a", "https://h1/b", "https://h2/z"}
+    # fresher cross-channel sighting won the dedup
+    assert rows["https://h1/a"].src == "feed"
+    assert rows["https://h1/a"].recency_ms == 2000
+    # slots: h1 ordered by recency desc -> /b first, then /a; delay 2000 ms
+    assert rows["https://h1/b"].slot == 0
+    assert rows["https://h1/a"].slot == 1
+    assert rows["https://h1/a"].fetch_offset_ms == 2000
+    # h2 has no Crawl-delay -> default 1000 ms, slot 0
+    assert rows["https://h2/z"].fetch_offset_ms == 0
