@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "bitext",
     "ccnet_buckets",
     "refresh_schedule",
+    "feed_entries",
+    "og_meta",
+    "http_headers",
+    "frontier_plan",
     "anchor_summary",
     "gopher_rules",
     "dedup_keep_best",

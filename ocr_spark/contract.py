@@ -635,6 +635,54 @@ def q_og_meta(spark, sf):  # OpenGraph + JSON-LD structured metadata
     return extract_og_meta(pages)
 
 
+def q_pagination_chains(spark, sf):  # multi-page article stitching
+    """Pages carry rel=next links forming chains of 4 consecutive doc_ids
+    (block k//4; <link> head tag on even ids, body <a rel> anchor on odd —
+    both forms must parse); extract_pagination recovers the edges and
+    resolve_redirects assembles each chain by pointer doubling. The
+    oracle computes the block arithmetic directly: series key is the
+    block terminal, pos_from_end = 3 - k%4."""
+    from .operators.crawl_edge import resolve_redirects
+    from .operators.page_meta import extract_pagination
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+
+    def _url(i):
+        return F.concat(
+            F.lit("https://host"), (i % 50).cast("string"),
+            F.lit(".example/p/"), i.cast("string"),
+        )
+
+    nxt = F.concat(F.lit('href="'), _url(k + 1), F.lit('"'))
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head>"),
+        F.when(
+            (k % 4 != 3) & (k % 2 == 0),
+            F.concat(F.lit('<link rel="next" '), nxt, F.lit(">")),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>part</p>"),
+        F.when(
+            (k % 4 != 3) & (k % 2 == 1),
+            F.concat(F.lit("<a "), nxt, F.lit(' rel="nofollow next">more</a>')),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(_url(k).alias("url"), html.cast("binary").alias("html"))
+    edges = (
+        extract_pagination(pages)
+        .where(F.col("next_url").isNotNull())
+        .select("url", F.col("next_url").alias("redirect_to"))
+    )
+    chains = resolve_redirects(edges, max_hops=4)
+    return chains.select(
+        "url",
+        F.col("final_url").alias("series_key"),
+        F.col("n_hops").alias("pos_from_end"),
+        F.col("resolved").alias("complete"),
+    )
+
+
 def q_snapshot_drift(spark, sf):  # graded change magnitude between snapshots
     """Same synthetic crawl timeline as url_changes but carrying snapshot
     TEXT (first 200 chars, alternating revision marker); drift is 1000 -
@@ -1929,6 +1977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "page_meta": q_page_meta,
     "og_meta": q_og_meta,
     "http_headers": q_http_headers,
+    "pagination_chains": q_pagination_chains,
     "mirror_hosts": q_mirror_hosts,
     "mirror_clusters": q_mirror_clusters,
     "surt": q_surt,
@@ -2689,6 +2738,26 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN doc_id % 4 <> 1 THEN 'last-modified'
                     ELSE 'none' END AS strategy
         FROM documents
+    """,
+    "pagination_chains": """
+        WITH RECURSIVE e AS MATERIALIZED (SELECT
+               'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               'https://host' || CAST((doc_id + 1) % 50 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id + 1 AS VARCHAR) AS nxt
+             FROM documents WHERE doc_id % 4 <> 3),
+        nodes AS (SELECT DISTINCT url FROM (
+               SELECT url FROM e UNION ALL SELECT nxt FROM e)),
+        walk AS (
+            SELECT url AS start, url AS cur, 0 AS hops FROM nodes
+            UNION ALL
+            SELECT w.start, e.nxt, w.hops + 1
+            FROM walk w JOIN e ON e.url = w.cur WHERE w.hops < 4),
+        fin AS (SELECT start, max(hops) AS h FROM walk GROUP BY 1)
+        SELECT w.start AS url, w.cur AS series_key,
+               CAST(w.hops AS BIGINT) AS pos_from_end,
+               NOT EXISTS (SELECT 1 FROM e WHERE e.url = w.cur) AS complete
+        FROM walk w JOIN fin f ON w.start = f.start AND w.hops = f.h
     """,
     "og_meta": """
         WITH u AS (SELECT doc_id,

@@ -167,6 +167,71 @@ def _og_meta(blob: bytes) -> dict:
     return out
 
 
+PAGINATION_SCHEMA = "url string, next_url string, prev_url string"
+
+# rel=next/prev lives on <link> in the head but ALSO on body <a> anchors
+# (the common CMS pattern), so pagination scans further than the head-only
+# extractors — still bounded, 4x the head region.
+PAGINATION_BYTES = 4 * HEAD_BYTES
+
+_LINK_OR_A_RE = re.compile(r"<(?:link|a)\b[^>]*>", re.IGNORECASE)
+
+
+def _pagination(url: str, blob: bytes) -> dict:
+    """rel=next / rel=prev(ious) targets of one page. ``rel`` is a
+    space-separated token list per HTML spec; FIRST occurrence wins per
+    direction; hrefs resolve RFC-3986-relative against the page url."""
+    from ..kernels.encoding import decode_bytes
+    from ..kernels.md_extract import looks_like_html
+
+    out = {"next_url": None, "prev_url": None}
+    if not blob or not looks_like_html(blob[:HEAD_BYTES]):
+        return out
+    text = decode_bytes(blob[:PAGINATION_BYTES])[0]
+    for m in _LINK_OR_A_RE.finditer(text):
+        a = _attrs(m.group(0))
+        rel = set((a.get("rel") or "").strip().lower().split())
+        href = (a.get("href") or "").strip()
+        if not href or not rel:
+            continue
+        try:
+            if "next" in rel and out["next_url"] is None:
+                out["next_url"] = urljoin(url, href)
+            if rel & {"prev", "previous"} and out["prev_url"] is None:
+                out["prev_url"] = urljoin(url, href)
+        except ValueError:
+            continue
+        if out["next_url"] and out["prev_url"]:
+            break
+    return out
+
+
+def extract_pagination(pages_df: DataFrame) -> DataFrame:
+    """pages (url, html) -> (url, next_url, prev_url); one narrow python
+    stage, zero exchanges. Feed the non-null ``next_url`` edges to
+    :func:`ocr_spark.operators.crawl_edge.resolve_redirects` to assemble
+    multi-page articles into series (see contract ``pagination_chains``)
+    — stitching paginated articles BEFORE extraction is what keeps one
+    logical document from being sharded into quality-filter fragments."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    p = _pagination(url, bytes(html) if html is not None else b"")
+                except Exception:
+                    p = {"next_url": None, "prev_url": None}
+                rows.append({"url": url, **p})
+            yield pd.DataFrame(rows, columns=["url", "next_url", "prev_url"])
+
+    return pages_df.select("url", "html").mapInPandas(
+        gen, schema=PAGINATION_SCHEMA
+    )
+
+
 def extract_og_meta(pages_df: DataFrame) -> DataFrame:
     """pages (url, html) -> one OpenGraph/JSON-LD row per page (all pages
     kept; non-HTML payloads carry NULL fields). Single narrow python

@@ -114,3 +114,49 @@ def test_og_meta_plan_single_python_stage(spark):
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
     assert df.collect()[0].og_type == "article"
+
+
+# ---------------------------------------------------------------------------
+# pagination (extract_pagination)
+# ---------------------------------------------------------------------------
+
+from ocr_spark.operators.page_meta import _pagination, extract_pagination
+
+
+def test_pagination_link_and_anchor_forms():
+    html = (
+        b"<html><head>"
+        b'<link rel="next" href="/part-2">'
+        b"</head><body>"
+        b"<a href='/part-0' rel='nofollow previous'>back</a>"
+        b'<a rel="next" href="/part-9-loses">decoy second next</a>'
+        b"</body></html>"
+    )
+    p = _pagination("https://s.example/art/part-1", html)
+    # relative hrefs resolve against the page url; FIRST next wins
+    assert p["next_url"] == "https://s.example/part-2"
+    assert p["prev_url"] == "https://s.example/part-0"
+
+
+def test_pagination_rel_token_list_and_prev_alias():
+    p = _pagination(
+        "https://s.example/a",
+        b'<html><a href="/p" rel="prev">x</a><a href="/n" rel="NEXT">y</a></html>',
+    )
+    assert p["prev_url"] == "https://s.example/p"
+    assert p["next_url"] == "https://s.example/n"
+    # rel-less anchors and non-html are ignored
+    assert _pagination("u", b'<html><a href="/x">y</a></html>')["next_url"] is None
+    assert _pagination("u", b"%PDF-junk")["next_url"] is None
+
+
+def test_pagination_plan_zero_exchange(spark):
+    pages = spark.createDataFrame(
+        [("https://s.example/1",
+          b'<html><link rel="next" href="/2"></html>')],
+        "url string, html binary",
+    )
+    df = extract_pagination(pages)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1 and "Exchange" not in plan
+    assert df.collect()[0].next_url == "https://s.example/2"
