@@ -245,6 +245,67 @@ def q_url_canon(spark, sf):  # crawl URL canonicalization + dedup key
     )
 
 
+def q_url_features(spark, sf):  # lexical URL spam features (pure Column)
+    """Synthetic urls with host/path/query/fragment variants; Spark
+    derives the integer features with regexp_count Column algebra, the
+    oracle re-derives each count with DuckDB's independent regex engine
+    (length-delta form) over the identically constructed strings."""
+    from .operators.urls import url_features
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    host = F.when(
+        k % 3 == 0,
+        F.concat(F.lit("sub"), ks, F.lit(".img-"), ks, F.lit(".example.com")),
+    ).otherwise(F.lit("example.com"))
+    path = F.when(k % 2 == 0, F.concat(F.lit("/a/b/c/"), ks)).otherwise(
+        F.concat(F.lit("/p"), ks)
+    )
+    query = (
+        F.when(k % 4 == 0, F.lit("?x=1&y=2&z=3"))
+        .when(k % 4 == 1, F.lit("?q="))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(k % 5 == 0, F.lit("#frag-9")).otherwise(F.lit(""))
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path, query, frag).alias("url"),
+    )
+    return url_features(urls)
+
+
+def q_soft404(spark, sf):  # soft-404 detection (200-status error shells)
+    """Deterministic (status, title, text) case table: hard 404s must NOT
+    flag (status gate), '404' titles flag, short error bodies flag, a
+    LONG article that merely mentions '404 error' must NOT flag. The
+    oracle states the closed-form truth table."""
+    from .operators.corpus_filters import soft404_flags
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("https://h.example/p/"), ks).alias("url"),
+        F.when(k % 5 == 0, F.lit(404)).otherwise(F.lit(200)).alias("status"),
+        F.when(k % 3 == 0, F.lit("404 Not Found — example"))
+        .when(k % 3 == 1, F.lit("Article about cats"))
+        .alias("title"),
+        F.when(k % 4 == 0, F.lit("The page you requested was not found."))
+        .when(
+            k % 4 == 1,
+            F.concat(
+                F.lit("Long article mentioning a 404 error once. "),
+                F.repeat(F.lit("lorem ipsum dolor sit amet "), 10),
+            ),
+        )
+        .when(k % 4 == 2, F.lit("Normal short note."))
+        .alias("text"),
+    )
+    return soft404_flags(pages)
+
+
 def q_bpe_tokens(spark, sf):  # F11: distributed-count BPE train + encode
     from .operators.tokenize import bpe_encode_table, train_bpe_merges
 
@@ -2038,6 +2099,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_text": q_split_text,
     "attn_decode": q_attn_decode,
     "url_canon": q_url_canon,
+    "url_features": q_url_features,
+    "soft404": q_soft404,
     "bpe_tokens": q_bpe_tokens,
 }
 
@@ -2737,6 +2800,70 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN doc_id % 3 <> 0 THEN 'etag'
                     WHEN doc_id % 4 <> 1 THEN 'last-modified'
                     ELSE 'none' END AS strategy
+        FROM documents
+    """,
+    "url_features": """
+        WITH u AS (SELECT doc_id,
+               'https://'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN 'sub' || CAST(doc_id AS VARCHAR) || '.img-'
+                            || CAST(doc_id AS VARCHAR) || '.example.com'
+                       ELSE 'example.com' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '/a/b/c/' || CAST(doc_id AS VARCHAR)
+                       ELSE '/p' || CAST(doc_id AS VARCHAR) END
+               || CASE WHEN doc_id % 4 = 0 THEN '?x=1&y=2&z=3'
+                       WHEN doc_id % 4 = 1 THEN '?q=' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#frag-9' ELSE '' END AS url
+             FROM documents),
+        parts AS (SELECT doc_id, url,
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+                   AS host,
+               regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS q
+             FROM u)
+        SELECT doc_id, url,
+               CAST(length(url) AS INT) AS url_len,
+               CAST(length(host) AS INT) AS host_len,
+               CAST(length(host)
+                    - length(regexp_replace(host, '\\.', '', 'g')) AS INT)
+                   AS subdomain_depth,
+               CAST(length(host)
+                    - length(regexp_replace(host, '-', '', 'g')) AS INT)
+                   AS host_hyphens,
+               CAST(length(path)
+                    - length(regexp_replace(path, '/', '', 'g')) AS INT)
+                   AS path_depth,
+               CAST(CASE WHEN q = '' THEN 0
+                         ELSE length(q)
+                              - length(regexp_replace(q, '&', '', 'g')) + 1
+                    END AS INT) AS n_params,
+               CAST((1000 * (length(url)
+                    - length(regexp_replace(url, '[0-9]', '', 'g'))))
+                    // length(url) AS INT) AS digit_milli
+        FROM parts
+    """,
+    "soft404": """
+        SELECT doc_id,
+               'https://h.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS INT)
+                   AS status,
+               CASE WHEN doc_id % 3 = 0 THEN '404 Not Found — example'
+                    WHEN doc_id % 3 = 1 THEN 'Article about cats'
+               END AS title,
+               CASE WHEN doc_id % 4 = 0
+                         THEN 'The page you requested was not found.'
+                    WHEN doc_id % 4 = 1
+                         THEN 'Long article mentioning a 404 error once. '
+                              || repeat('lorem ipsum dolor sit amet ', 10)
+                    WHEN doc_id % 4 = 2 THEN 'Normal short note.'
+               END AS text,
+               doc_id % 3 = 0 AS title_404,
+               doc_id % 4 IN (0, 1) AS body_404,
+               doc_id % 4 <> 1 AS short_body,
+               doc_id % 5 <> 0 AND (doc_id % 3 = 0 OR doc_id % 4 = 0)
+                   AS is_soft404
         FROM documents
     """,
     "pagination_chains": """

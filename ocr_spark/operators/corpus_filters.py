@@ -747,3 +747,47 @@ def gopher_rules(
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return sig.withColumn("passes", F.coalesce(passes, F.lit(False)))
+
+
+def soft404_flags(
+    df: DataFrame,
+    *,
+    status_col: str = "status",
+    title_col: str = "title",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag soft 404s: pages served with HTTP 200 whose CONTENT is an
+    error page ("page not found", empty shells). Hard 404s are dropped by
+    the status gate; soft ones poison a corpus because every signal says
+    "real page" — so the detector combines a title regex, a body regex,
+    and a short-body gate (error shells are short; a long article that
+    merely mentions '404' must NOT be flagged).
+
+    Appended columns (pinned by unit tests + the closed-form oracle):
+    ``title_404`` / ``body_404`` regex hits, ``short_body``
+    (< 200 chars), and ``is_soft404 = status==200 AND (title_404 OR
+    (body_404 AND short_body))``. Pure Column algebra — zero exchanges,
+    zero Python."""
+    title_hit = F.coalesce(
+        F.lower(F.col(title_col)).rlike(
+            r"(404|page not found|not found|page unavailable|does not exist)"
+        ),
+        F.lit(False),
+    )
+    body_hit = F.coalesce(
+        F.lower(F.col(text_col)).rlike(
+            r"(page (you requested )?(was |could )?not (be )?found"
+            r"|no longer (exists|available)|404 error)"
+        ),
+        F.lit(False),
+    )
+    short = F.coalesce(F.length(text_col) < 200, F.lit(True))
+    return df.select(
+        "*",
+        title_hit.alias("title_404"),
+        body_hit.alias("body_404"),
+        short.alias("short_body"),
+        (
+            (F.col(status_col) == 200) & (title_hit | (body_hit & short))
+        ).alias("is_soft404"),
+    )

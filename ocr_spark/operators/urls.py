@@ -260,3 +260,51 @@ def surt_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )
     return df.withColumn("surt", surt)
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append integer lexical URL features — the classic URL-spam /
+    low-quality-host signals (long hosts stuffed with hyphens and
+    digits, deep paths, parameter-heavy dynamic urls) that feed
+    `quality_classifier`-style gates WITHOUT touching page bytes.
+
+    All features are exact integers derived by pure Column algebra
+    (regexp_extract / regexp_count) — zero exchanges, zero Python, fully
+    codegen'd, and each has a closed re-derivation in the DuckDB oracle:
+
+    - ``url_len``           length of the whole url string
+    - ``host_len``          length of the authority (userinfo kept: it's
+                            itself a spam signal)
+    - ``subdomain_depth``   dots in the authority
+    - ``host_hyphens``      hyphens in the authority
+    - ``path_depth``        '/' count in the path part
+    - ``n_params``          query parameters (0 for no '?')
+    - ``digit_milli``       1000 * digits(url) / url_len (0 for empty)
+    """
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    ulen = F.length(u)
+    return df.select(
+        "*",
+        ulen.cast("int").alias("url_len"),
+        F.length(host).cast("int").alias("host_len"),
+        F.regexp_count(host, F.lit(r"\.")).cast("int").alias("subdomain_depth"),
+        F.regexp_count(host, F.lit("-")).cast("int").alias("host_hyphens"),
+        F.regexp_count(path, F.lit("/")).cast("int").alias("path_depth"),
+        F.when(query == "", F.lit(0))
+        .otherwise(F.regexp_count(query, F.lit("&")) + 1)
+        .cast("int")
+        .alias("n_params"),
+        F.when(ulen == 0, F.lit(0))
+        .otherwise(
+            # floor == integer div here (operands non-negative)
+            F.floor(
+                (F.lit(1000) * F.regexp_count(u, F.lit(r"[0-9]"))).cast("long")
+                / ulen.cast("long")
+            )
+        )
+        .cast("int")
+        .alias("digit_milli"),
+    )

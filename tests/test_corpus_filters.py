@@ -254,3 +254,37 @@ def test_gopher_rules_zero_exchange_plan(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     plan = cf.gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# soft404_flags
+# ---------------------------------------------------------------------------
+
+def test_soft404_truth_table(spark):
+    from ocr_spark.operators.corpus_filters import soft404_flags
+
+    pages = spark.createDataFrame(
+        [
+            ("a", 200, "404 Not Found", "x"),  # title hit -> flagged
+            ("b", 404, "404 Not Found", "x"),  # hard 404: status gate
+            ("c", 200, "Fine title", "The page you requested was not found."),
+            ("d", 200, "Fine title",
+             "An essay on 404 error pages. " + "w " * 200),  # long: NOT flagged
+            ("e", 200, None, None),  # nulls degrade to not-flagged
+        ],
+        "url string, status int, title string, text string",
+    )
+    got = {r.url: r.is_soft404 for r in soft404_flags(pages).collect()}
+    assert got == {"a": True, "b": False, "c": True, "d": False, "e": False}
+
+
+def test_soft404_plan_zero_exchange_zero_python(spark):
+    from ocr_spark.operators.corpus_filters import soft404_flags
+
+    df = soft404_flags(
+        spark.createDataFrame(
+            [("u", 200, "t", "x")], "url string, status int, title string, text string"
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

@@ -270,3 +270,37 @@ def test_surt_keys_semantics(spark):
         rows[2][0]: "net,plain)/",
         rows[3][0]: "example,three,two,one)/p?z=9",
     }
+
+
+# ---------------------------------------------------------------------------
+# url_features (lexical spam signals)
+# ---------------------------------------------------------------------------
+
+def test_url_features_values(spark):
+    from ocr_spark.operators.urls import url_features
+
+    urls = spark.createDataFrame(
+        [
+            ("https://sub1.img-2x.example.com/a/b/c/9?x=1&y=2#f",),
+            ("https://example.com/",),
+            ("https://example.com",),  # no path at all
+        ],
+        "url string",
+    )
+    rows = {r.url: r for r in url_features(urls).collect()}
+    r = rows["https://sub1.img-2x.example.com/a/b/c/9?x=1&y=2#f"]
+    assert r.host_len == len("sub1.img-2x.example.com")
+    assert r.subdomain_depth == 3 and r.host_hyphens == 1
+    assert r.path_depth == 4 and r.n_params == 2
+    assert r.digit_milli == 1000 * 5 // r.url_len
+    assert rows["https://example.com/"].path_depth == 1
+    assert rows["https://example.com"].path_depth == 0
+    assert rows["https://example.com"].n_params == 0
+
+
+def test_url_features_plan_zero_exchange_zero_python(spark):
+    from ocr_spark.operators.urls import url_features
+
+    df = url_features(spark.createDataFrame([("https://a.example/x",)], "url string"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
