@@ -129,3 +129,42 @@ def read_cdxj(path: str) -> list[dict]:
                 }
             )
     return out
+
+
+def lookup_cdxj(spark, manifest: DataFrame, key_prefix: str) -> DataFrame:
+    """Distributed prefix lookup against an exported CDXJ index:
+    binary-search semantics over the manifest (the cluster.idx role),
+    then read ONLY the shards whose realized [first_key, last_key] range
+    intersects the prefix — the partition-pruning read path that makes
+    the index an index.
+
+    A shard can contain keys ``k >= key_prefix`` iff its last_key
+    reaches the prefix, and keys ``k < key_prefix+MAX`` iff its
+    first_key starts before the prefix's upper bound — both checks are
+    driver-free Column predicates on the (tiny, one-row-per-shard)
+    manifest. The surviving shard paths fan out to ONE Arrow read stage;
+    rows are prefix-filtered as they stream out of the gzip member.
+    Returns (surt, ts14, url, digest, length) in within-shard key order.
+    """
+    upper = key_prefix + "￿"
+    pruned = manifest.where(
+        (F.col("last_key") >= key_prefix) & (F.col("first_key") < upper)
+    ).select("path")
+
+    def gen(batches):
+        import pandas as pd
+
+        cols = ["surt", "ts14", "url", "digest", "length"]
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                for r in read_cdxj(path):
+                    if f"{r['surt']} {r['ts14']}".startswith(key_prefix):
+                        rows.append(r)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pruned.mapInPandas(
+        gen,
+        schema="surt string, ts14 string, url string, digest string,"
+        " length long",
+    )

@@ -68,3 +68,44 @@ def test_cdxj_space_in_url_survives_round_trip(spark, tmp_path):
     assert rows[0]["surt"] == "example,x)/a%20b"
     assert rows[0]["url"] == "https://x.example/a b"  # json keeps it raw
     assert m[0].first_key.split(" ")[0] == "example,x)/a%20b"
+
+
+def test_cdxj_lookup_prunes_and_matches_full_scan(spark, cdx_export):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.sources.cdx import lookup_cdxj
+
+    pages, manifest = cdx_export
+    mdf = spark.createDataFrame(manifest)
+    # pick a prefix that lives in ONE shard: the first shard's first host
+    first_surt = manifest[0].first_key.split(" ")[0]
+    prefix = first_surt.split(")")[0] + ")"
+    got = lookup_cdxj(spark, mdf, prefix).collect()
+    # equivalence against a full scan of every shard
+    from ocr_spark.sources.cdx import read_cdxj
+
+    full = [
+        r
+        for m in manifest
+        for r in read_cdxj(m.path)
+        if f"{r['surt']} {r['ts14']}".startswith(prefix)
+    ]
+    assert {(r.surt, r.ts14, r.url) for r in got} == {
+        (r["surt"], r["ts14"], r["url"]) for r in full
+    }
+    assert len(got) == len(full) > 0
+    # the manifest pruning must actually skip shards: the prefix range
+    # intersects fewer shards than the manifest lists
+    upper = prefix + "￿"
+    pruned = mdf.where(
+        (F.col("last_key") >= prefix) & (F.col("first_key") < upper)
+    ).count()
+    assert pruned < len(manifest)
+
+
+def test_cdxj_lookup_empty_prefix_range(spark, cdx_export):
+    from ocr_spark.sources.cdx import lookup_cdxj
+
+    _, manifest = cdx_export
+    mdf = spark.createDataFrame(manifest)
+    assert lookup_cdxj(spark, mdf, "zzz,nonexistent)").count() == 0
