@@ -744,6 +744,62 @@ def q_pagination_chains(spark, sf):  # multi-page article stitching
     )
 
 
+def q_provenance(spark, sf):  # license + publication-time provenance
+    """Case table per doc_id: rel=license CC links (variant+version
+    parsed), relative license hrefs (RFC-3986 resolved), a CC0 url
+    WITHOUT rel=license (variant still mined from the body), ISO
+    article:published_time metas (one invalid that must fall through to
+    the <time datetime> tag path), zone offsets. The oracle re-derives
+    epochs via make_timestamp."""
+    from .operators.page_meta import extract_provenance
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    host = F.concat(F.lit("https://host"), (k % 50).cast("string"), F.lit(".example"))
+    url = F.concat(host, F.lit("/p/"), ks)
+    day = ((k % 9) + 10).cast("string")
+    hour = ((k % 12) + 10).cast("string")
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head>"),
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit('<meta property="article:published_time" content="2026-03-'),
+                day, F.lit("T"), hour, F.lit(':15:30Z">'),
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.lit('<meta property="article:published_time" content="yesterday">'),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.when(
+            k % 3 == 0,
+            F.lit('<a rel="license" href="https://creativecommons.org/'
+                  'licenses/by-sa/4.0/">CC</a>'),
+        )
+        .when(k % 3 == 1, F.lit('<link rel="license" href="/license">'))
+        .otherwise(F.lit("")),
+        F.when(
+            k % 6 == 5,
+            F.lit('<a href="https://creativecommons.org/publicdomain/zero/'
+                  '1.0/">CC0</a>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 4 == 1,
+            F.concat(
+                F.lit('<time datetime="2026-04-'),
+                day, F.lit("T"), hour, F.lit(':15:30+02:00">then</time>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<p>x</p></body></html>"),
+    )
+    pages = d.select(url.alias("url"), html.cast("binary").alias("html"))
+    return extract_provenance(pages)
+
+
 def q_snapshot_drift(spark, sf):  # graded change magnitude between snapshots
     """Same synthetic crawl timeline as url_changes but carrying snapshot
     TEXT (first 200 chars, alternating revision marker); drift is 1000 -
@@ -2039,6 +2095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "og_meta": q_og_meta,
     "http_headers": q_http_headers,
     "pagination_chains": q_pagination_chains,
+    "provenance": q_provenance,
     "mirror_hosts": q_mirror_hosts,
     "mirror_clusters": q_mirror_clusters,
     "surt": q_surt,
@@ -2864,6 +2921,31 @@ ORACLE_SQL: dict[str, str] = {
                doc_id % 4 <> 1 AS short_body,
                doc_id % 5 <> 0 AND (doc_id % 3 = 0 OR doc_id % 4 = 0)
                    AS is_soft404
+        FROM documents
+    """,
+    "provenance": """
+        SELECT 'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'https://creativecommons.org/licenses/by-sa/4.0/'
+                    WHEN doc_id % 3 = 1
+                    THEN 'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                         || '.example/license'
+               END AS license_url,
+               CASE WHEN doc_id % 3 = 0 THEN 'by-sa'
+                    WHEN doc_id % 6 = 5 THEN 'zero'
+               END AS cc_variant,
+               CASE WHEN doc_id % 3 = 0 THEN '4.0'
+                    WHEN doc_id % 6 = 5 THEN '1.0'
+               END AS cc_version,
+               CASE WHEN doc_id % 4 = 0
+                    THEN epoch_ms(make_timestamp(2026, 3, doc_id % 9 + 10,
+                                                 doc_id % 12 + 10, 15, 30.0))
+                    WHEN doc_id % 4 = 1
+                    THEN epoch_ms(make_timestamp(2026, 4, doc_id % 9 + 10,
+                                                 doc_id % 12 + 10, 15, 30.0))
+                         - 7200000
+               END AS published_ms
         FROM documents
     """,
     "pagination_chains": """

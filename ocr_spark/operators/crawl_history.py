@@ -324,3 +324,39 @@ def snapshot_drift(snaps_df: DataFrame, *, shingle_w: int = 3) -> DataFrame:
         )
     )
     return out
+
+
+def revisit_records(
+    snaps_df: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_epoch",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Classify each capture as a WARC ``response`` or ``revisit``
+    record (ISO 28500 / WARC 1.1 §6.7.2): a re-fetch whose payload
+    digest was already stored for this url writes a revisit record
+    pointing at the original capture instead of duplicating the body —
+    the storage-dedup convention of real web archives (Common Crawl,
+    Wayback). The classification is what a WARC-writing sink needs per
+    row, and ``1 - n_revisits/n_captures`` is the archive's payload
+    novelty rate.
+
+    Appended columns: ``record_type`` ('response' for the FIRST capture
+    of a (url, digest) pair in time order — ties all count as responses,
+    deterministically — else 'revisit') and ``refers_to_epoch`` (the
+    original capture's epoch; NULL on responses).
+
+    Scale shape: ONE hash exchange on (url, fingerprint) for the
+    min-epoch window; composes with the crawl-timeline family's url
+    partitioning up to the finer key."""
+    w = Window.partitionBy(url_col, fp_col)
+    original = F.min(ts_col).over(w)
+    is_revisit = F.col(ts_col) > original
+    return snaps_df.select(
+        "*",
+        F.when(is_revisit, F.lit("revisit"))
+        .otherwise(F.lit("response"))
+        .alias("record_type"),
+        F.when(is_revisit, original).alias("refers_to_epoch"),
+    )

@@ -288,3 +288,97 @@ def extract_page_meta(pages_df: DataFrame) -> DataFrame:
             )
 
     return pages_df.select("url", "html").mapInPandas(gen, schema=META_SCHEMA)
+
+
+PROVENANCE_SCHEMA = (
+    "url string, license_url string, cc_variant string, cc_version string,"
+    " published_ms bigint"
+)
+
+_CC_RE = re.compile(
+    r"creativecommons\.org/(?:licenses|publicdomain)/([a-z][a-z0-9-]*)"
+    r"(?:/(\d+(?:\.\d+)?))?",
+    re.IGNORECASE,
+)
+_TIME_TAG_RE = re.compile(r"<time\b[^>]*>", re.IGNORECASE)
+
+
+def _provenance(url: str, blob: bytes) -> dict:
+    """License + publication-time provenance of one page.
+
+    - ``license_url``: first ``<link rel=license>`` / ``<a rel=license>``
+      href (rel is a token list), resolved RFC-3986-relative.
+    - ``cc_variant``/``cc_version``: parsed from a creativecommons.org
+      license path anywhere in the scanned region (e.g. ``by-sa`` /
+      ``4.0``, ``zero`` / ``1.0``) — openly-licensed-corpus mining needs
+      the variant, not just a flag.
+    - ``published_ms``: first of ``<meta property="article:published_time">``
+      or ``<time datetime=...>``, through the SAME ISO-8601/RFC-822 path
+      as feeds/headers (:func:`ocr_spark.operators.feeds.parse_date_ms`).
+    """
+    from ..kernels.encoding import decode_bytes
+    from ..kernels.md_extract import looks_like_html
+    from .feeds import parse_date_ms
+
+    out = {
+        "license_url": None,
+        "cc_variant": None,
+        "cc_version": None,
+        "published_ms": None,
+    }
+    if not blob or not looks_like_html(blob[:HEAD_BYTES]):
+        return out
+    text = decode_bytes(blob[:PAGINATION_BYTES])[0]
+    for m in _LINK_OR_A_RE.finditer(text):
+        a = _attrs(m.group(0))
+        rel = set((a.get("rel") or "").strip().lower().split())
+        href = (a.get("href") or "").strip()
+        if "license" in rel and href and out["license_url"] is None:
+            try:
+                out["license_url"] = urljoin(url, href)
+            except ValueError:
+                pass
+    cc = _CC_RE.search(out["license_url"] or "") or _CC_RE.search(text)
+    if cc:
+        out["cc_variant"] = cc.group(1).lower()
+        out["cc_version"] = cc.group(2)
+    for m in _META_RE.finditer(text):
+        a = _attrs(m.group(0))
+        if (a.get("property") or "").strip().lower() == "article:published_time":
+            out["published_ms"] = parse_date_ms((a.get("content") or "").strip())
+            if out["published_ms"] is not None:
+                break
+    if out["published_ms"] is None:
+        for m in _TIME_TAG_RE.finditer(text):
+            a = _attrs(m.group(0))
+            dt = (a.get("datetime") or "").strip()
+            if dt:
+                out["published_ms"] = parse_date_ms(dt)
+                if out["published_ms"] is not None:
+                    break
+    return out
+
+
+def extract_provenance(pages_df: DataFrame) -> DataFrame:
+    """pages (url, html) -> (url, license_url, cc_variant, cc_version,
+    published_ms); one narrow python stage, zero exchanges — the
+    provenance companion to :func:`extract_page_meta`."""
+
+    cols = ["url", "license_url", "cc_variant", "cc_version", "published_ms"]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    p = _provenance(url, bytes(html) if html is not None else b"")
+                except Exception:
+                    p = {c: None for c in cols[1:]}
+                rows.append({"url": url, **p})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages_df.select("url", "html").mapInPandas(
+        gen, schema=PROVENANCE_SCHEMA
+    )

@@ -160,3 +160,58 @@ def test_pagination_plan_zero_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1 and "Exchange" not in plan
     assert df.collect()[0].next_url == "https://s.example/2"
+
+
+# ---------------------------------------------------------------------------
+# provenance (extract_provenance)
+# ---------------------------------------------------------------------------
+
+from ocr_spark.operators.page_meta import _provenance
+
+
+def test_provenance_cc_license_link():
+    html = (
+        b"<html><body><a rel='license' "
+        b"href='https://creativecommons.org/licenses/by-nc-sa/3.0/'>cc</a>"
+        b"</body></html>"
+    )
+    p = _provenance("https://s.example/a", html)
+    assert p["license_url"].endswith("/by-nc-sa/3.0/")
+    assert p["cc_variant"] == "by-nc-sa" and p["cc_version"] == "3.0"
+
+
+def test_provenance_relative_license_and_body_cc0():
+    p = _provenance(
+        "https://s.example/a",
+        b'<html><link rel="license" href="/LICENSE"></html>',
+    )
+    assert p["license_url"] == "https://s.example/LICENSE"
+    assert p["cc_variant"] is None
+    # CC0 url in the body without rel=license still yields the variant
+    p = _provenance(
+        "https://s.example/a",
+        b'<html><a href="https://creativecommons.org/publicdomain/zero/1.0/">'
+        b"CC0</a></html>",
+    )
+    assert p["license_url"] is None
+    assert p["cc_variant"] == "zero" and p["cc_version"] == "1.0"
+
+
+def test_provenance_published_time_fallback_chain():
+    # meta wins over time tag
+    html = (
+        b'<html><head><meta property="article:published_time" '
+        b'content="2026-01-02T03:04:05Z"></head>'
+        b'<body><time datetime="2020-01-01T00:00:00Z">old</time></body></html>'
+    )
+    p = _provenance("u", html)
+    assert p["published_ms"] == 1767323045000
+    # invalid meta falls through to the time tag
+    html = (
+        b'<html><meta property="article:published_time" content="yesterday">'
+        b'<time datetime="2026-01-02T03:04:05Z">t</time></html>'
+    )
+    assert _provenance("u", html)["published_ms"] == 1767323045000
+    # neither -> None; non-html -> all None
+    assert _provenance("u", b"<html><p>x</p></html>")["published_ms"] is None
+    assert _provenance("u", b"%PDF-junk")["license_url"] is None
