@@ -482,6 +482,17 @@ def q_refresh_schedule(spark, sf):  # adaptive re-crawl scheduling
     return refresh_schedule(_snapshots(spark, sf))
 
 
+def q_revisit(spark, sf):  # WARC response/revisit record classification
+    """Over the shared crawl timeline: a capture whose fingerprint was
+    already stored for the url becomes a 'revisit' pointing at the
+    original epoch (the WARC 1.1 §6.7.2 storage-dedup convention). The
+    3-capture urls alternate fingerprints, so capture v2 revisits v0 —
+    the oracle re-derives the min-epoch window in SQL."""
+    from .operators.crawl_history import revisit_records
+
+    return revisit_records(_snapshots(spark, sf))
+
+
 def q_redirects(spark, sf):  # redirect-chain resolution (pointer doubling)
     """Synthetic redirect graph over the documents urls: doc i redirects
     to doc i-1 unless i % 13 == 0 (the terminals), so chains run 0..12
@@ -2089,6 +2100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "url_latest": q_url_latest,
+    "revisit": q_revisit,
     "redirects": q_redirects,
     "snapshot_drift": q_snapshot_drift,
     "page_meta": q_page_meta,
@@ -2760,6 +2772,25 @@ ORACLE_SQL: dict[str, str] = {
                    ORDER BY warc_epoch DESC, fingerprint ASC) AS rn
              FROM snaps)
         SELECT url, warc_epoch, fingerprint FROM r WHERE rn = 1
+    """,
+    "revisit": """
+        WITH snaps AS (SELECT
+               'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               CAST(1700000000 + u.v * 86400 + doc_id % 1000 AS BIGINT)
+                   AS warc_epoch,
+               md5(substr(text, 1, 50) ||
+                   CASE WHEN (doc_id + u.v) % 2 = 0 THEN ' rev' ELSE '' END)
+                   AS fingerprint
+             FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(v)),
+        w AS (SELECT *, min(warc_epoch) OVER
+                  (PARTITION BY url, fingerprint) AS orig
+              FROM snaps)
+        SELECT url, warc_epoch, fingerprint,
+               CASE WHEN warc_epoch > orig THEN 'revisit'
+                    ELSE 'response' END AS record_type,
+               CASE WHEN warc_epoch > orig THEN orig END AS refers_to_epoch
+        FROM w
     """,
     "redirects": """
         WITH RECURSIVE e AS MATERIALIZED (SELECT

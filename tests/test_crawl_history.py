@@ -226,3 +226,36 @@ def test_snapshot_drift_grades_change_magnitude(spark):
         ("u2", 2): 667,
         ("u3", 2): 0,
     }
+
+
+# ---------------------------------------------------------------------------
+# revisit_records (WARC response/revisit classification)
+# ---------------------------------------------------------------------------
+
+def test_revisit_records(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.crawl_history import revisit_records
+
+    snaps = spark.createDataFrame(
+        [
+            ("u1", 100, "fpA"),
+            ("u1", 200, "fpB"),   # content changed: new response
+            ("u1", 300, "fpA"),   # back to fpA: revisit of epoch 100
+            ("u2", 100, "fpA"),   # same fp on ANOTHER url: independent
+        ],
+        "url string, warc_epoch long, fingerprint string",
+    )
+    rows = {
+        (r.url, r.warc_epoch): (r.record_type, r.refers_to_epoch)
+        for r in revisit_records(snaps).collect()
+    }
+    assert rows == {
+        ("u1", 100): ("response", None),
+        ("u1", 200): ("response", None),
+        ("u1", 300): ("revisit", 100),
+        ("u2", 100): ("response", None),
+    }
+    # exactly ONE exchange: the (url, fingerprint) window
+    plan = revisit_records(snaps)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
