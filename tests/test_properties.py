@@ -255,3 +255,55 @@ def test_sitemap_build_parse_roundtrip(entries):
         (loc, lastmod, freq, prio10 * 100 if prio10 is not None else None)
         for (loc, lastmod, freq, prio10) in entries
     ]
+
+
+# ---------------------------------------------------------------------------
+# crawl-side byte parsers: NEVER raise, whatever the bytes (the repo-wide
+# degradation contract — a parse error must yield fewer rows/NULL fields,
+# not a task failure)
+# ---------------------------------------------------------------------------
+
+_junk = st.binary(max_size=400)
+
+
+@given(_junk)
+@settings(max_examples=150, deadline=None)
+def test_parse_feed_never_raises(blob):
+    from ocr_spark.operators.feeds import parse_feed
+
+    for e in parse_feed(blob):
+        assert e["entry_id"] is not None or e["link"] is not None
+
+
+@given(_junk)
+@settings(max_examples=150, deadline=None)
+def test_parse_http_headers_never_raises(blob):
+    from ocr_spark.operators.http_headers import parse_http_headers
+
+    h = parse_http_headers(blob)
+    assert h["strategy"] in ("refetch", "etag", "last-modified", "none")
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=150, deadline=None)
+def test_parse_date_ms_total_function(s):
+    from ocr_spark.operators.feeds import parse_date_ms
+
+    ms = parse_date_ms(s)
+    assert ms is None or isinstance(ms, int)
+
+
+@given(st.text(max_size=200), _junk)
+@settings(max_examples=100, deadline=None)
+def test_meta_extractors_never_raise(url, blob):
+    from ocr_spark.operators.page_meta import (
+        _og_meta,
+        _page_meta,
+        _pagination,
+        _provenance,
+    )
+
+    _page_meta(url, blob)
+    _og_meta(blob)
+    _pagination(url, blob)
+    _provenance(url, blob)
