@@ -382,3 +382,48 @@ def extract_provenance(pages_df: DataFrame) -> DataFrame:
     return pages_df.select("url", "html").mapInPandas(
         gen, schema=PROVENANCE_SCHEMA
     )
+
+
+SIDECAR_SCHEMA = (
+    META_SCHEMA
+    + ", og_title string, og_type string, og_url string, og_image string"
+    + ", ld_type string, n_ld int, next_url string, prev_url string"
+    + ", license_url string, cc_variant string, cc_version string"
+    + ", published_ms bigint"
+)
+
+
+def extract_meta_sidecar(pages_df: DataFrame) -> DataFrame:
+    """ALL page-metadata families (head meta + OpenGraph/JSON-LD +
+    pagination + provenance) in ONE Arrow-batched python stage — one
+    scan of the pages table produces the whole sidecar, instead of four
+    independent scan->parse jobs. At 100 TB the scan IS the cost; the
+    per-row parsers share the decoded head region. Wired into the
+    production CLI as ``run_job.py --sidecar-meta <dir>``."""
+
+    cols = [f.strip().split(" ")[0] for f in SIDECAR_SCHEMA.split(",")]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                blob = bytes(html) if html is not None else b""
+                row = {"url": url}
+                try:
+                    row.update(_page_meta(url, blob))
+                    row.update(_og_meta(blob))
+                    row.update(_pagination(url, blob))
+                    row.update(_provenance(url, blob))
+                except Exception:
+                    row = {"url": url} | {
+                        c: (0 if c in ("n_hreflang", "n_ld") else None)
+                        for c in cols[1:]
+                    }
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages_df.select("url", "html").mapInPandas(
+        gen, schema=SIDECAR_SCHEMA
+    )

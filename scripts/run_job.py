@@ -55,6 +55,12 @@ def main():
         "CDXJ url index (.cdxj.gz shards + range manifest) into this "
         "directory",
     )
+    ap.add_argument(
+        "--sidecar-meta",
+        help="after the commit, write the fused page-metadata sidecar "
+        "(head meta + OpenGraph/JSON-LD + pagination + provenance; ONE "
+        "scan, one python stage) as parquet into this directory",
+    )
     ap.add_argument("--cpus", type=int, default=None, help="local-mode cores")
     ap.add_argument(
         "--compact",
@@ -120,6 +126,14 @@ def main():
             manifest = export_wet(extracted, args.export_wet).collect()
             total = sum(r.n_records for r in manifest)
             print(f"wet_export files={len(manifest)} records={total}")
+        if args.sidecar_meta:
+            from ocr_spark.operators.page_meta import extract_meta_sidecar
+
+            extract_meta_sidecar(pages).write.mode("overwrite").parquet(
+                args.sidecar_meta
+            )
+            n = spark.read.parquet(args.sidecar_meta).count()
+            print(f"sidecar_meta rows={n}")
         if args.export_cdx:
             from ocr_spark.sources.cdx import export_cdxj
 

@@ -215,3 +215,35 @@ def test_provenance_published_time_fallback_chain():
     # neither -> None; non-html -> all None
     assert _provenance("u", b"<html><p>x</p></html>")["published_ms"] is None
     assert _provenance("u", b"%PDF-junk")["license_url"] is None
+
+
+def test_meta_sidecar_fused_single_stage(spark):
+    from ocr_spark.operators.page_meta import extract_meta_sidecar
+
+    pages = spark.createDataFrame(
+        [
+            ("https://s.example/1",
+             b'<html lang="fr"><head><title>T1</title>'
+             b'<meta property="og:title" content="OT">'
+             b'<link rel="next" href="/2">'
+             b'<meta property="article:published_time" '
+             b'content="2026-01-02T03:04:05Z"></head><body>'
+             b'<a rel="license" '
+             b'href="https://creativecommons.org/licenses/by/4.0/">c</a>'
+             b"</body></html>"),
+            ("https://s.example/bin", b"%PDF-1.7 not html"),
+        ],
+        "url string, html binary",
+    )
+    df = extract_meta_sidecar(pages)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ONE fused python stage, no shuffle: the scan is shared by all four
+    # metadata families
+    assert plan.count("MapInPandas") == 1 and "Exchange" not in plan
+    rows = {r.url: r for r in df.collect()}
+    r = rows["https://s.example/1"]
+    assert (r.title, r.og_title, r.html_lang) == ("T1", "OT", "fr")
+    assert r.next_url == "https://s.example/2"
+    assert r.cc_variant == "by" and r.published_ms == 1767323045000
+    b = rows["https://s.example/bin"]
+    assert b.title is None and b.n_ld == 0 and b.license_url is None
