@@ -431,6 +431,21 @@ def q_decontaminate(spark, sf):  # benchmark n-gram decontamination
     return decontaminate(d, bench, n=8)
 
 
+def q_compression_ratio(spark, sf):  # zlib too-compressible quality gate
+    """Natural documents text vs a synthetic repetitive tail (every 7th
+    doc gets 'spam spam ...' appended): the repetitive docs must flag.
+    zlib is not expressible in SQL -> committed fixture oracle from this
+    same kernel."""
+    from .operators.corpus_filters import compression_ratio
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    body = F.when(
+        k % 7 == 0, F.concat(F.lit(""), F.repeat(F.lit("spam click here "), 40))
+    ).otherwise(F.substring(F.col("text"), 1, 400))
+    return compression_ratio(d.select("doc_id", body.alias("text")))
+
+
 def q_stratified_sample(spark, sf):  # deterministic per-language sampling
     from .operators.corpus_filters import stratified_sample
 
@@ -2099,6 +2114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_spans": q_dup_spans,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
+    "compression_ratio": q_compression_ratio,
     "url_latest": q_url_latest,
     "revisit": q_revisit,
     "redirects": q_redirects,
@@ -4120,6 +4136,7 @@ FIXTURE_ORACLES = [
     "attn_decode",
     "url_canon",
     "bpe_tokens",
+    "compression_ratio",
 ]
 
 for _name in FIXTURE_ORACLES:

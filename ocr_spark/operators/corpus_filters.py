@@ -791,3 +791,29 @@ def soft404_flags(
             (F.col(status_col) == 200) & (title_hit | (body_hit & short))
         ).alias("is_soft404"),
     )
+
+
+def compression_ratio(
+    df: DataFrame, *, text_col: str = "text", repetitive_below: int = 300
+) -> DataFrame:
+    """zlib compression-ratio quality signal (the Dolma/FineWeb-family
+    "too compressible" gate): machine-generated spam, keyword stuffing
+    and template loops compress far better than natural prose, so
+    ``ratio_milli = 1000 * len(zlib(text)) // len(utf8(text))`` separates
+    them with ONE cheap pass and no model. Deterministic: fixed zlib
+    level 6, integer milli ratio; empty/NULL text -> NULL ratio (and not
+    repetitive — nothing to judge).
+
+    Appended columns: ``compress_milli`` int, ``is_repetitive`` =
+    ratio < ``repetitive_below``. One Arrow-batched scalar udf, zero
+    exchanges. No SQL engine exposes zlib, so the oracle is a committed
+    fixture produced by this same kernel (contract.FIXTURE_ORACLES)."""
+    from .pudf import compress_milli_udf
+
+    # two projections so the udf is referenced (hence evaluated) ONCE
+    return df.select(
+        "*", compress_milli_udf(F.col(text_col)).alias("compress_milli")
+    ).withColumn(
+        "is_repetitive",
+        F.coalesce(F.col("compress_milli") < repetitive_below, F.lit(False)),
+    )

@@ -28,6 +28,23 @@ def text_f1_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([round(float(text_f1(x, y)[1]), 6) for x, y in zip(a, b)])
 
 
+@pandas_udf("int")
+def compress_milli_udf(texts: pd.Series) -> pd.Series:
+    """zlib level-6 compression ratio in integer milli units:
+    ``1000 * len(zlib(utf8)) // len(utf8)``; NULL/empty text -> NULL.
+    Deterministic (fixed level, integer math), Arrow-batched."""
+    import zlib
+
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        b = str(t).encode("utf-8")
+        out.append(1000 * len(zlib.compress(b, 6)) // len(b) if b else None)
+    return pd.Series(pd.array(out, dtype="Int32"))
+
+
 @pandas_udf("string")
 def normalize_numbers_udf(text: pd.Series) -> pd.Series:
     """Number/ordinal/money/time verbalization (numbers.py kernel, the F5

@@ -288,3 +288,37 @@ def test_soft404_plan_zero_exchange_zero_python(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+# ---------------------------------------------------------------------------
+# compression_ratio
+# ---------------------------------------------------------------------------
+
+def test_compression_ratio_separates_spam_from_prose(spark):
+    import zlib
+
+    prose = ("The committee reviewed seventeen proposals before lunch, "
+             "rejecting most for budget reasons and two for scope creep.")
+    spam = "spam click here " * 40
+    df = spark.createDataFrame(
+        [(1, prose), (2, spam), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cf.compression_ratio(df).collect()}
+    # pinned against stdlib zlib directly
+    exp1 = 1000 * len(zlib.compress(prose.encode(), 6)) // len(prose.encode())
+    exp2 = 1000 * len(zlib.compress(spam.encode(), 6)) // len(spam.encode())
+    assert got[1].compress_milli == exp1 and not got[1].is_repetitive
+    assert got[2].compress_milli == exp2 and got[2].is_repetitive
+    assert got[2].compress_milli < 300 < got[1].compress_milli
+    # NULL and empty text: NULL ratio, not repetitive
+    assert got[3].compress_milli is None and not got[3].is_repetitive
+    assert got[4].compress_milli is None and not got[4].is_repetitive
+
+
+def test_compression_ratio_single_arrow_stage(spark):
+    df = cf.compression_ratio(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1  # udf evaluated exactly once
