@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "ngram_spans",
     "hash_embed",
     "bigram_lm",
+    "ngram_lm",
     "dup_spans",
     "decontaminate",
     "stratified_sample",

@@ -402,6 +402,20 @@ def q_bigram_lm(spark, sf):  # char-bigram LM plausibility score
     )
 
 
+def q_ngram_lm(spark, sf):  # corpus-trained stupid-backoff bigram LM score
+    """Train pruned unigram/bigram tables on the doc_id%7==0 slice (the
+    'high-quality target' stand-in), score EVERY doc with the Brants et
+    al. 2007 stupid-backoff estimator in integer milli-log units."""
+    from .operators.lm import ngram_lm_counts, stupid_backoff_score
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.substring(F.col("text"), 1, 300).alias("text")
+    )
+    train = d.filter(F.col("doc_id") % 7 == 0)
+    uni, bi, n = ngram_lm_counts(train, min_count=2)
+    return stupid_backoff_score(d, uni, bi, n)
+
+
 def q_dup_spans(spark, sf):  # Lee et al. duplicated-span REMOVAL
     """Same messy input as ngram_spans; removes every token covered by a
     cross-doc duplicated 5-gram and returns the rebuilt text per doc."""
@@ -2111,6 +2125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_spans": q_ngram_spans,
     "hash_embed": q_hash_embed,
     "bigram_lm": q_bigram_lm,
+    "ngram_lm": q_ngram_lm,
     "dup_spans": q_dup_spans,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -4092,6 +4107,61 @@ ORACLE_SQL["gopher_rules"] = r"""
                     AND alpha_word_frac >= 0.8
                     AND stop_hits >= 2, false) AS passes
     FROM r
+"""
+
+ORACLE_SQL["ngram_lm"] = r"""
+    WITH d AS (SELECT doc_id, substr(text, 1, 300) AS text FROM documents),
+    tr AS (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS t
+           FROM d WHERE doc_id % 7 = 0),
+    uni_all AS (
+        SELECT u.w AS w, COUNT(*) AS c1
+        FROM tr, unnest(t) AS u(w) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS n FROM uni_all),
+    uni AS (SELECT * FROM uni_all WHERE c1 >= 2),
+    bi AS (
+        SELECT g, COUNT(*) AS c2 FROM (
+            SELECT t[CAST(r.i AS INT)] || ' ' || t[CAST(r.i AS INT) + 1] AS g
+            FROM tr, unnest(range(1, len(t))) AS r(i)
+        ) GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    ptoks AS (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS t
+           FROM d),
+    probe AS (
+        SELECT doc_id,
+               t[CAST(r.i AS INT)] AS w1,
+               t[CAST(r.i AS INT) + 1] AS w2
+        FROM ptoks, unnest(range(1, len(t))) AS r(i)
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(floor(ln(
+                   CASE WHEN b.c2 IS NOT NULL
+                        THEN CAST(b.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+                        ELSE 0.4 * (CASE WHEN u2.c1 IS NOT NULL
+                                         THEN CAST(u2.c1 AS DOUBLE)
+                                         ELSE 1.0 END)
+                             / CAST(greatest(tot.n, 1) AS DOUBLE)
+                   END) * 1000) AS BIGINT) AS term
+        FROM probe p
+        LEFT JOIN bi b ON p.w1 || ' ' || p.w2 = b.g
+        LEFT JOIN uni u1 ON p.w1 = u1.w
+        LEFT JOIN uni u2 ON p.w2 = u2.w
+        CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, SUM(term) AS sb_milli
+        FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS INT) AS n_bigrams,
+           CAST(COALESCE(a.sb_milli, 0) AS BIGINT) AS sb_milli,
+           CASE WHEN a.n_bigrams > 0
+                THEN CAST(floor(a.sb_milli / CAST(a.n_bigrams AS DOUBLE)) AS BIGINT)
+           END AS sb_per_bigram_milli
+    FROM d LEFT JOIN agg a USING (doc_id)
 """
 
 

@@ -1,0 +1,189 @@
+"""Corpus-trained n-gram language model with stupid-backoff scoring
+(Brants et al. 2007, "Large Language Models in Machine Translation" —
+the distributed-LM recipe built *for* MapReduce-shaped engines, and the
+model family behind KenLM-style quality filtering in CCNet/RefinedWeb).
+
+Two operators:
+
+- :func:`ngram_lm_counts` — train: unigram + bigram count tables from a
+  (possibly filtered) training slice, pruned at ``min_count`` (the
+  KenLM ``filter`` step that bounds the model size independently of
+  corpus size).
+- :func:`stupid_backoff_score` — score every document against the
+  trained tables with the stupid-backoff estimator
+
+      S(w2 | w1) = c(w1 w2) / c(w1)          if c(w1 w2) > 0
+                 = alpha * c(w2) / N          elif c(w2) > 0
+                 = alpha * 1 / N              otherwise (OOV floor)
+
+  and per-doc ``sb_milli = sum floor(1000 * ln S)`` over adjacent token
+  pairs, plus the length-normalized ``sb_per_bigram_milli`` (the value a
+  quality gate actually thresholds — CCNet buckets by per-token
+  perplexity, not total log-prob).
+
+Scale shape (the part that must survive 100 TB):
+
+1. Training is two map-side-partial-agg groupBys (unigrams, bigrams)
+   followed by the ``min_count`` prune. After pruning, the model is
+   bounded by the (Zipf-truncated) vocabulary, not the corpus: the
+   standard KenLM-filter artifact that makes web-scale LMs shippable.
+2. Scoring explodes each doc into adjacent pairs (narrow), then joins
+   the gram tables. Both count tables are pruned and hinted
+   ``broadcast`` — the probe side never shuffles on a gram key, so the
+   Zipfian hot grams ("of the", "in a") cost nothing. At vocabulary
+   sizes past executor memory, drop the hint and the same plan becomes
+   three hash joins on gram keys (documented fallback, not default).
+3. The only probe-side exchange is the final groupBy on ``doc_id``.
+
+Float hardening: count ratios are exact (small-integer division is
+correctly rounded in every IEEE engine); the single ``ln`` call is
+floor-quantized to 1e-3 *in the same expression* (the BM25 idf
+hardening — see operators/search.py:10), so the DuckDB oracle re-derives
+every score bit-for-bit.
+
+Invariant used by the backoff ladder: unigrams and bigrams are pruned at
+the SAME ``min_count``, and c(w1) >= c(w1 w2), so any surviving bigram's
+left context is guaranteed present in the unigram table — the
+``c(w1 w2) > 0`` branch never divides by a pruned-away denominator.
+
+Reference analog: the reference scores recognition emissions against a
+decoder LM table broadcast once per executor (SURVEY §2.8/§4); this is
+the corpus-scale sibling trained *from* the data instead of shipped
+with the model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .corpus_filters import _tokens
+
+#: stupid-backoff discount (Brants et al. 2007 use 0.4 throughout)
+ALPHA = 0.4
+#: ln quantization, matching operators/search.IDF_QUANT
+LN_QUANT = 1000
+
+
+def ngram_lm_counts(
+    train: DataFrame,
+    *,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, "object"]:
+    """Train pruned unigram/bigram count tables from ``train``.
+
+    Returns ``(uni, bi, total_tokens_col_input)`` where ``uni`` is
+    (w, c1), ``bi`` is (w1w2, c2) keyed by the space-joined bigram, and
+    the third element is the *unpruned* total token count N as a Python
+    int (a single scalar — the one driver-side value the model needs).
+    """
+    toks = _tokens(F.col(text_col))
+    words = train.select(F.explode(toks).alias("w"))
+    uni_all = words.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    # N is the unpruned token total: one row out of the same aggregate tree
+    total = uni_all.agg(F.sum("c1").alias("n")).collect()[0]["n"] or 0
+    uni = uni_all.filter(F.col("c1") >= min_count)
+
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        train.select(F.explode(pairs).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    )
+    return uni, bi, int(total)
+
+
+def stupid_backoff_score(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    total_tokens: int,
+    *,
+    alpha: float = ALPHA,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score each doc: (id, n_bigrams, sb_milli, sb_per_bigram_milli).
+
+    ``sb_milli`` is the integer milli-log-prob sum over adjacent pairs;
+    ``sb_per_bigram_milli`` the integer-division length normalization.
+    Zero-bigram docs score NULL on the normalized column and 0 total.
+    """
+    n = max(int(total_tokens), 1)
+    toks = _tokens(F.col(text_col))
+    # zero-bigram docs emit ONE null sentinel pair instead of vanishing, so
+    # no join-back exchange is needed to reinstate them after the groupBy
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("w1"),
+                F.lit(None).cast("string").alias("w2"),
+            )
+        )
+    )
+    probe = docs.select(id_col, F.explode(pairs).alias("p")).select(
+        id_col,
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+    )
+
+    uni_m = F.broadcast(uni) if broadcast_model else uni
+    bi_m = F.broadcast(bi) if broadcast_model else bi
+    joined = (
+        probe.join(
+            bi_m, F.concat_ws(" ", probe["w1"], probe["w2"]) == bi_m["g"], "left"
+        )
+        .drop("g")
+        .join(uni_m.withColumnRenamed("w", "_u1").withColumnRenamed("c1", "c_w1"),
+              F.col("w1") == F.col("_u1"), "left")
+        .drop("_u1")
+        .join(uni_m.withColumnRenamed("w", "_u2").withColumnRenamed("c1", "c_w2"),
+              F.col("w2") == F.col("_u2"), "left")
+        .drop("_u2")
+    )
+
+    # the single ln is floor-quantized in-expression (BM25 idf hardening)
+    seen = F.col("c2").isNotNull()
+    backoff_num = F.when(
+        F.col("c_w2").isNotNull(), F.col("c_w2").cast("double")
+    ).otherwise(F.lit(1.0))
+    ratio = F.when(
+        seen, F.col("c2").cast("double") / F.col("c_w1").cast("double")
+    ).otherwise(F.lit(float(alpha)) * backoff_num / F.lit(float(n)))
+    term = F.when(
+        F.col("w1").isNotNull(), F.floor(F.log(ratio) * F.lit(LN_QUANT)).cast("long")
+    )
+
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("w1").alias("n_bigrams"),
+            F.coalesce(F.sum(term), F.lit(0)).alias("sb_milli"),
+        )
+        .select(
+            id_col,
+            F.col("n_bigrams").cast("int").alias("n_bigrams"),
+            F.col("sb_milli").cast("long").alias("sb_milli"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.floor(F.col("sb_milli") / F.col("n_bigrams")).cast("long"),
+            ).alias("sb_per_bigram_milli"),
+        )
+    )

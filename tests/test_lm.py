@@ -1,0 +1,80 @@
+"""Stupid-backoff n-gram LM (operators/lm.py): hand-computed golden,
+pruning/backoff ladder semantics, zero-bigram sentinel, and the
+broadcast-model plan shape."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.lm import ngram_lm_counts, stupid_backoff_score
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_counts_pruned_and_total_unpruned(spark):
+    train = _mk(spark, [(1, "a b a b"), (2, "a c")])
+    uni, bi, n = ngram_lm_counts(train, min_count=2)
+    # total is UNpruned: 6 tokens
+    assert n == 6
+    u = {r["w"]: r["c1"] for r in uni.collect()}
+    assert u == {"a": 3, "b": 2}  # c pruned at min_count=2
+    b = {r["g"]: r["c2"] for r in bi.collect()}
+    assert b == {"a b": 2}  # 'b a', 'a c' pruned
+
+
+def test_backoff_ladder_golden(spark):
+    train = _mk(spark, [(1, "a b a b"), (2, "a c")])
+    uni, bi, n = ngram_lm_counts(train, min_count=2)
+    # doc covers all three ladder rungs:
+    #   'a b' seen bigram      -> ln(2/3)
+    #   'b a' unseen, 'a' known -> ln(0.4 * 3/6)
+    #   'a z' unseen, 'z' OOV   -> ln(0.4 * 1/6)
+    docs = _mk(spark, [(10, "a b a z")])
+    row = stupid_backoff_score(docs, uni, bi, n).collect()[0]
+    expect = (
+        math.floor(1000 * math.log(2 / 3))
+        + math.floor(1000 * math.log(0.4 * 3 / 6))
+        + math.floor(1000 * math.log(0.4 * 1 / 6))
+    )
+    assert row["n_bigrams"] == 3
+    assert row["sb_milli"] == expect
+    assert row["sb_per_bigram_milli"] == math.floor(expect / 3)
+
+
+def test_zero_bigram_docs_survive_without_join_back(spark):
+    train = _mk(spark, [(1, "a b a b")])
+    uni, bi, n = ngram_lm_counts(train, min_count=2)
+    docs = _mk(spark, [(1, "a b"), (2, "solo"), (3, "")])
+    out = {r["doc_id"]: r for r in stupid_backoff_score(docs, uni, bi, n).collect()}
+    assert set(out) == {1, 2, 3}
+    for did in (2, 3):
+        assert out[did]["n_bigrams"] == 0
+        assert out[did]["sb_milli"] == 0
+        assert out[did]["sb_per_bigram_milli"] is None
+
+
+def test_pruning_invariant_left_context_always_present(spark):
+    # any surviving bigram's w1 must survive unigram pruning at the SAME
+    # min_count (c(w1) >= c(w1 w2)) — the ladder never divides by NULL
+    train = _mk(spark, [(i, "x y x y q r") for i in range(4)])
+    uni, bi, n = ngram_lm_counts(train, min_count=3)
+    uw = {r["w"] for r in uni.collect()}
+    for r in bi.collect():
+        assert r["g"].split(" ")[0] in uw
+
+
+def test_model_joins_are_broadcast(spark):
+    train = _mk(spark, [(1, "a b a b c c")])
+    uni, bi, n = ngram_lm_counts(train, min_count=1)
+    docs = _mk(spark, [(1, "a b c"), (2, "b c a")])
+    plan = (
+        stupid_backoff_score(docs, uni, bi, n)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # three model joins, all broadcast — the probe side never shuffles on a
+    # gram key; its only exchange is the final doc_id groupBy
+    assert plan.count("BroadcastHashJoin") == 3
