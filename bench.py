@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "page_links",
     "link_hosts",
     "pagerank",
+    "trustrank",
     "hits",
     "reciprocity",
     "bm25_topk",

@@ -948,6 +948,22 @@ def q_pagerank(spark, sf):  # fixed-point integer PageRank over host graph
     )
 
 
+def q_trustrank(spark, sf):  # seeded TrustRank over the host graph
+    """Gyongyi et al. 2004 trust propagation from a deterministic seed
+    whitelist (numeric host suffix divisible by 5); the oracle unrolls
+    all 5 integral iterations over the independently re-derived edges."""
+    from .operators.link_graph import extract_page_links, host_graph, trustrank_hosts
+
+    edges = host_graph(extract_page_links(pages_df(spark, sf)))
+    seed = F.coalesce(
+        F.regexp_extract(F.col("host"), r"host(\d+)\.example", 1).cast("int") % 5 == 0,
+        F.lit(False),
+    )
+    return trustrank_hosts(edges, seed).select(
+        "host", "is_seed", F.col("trust").alias("trust_scaled")
+    )
+
+
 def q_hits(spark, sf):  # HITS hubs/authorities (integer L-inf fixed point)
     """Kleinberg HITS over the same host graph as `pagerank`; the oracle
     unrolls all 8 half-steps (auth then hub per round, each max-normalized
@@ -2149,6 +2165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_summary": q_anchor_summary,
     "link_hosts": q_link_hosts,
     "pagerank": q_pagerank,
+    "trustrank": q_trustrank,
     "hits": q_hits,
     "reciprocity": q_reciprocity,
     "bm25_topk": q_bm25_topk,
@@ -3331,6 +3348,45 @@ ORACLE_SQL["link_hosts"] = f"""
 """
 
 ORACLE_SQL["pagerank"] = _pagerank_oracle_sql()
+
+
+def _trustrank_oracle_sql(n_iters: int = 5) -> str:
+    """Unrolled integral TrustRank recurrence (teleport mass only on the
+    seed whitelist), replaying operators/link_graph.trustrank_hosts."""
+    seed = (
+        "COALESCE(TRY_CAST(regexp_extract(host, 'host(\\d+)\\.example', 1)"
+        " AS INT) % 5 = 0, false)"
+    )
+    parts = [
+        f"WITH rel AS ({_LINK_EDGE_SQL})",
+        "edges AS (SELECT DISTINCT src_host, dst_host FROM rel"
+        " WHERE src_host <> dst_host)",
+        "nodes AS (SELECT host, " + seed + " AS is_seed FROM ("
+        "SELECT src_host AS host FROM edges"
+        " UNION SELECT dst_host FROM edges))",
+        "outdeg AS (SELECT src_host, count(*) AS outdeg FROM edges"
+        " GROUP BY src_host)",
+        "r0 AS (SELECT host, is_seed,"
+        " CAST(1000000 * CAST(is_seed AS BIGINT) AS BIGINT) AS tr FROM nodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT n.host, n.is_seed, "
+            "CAST(150000 * CAST(n.is_seed AS BIGINT)"
+            " + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS tr "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT e.dst_host AS host, SUM(r.tr // o.outdeg) AS s "
+            "FROM edges e JOIN outdeg o ON e.src_host = o.src_host "
+            f"JOIN r{i-1} r ON r.host = e.src_host "
+            "GROUP BY e.dst_host) s ON s.host = n.host)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT host, is_seed, CAST(tr AS BIGINT) AS trust_scaled FROM r{n_iters}"
+    )
+
+
+ORACLE_SQL["trustrank"] = _trustrank_oracle_sql()
 
 
 def _hits_oracle_sql(n_iters: int = 4) -> str:

@@ -191,6 +191,70 @@ def pagerank_hosts(edges_df: DataFrame, n_iters: int = 5) -> DataFrame:
     return ranks
 
 
+def trustrank_hosts(edges_df, seed_pred, n_iters: int = 5) -> DataFrame:
+    """Fixed-point integer TrustRank (Gyongyi et al. 2004) over distinct
+    (src_host, dst_host) edges -> (host, trust:long, is_seed:boolean).
+
+    Same integral recurrence as :func:`pagerank_hosts`, but the teleport
+    mass lands ONLY on the seed set selected by ``seed_pred`` (a Column
+    predicate over ``host``):
+
+        t0(v)  = SCALE * seed(v)
+        t_k(v) = BASE * seed(v)
+               + (85 * sum_{(u,v) in E} (t_{k-1}(u) div outdeg(u))) div 100
+
+    Unnormalized trust mass (no 1/|S| teleport split): rank-order
+    equivalent to the paper's normalized form, and it keeps every step a
+    long so the shuffle's reduction order cannot change a bit. Spam hosts
+    far from any seed decay toward 0 — the inverse-PageRank seed
+    *selection* step of the paper is an input policy (a curated
+    whitelist in production), not re-derived here.
+
+    Scale shape: identical to pagerank_hosts — static edge/node sides
+    persisted once, each iteration ONE join + ONE dst groupBy, state
+    bounded by |hosts|. The seed flag rides the node table; no extra
+    exchange."""
+    edges = edges_df.select("src_host", "dst_host").distinct()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .select("host", seed_pred.alias("is_seed"))
+    )
+    outdeg = edges.groupBy("src_host").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.join(outdeg, "src_host").select("src_host", "dst_host", "outdeg")
+    e = e.persist()
+    nodes = nodes.persist()
+    base = PAGERANK_SCALE * (PAGERANK_DAMPING_DEN - PAGERANK_DAMPING_NUM) // PAGERANK_DAMPING_DEN
+    seed_long = F.col("is_seed").cast("long")
+    ranks = nodes.select(
+        "host", "is_seed", (F.lit(PAGERANK_SCALE) * seed_long).cast("long").alias("trust")
+    )
+    for _ in range(n_iters):
+        inflow = (
+            e.join(ranks, e.src_host == ranks.host)
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("trust div outdeg").alias("contrib"),
+            )
+            .groupBy("host")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = nodes.join(inflow, "host", "left").select(
+            "host",
+            "is_seed",
+            (
+                F.lit(base) * seed_long
+                + F.expr(
+                    f"({PAGERANK_DAMPING_NUM} * coalesce(s, 0L)) div {PAGERANK_DAMPING_DEN}"
+                )
+            )
+            .cast("long")
+            .alias("trust"),
+        )
+    return ranks
+
+
 def anchor_summary(links_df: DataFrame, *, k: int = 3) -> DataFrame:
     """Per-target anchor-text profile: the top-``k`` distinct anchor texts
     pointing at each ``dst_url``, ranked by reference count -> one row per

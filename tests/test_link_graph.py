@@ -120,6 +120,50 @@ def test_pagerank_dedupes_edges_and_seeds_sources(spark):
 
 
 # ---------------------------------------------------------------------------
+# TrustRank
+# ---------------------------------------------------------------------------
+
+def test_trustrank_hand_golden(spark):
+    """Seed S -> A -> B chain, 2 iterations of the integral recurrence
+    (operators/link_graph.trustrank_hosts docstring): trust decays with
+    distance from the seed, non-seeds get zero teleport mass."""
+    from ocr_spark.operators.link_graph import trustrank_hosts
+
+    e = _edges(spark, [("S", "A"), ("A", "B")])
+    seed = F.col("host") == "S"
+    got = {r.host: r.trust for r in trustrank_hosts(e, seed, n_iters=2).collect()}
+    # t1: S=150000, A=(85*1000000)//100=850000, B=0 (A started at 0)
+    # t2: S=150000, A=(85*150000)//100=127500, B=(85*850000)//100=722500
+    assert got == {"S": 150_000, "A": 127_500, "B": 722_500}
+
+
+def test_trustrank_spam_host_decays_to_zero(spark):
+    """A host unreachable from any seed holds exactly zero trust at every
+    iteration — the property that makes TrustRank a spam-demotion signal
+    where PageRank gives every page its base rank."""
+    from ocr_spark.operators.link_graph import trustrank_hosts
+
+    e = _edges(spark, [("S", "A"), ("spam1", "spam2"), ("spam2", "spam1")])
+    seed = F.col("host") == "S"
+    got = {r.host: r.trust for r in trustrank_hosts(e, seed, n_iters=4).collect()}
+    assert got["spam1"] == 0 and got["spam2"] == 0
+    assert got["A"] > 0
+
+
+def test_trustrank_partition_invariance(spark):
+    from ocr_spark.operators.link_graph import trustrank_hosts
+
+    pairs = [(f"h{i}", f"h{(i * 7 + 3) % 11}") for i in range(11) for _ in (0, 1)]
+    seed = F.col("host").isin("h0", "h5")
+    a = {r.host: r.trust for r in trustrank_hosts(_edges(spark, pairs), seed).collect()}
+    b = {
+        r.host: r.trust
+        for r in trustrank_hosts(_edges(spark, pairs).repartition(17), seed).collect()
+    }
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
 # BM25
 # ---------------------------------------------------------------------------
 
