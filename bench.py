@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "minhash_pairs",
     "simhash_pairs",
+    "image_dups",
     "ann_topk",
     "lsh_ann",
     "ivf_ann",

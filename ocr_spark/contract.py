@@ -1975,6 +1975,49 @@ def q_multimodal_frames(spark, sf):
     return frame_sample(d.where(F.col("blob_id") < 50), n_frames=8, every_k=2)
 
 
+def q_image_dups(spark, sf):  # perceptual near-dup image pairs (dHash)
+    """8x9 grayscale PNGs built closed-form from doc_id residues are
+    encoded to REAL PNG bytes (lossless), decoded back through
+    kernels/imagecodec.png_decode, dHashed, and paired via the SAME
+    Manku banding as SimHash text dedup.  doc_id % 10 == 5 images are
+    one-pixel perturbations of doc_id - 5 (hamming <= 2 by construction);
+    the oracle re-derives every hash and pair from the formula."""
+    from .operators.dedup import hamming_near_pairs
+    from .operators.multimodal import image_dhash
+
+    d = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") < 2000)
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocr_spark.kernels.imagecodec import png_encode
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                src = did - 5 if did % 10 == 5 else did
+                r = np.arange(8)[:, None]
+                c = np.arange(9)[None, :]
+                # multiplicative mixing: src scales a per-cell odd-ish term
+                # mod 256, so comparisons (NOT just levels) vary per doc —
+                # an additive per-doc constant would cancel in every
+                # comparison and collapse all hashes to one value
+                g = ((src + 1) * (r * 131 + c * 31 + 7)) % 256
+                if did % 10 == 5:
+                    g = g.copy()
+                    g[0, 0] = (g[0, 0] + 40) % 256
+                blobs.append(png_encode(g.astype(np.uint8)))
+            yield pd.DataFrame({"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs})
+
+    imgs = d.mapInPandas(build, schema="blob_id long, blob binary")
+    sig = image_dhash(imgs)
+    return hamming_near_pairs(
+        sig, sig_col="dhash", id_col="blob_id", max_hamming=3, n_blocks=4
+    )
+
+
 def q_chunk_extracted(spark, sf):  # F8 chunks_from_paragraphs driver
     from .operators.chunking import chunk_extracted
 
@@ -2205,6 +2248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "combine_boxes": q_combine_boxes,
     "nms_boxes": q_nms_boxes,
     "reading_order": q_reading_order,
+    "image_dups": q_image_dups,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "chunk_extracted": q_chunk_extracted,
@@ -3387,6 +3431,47 @@ def _trustrank_oracle_sql(n_iters: int = 5) -> str:
 
 
 ORACLE_SQL["trustrank"] = _trustrank_oracle_sql()
+
+# dHash re-derivation: the PNG round trip is lossless, so the decoded gray
+# grid IS the closed-form residue formula; the hash is the MSB-first packing
+# of the 8x8 horizontal comparisons, signed two's complement into BIGINT.
+_DHASH_GRAY_SQL = (
+    "CAST(((src + 1) * (({r}) * 131 + ({c}) * 31 + 7)) % 256"
+    " + CASE WHEN pert AND ({r}) = 0 AND ({c}) = 0"
+    "        THEN CASE WHEN ((src + 1) * 7) % 256 + 40 >= 256"
+    "             THEN -216 ELSE 40 END"
+    "        ELSE 0 END AS BIGINT)"
+)
+
+ORACLE_SQL["image_dups"] = f"""
+    WITH ids AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 5 THEN doc_id - 5 ELSE doc_id END AS src,
+               doc_id % 10 = 5 AS pert
+        FROM documents WHERE doc_id < 2000
+    ),
+    raw AS (
+        SELECT doc_id,
+               COALESCE(list_sum(list_transform(range(0, 64),
+                   k -> CASE WHEN {_DHASH_GRAY_SQL.format(r='k // 8', c='k % 8')}
+                                < {_DHASH_GRAY_SQL.format(r='k // 8', c='k % 8 + 1')}
+                             THEN CAST(1 AS HUGEINT) << CAST(63 - k AS INT)
+                             ELSE CAST(0 AS HUGEINT) END)),
+                   CAST(0 AS HUGEINT)) AS h
+        FROM ids
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(h - CASE WHEN h >= (CAST(1 AS HUGEINT) << 63)
+                             THEN (CAST(1 AS HUGEINT) << 64)
+                             ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS dhash
+        FROM raw
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
 
 
 def _hits_oracle_sql(n_iters: int = 4) -> str:

@@ -454,35 +454,51 @@ def simhash_near_pairs(
     band and unioning candidates has PERFECT recall for
     max_hamming < n_blocks.  Verification is bit_count(xor) <= max_hamming.
     """
-    assert max_hamming < n_blocks, "recall guarantee needs max_hamming < n_blocks"
-    width = 64 // n_blocks
     # no persist here: the band self-join's two sides are the identical
     # subplan, so ReuseExchange already runs the 64-sum aggregation once —
     # persisting was measured 4x SLOWER (it blocks the reuse and inserts an
     # InMemoryTableScan between codegen stages)
     sig = simhash(docs, shingle=shingle)
+    return hamming_near_pairs(
+        sig, sig_col="simhash", max_hamming=max_hamming, n_blocks=n_blocks
+    )
+
+
+def hamming_near_pairs(
+    sig: DataFrame,
+    *,
+    sig_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Generic Manku-style multi-band Hamming blocking over ANY 64-bit
+    signature column (simhash, image dhash, audio fingerprint): band
+    equi-join candidates + exact bit_count(xor) verify.  Perfect recall
+    for max_hamming < n_blocks by pigeonhole.  Returns
+    (doc_a, doc_b, hamming), doc_a < doc_b, distinct."""
+    assert max_hamming < n_blocks, "recall guarantee needs max_hamming < n_blocks"
+    width = 64 // n_blocks
     blocked = sig.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftright("simhash", b * width)
+                    F.shiftright(sig_col, b * width)
                     .bitwiseAND(F.lit((1 << width) - 1))
                     .alias("key"),
                 )
                 for b in range(n_blocks)
             ])
         ).alias("bk"),
-    ).select(
-        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    ).select("_id", "_sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = blocked.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "key"
+        F.col("_id").alias("doc_a"), F.col("_sig").alias("sig_a"), "band", "key"
     )
     b = blocked.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "key"
+        F.col("_id").alias("doc_b"), F.col("_sig").alias("sig_b"), "band", "key"
     )
     return (
         a.join(b, ["band", "key"])

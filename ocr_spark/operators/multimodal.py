@@ -103,6 +103,78 @@ def blob_metadata(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id"
     return df.mapInPandas(gen, schema=META_SCHEMA)
 
 
+#: dHash grid: 8 rows x 9 cols of area-mean cells -> 8x8 horizontal
+#: comparisons -> 64 bits (Krawetz's difference hash, the standard cheap
+#: perceptual image fingerprint)
+DHASH_ROWS = 8
+DHASH_COLS = 9
+
+
+def dhash64(img: np.ndarray) -> int:
+    """Difference-hash of a decoded image as a SIGNED 64-bit int (Spark
+    ``long`` two's complement).  All-integer pipeline so the value is
+    bit-identical on any platform:
+
+    - gray  = (299*R + 587*G + 114*B) // 1000 (2-D inputs are already gray)
+    - cell (r, c) = mean (integer //) over the pixel block
+      rows [r*h//8, (r+1)*h//8) x cols [c*w//9, (c+1)*w//9)
+    - bit (r, c) = cell[r][c] < cell[r][c+1], packed MSB-first
+      (bit index r*8+c lands at 63 - (r*8+c))
+    """
+    a = np.asarray(img)
+    if a.ndim == 3:
+        a = a[..., :3].astype(np.int64)
+        gray = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    else:
+        gray = a.astype(np.int64)
+    h, w = gray.shape
+    if h < DHASH_ROWS or w < DHASH_COLS:
+        raise ValueError(f"dhash needs >= {DHASH_ROWS}x{DHASH_COLS}, got {h}x{w}")
+    cells = np.empty((DHASH_ROWS, DHASH_COLS), dtype=np.int64)
+    for r in range(DHASH_ROWS):
+        r0, r1 = r * h // DHASH_ROWS, (r + 1) * h // DHASH_ROWS
+        for c in range(DHASH_COLS):
+            c0, c1 = c * w // DHASH_COLS, (c + 1) * w // DHASH_COLS
+            block = gray[r0:r1, c0:c1]
+            cells[r, c] = int(block.sum()) // block.size
+    v = 0
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            if cells[r, c] < cells[r, c + 1]:
+                v |= 1 << (63 - (r * 8 + c))
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+DHASH_SCHEMA = "blob_id long, dhash long"
+
+
+def image_dhash(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id") -> DataFrame:
+    """Per-image perceptual dHash over REAL codec decode (PNG/baseline
+    JPEG): one Arrow stage, zero exchanges; undecodable blobs yield NULL
+    instead of failing the task (the crawl-side no-task-failure contract).
+
+    Feed the result to ``dedup.hamming_near_pairs(sig_col='dhash')`` for
+    banded near-duplicate image pairs — the image sibling of SimHash text
+    dedup, same Manku blocking, same perfect-recall bound."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    out.append(dhash64(decode_image(b)))
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame(
+                {"blob_id": pdf[id_col].astype("int64"), "dhash": pd.array(out, dtype="Int64")}
+            )
+
+    return df.mapInPandas(gen, schema=DHASH_SCHEMA)
+
+
 def blob_features(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id", dim: int = 16) -> DataFrame:
     """Feature-extraction stage shape: decode -> pooled feature vector.
 
