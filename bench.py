@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "lsh_ann",
     "ivf_ann",
+    "kmeans",
     "revenue_topk",
     "cube_agg",
     "events_hourly",

@@ -1975,6 +1975,15 @@ def q_multimodal_frames(spark, sf):
     return frame_sample(d.where(F.col("blob_id") < 50), n_frames=8, every_k=2)
 
 
+def q_kmeans(spark, sf):  # distributed Lloyd's k-means over embeddings
+    """Integer-quantized full-corpus k-means (operators/similarity.
+    kmeans_assign): 3 Lloyd iterations, first-k seeds, exact long
+    arithmetic; the oracle unrolls every assignment/update round."""
+    from .operators.similarity import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf, "embeddings"), k=8, n_iters=3)
+
+
 def q_image_dups(spark, sf):  # perceptual near-dup image pairs (dHash)
     """8x9 grayscale PNGs built closed-form from doc_id residues are
     encoded to REAL PNG bytes (lossless), decoded back through
@@ -2248,6 +2257,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "combine_boxes": q_combine_boxes,
     "nms_boxes": q_nms_boxes,
     "reading_order": q_reading_order,
+    "kmeans": q_kmeans,
     "image_dups": q_image_dups,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
@@ -3431,6 +3441,65 @@ def _trustrank_oracle_sql(n_iters: int = 5) -> str:
 
 
 ORACLE_SQL["trustrank"] = _trustrank_oracle_sql()
+
+def _kmeans_oracle_sql(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd replay of operators/similarity.kmeans_assign:
+    integer-quantized vectors, first-k seeds, (dist, cl)-ordered argmin,
+    floor(sum/count) centroid update with empty-cluster carryover.
+    MATERIALIZED CTEs — each round references the previous one several
+    times (the HITS-oracle inlining trap)."""
+    sq = (
+        "list_sum(list_transform(range(1, {d} + 1), i ->"
+        " (v.q[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+        " * (v.q[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))"
+    ).format(d=dim)
+    parts = [
+        "WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q"
+        " FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,"
+        f" q AS cv FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT v.vec_id, c.cl, {sq} AS d"
+            f" FROM v CROSS JOIN c{i-1} c)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vec_id, cl, d FROM ("
+            f"SELECT vec_id, cl, d, row_number() OVER"
+            f" (PARTITION BY vec_id ORDER BY d, cl) AS rk FROM d{i}) WHERE rk = 1)"
+        )
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT cl, list(val ORDER BY dim) AS cv FROM ("
+            f"SELECT a.cl, u.i AS dim,"
+            f" CAST(floor(SUM(v.q[CAST(u.i AS INT)]) / CAST(COUNT(*) AS DOUBLE))"
+            f" AS BIGINT) AS val"
+            f" FROM a{i} a JOIN v USING (vec_id),"
+            f" unnest(range(1, {dim} + 1)) AS u(i)"
+            f" GROUP BY a.cl, u.i) GROUP BY cl)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT cl, cv FROM n{i}"
+            f" UNION ALL SELECT cl, cv FROM c{i-1}"
+            f" WHERE cl NOT IN (SELECT cl FROM n{i}))"
+        )
+    parts.append(
+        f"df AS (SELECT v.vec_id, c.cl, {sq} AS d FROM v CROSS JOIN c{n_iters} c)"
+    )
+    parts.append(
+        "af AS (SELECT vec_id, cl, d FROM ("
+        "SELECT vec_id, cl, d, row_number() OVER"
+        " (PARTITION BY vec_id ORDER BY d, cl) AS rk FROM df) WHERE rk = 1)"
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT vec_id, CAST(cl AS INT) AS cluster,"
+        " CAST(d AS BIGINT) AS dist_q FROM af"
+    )
+
+
+ORACLE_SQL["kmeans"] = _kmeans_oracle_sql()
 
 # dHash re-derivation: the PNG round trip is lossless, so the decoded gray
 # grid IS the closed-form residue formula; the hash is the MSB-first packing

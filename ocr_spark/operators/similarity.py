@@ -13,6 +13,8 @@ literal array; ties in top-k break on vec_id.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -382,3 +384,100 @@ def semdedup(
             F.coalesce(~F.col("_rm"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's) — full-corpus clustering, integer-exact
+# ---------------------------------------------------------------------------
+
+KMEANS_QUANT = 1_000_000  # embedding micro-units (floor quantization)
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the FULL embedding table ->
+    (vec_id, cluster:int, dist_q:long).
+
+    The scalable shape (what Spark MLlib's KMeans also does, minus its
+    float nondeterminism): per iteration, assignment is a zero-exchange
+    Column program against BROADCAST centroid literals, and the update is
+    one bounded groupBy — dims explode narrowly to (cluster, dim) keys,
+    map-side partial agg reduces to k*dim rows, the driver rebuilds the
+    literals. Corpus rows are never collected; driver state is k*dim longs
+    per iteration (the same bounded-scalar pattern as dsir/bm25 stats).
+
+    Integer-exact end to end, so the DuckDB oracle replays it bit-for-bit
+    and any partitioning / reduction order gives identical clusters:
+
+    - vectors quantize once: q[i] = floor(double(x[i]) * 1e6) as long
+    - seeds: the k smallest vec_ids' quantized vectors (deterministic
+      "first-k" policy; k-means|| would add exchanges for no test value)
+    - distance: integer squared L2 (exact in long: |q| <= ~2^22 coords,
+      dim * (2*2^22)^2 << 2^63); ties -> lowest cluster index
+    - update: centroid dim = floor(sum / count) via double (sums < 2^53,
+      so the double division is exact and floor matches every engine);
+      empty clusters keep their previous centroid
+    """
+    q = embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(KMEANS_QUANT)).cast("long"),
+        ).alias("q"),
+    )
+    from pyspark import StorageLevel
+
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    seed_rows = q.orderBy("vec_id").limit(k).collect()
+    if not seed_rows:
+        raise ValueError("kmeans_assign: embeddings table is empty")
+    cents = [list(r["q"]) for r in seed_rows]
+    dim = len(cents[0])
+
+    def _assign_cols():
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"),
+                        F.array(*[F.lit(int(v)).cast("long") for v in cent]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for cent in cents
+            ]
+        )
+        best = F.array_min(dists)
+        # first index of the min -> lowest cluster wins ties
+        return (F.array_position(dists, best) - 1).cast("int"), best
+
+    for _ in range(n_iters):
+        cluster, _best = _assign_cols()
+        sums = (
+            q.select(cluster.alias("cluster"), F.posexplode("q").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {(int(r["cluster"]), int(r["dim"])): (int(r["s"]), int(r["n"])) for r in sums}
+        cents = [
+            [
+                (
+                    math.floor(new[(c, d)][0] / new[(c, d)][1])
+                    if (c, d) in new
+                    else cents[c][d]
+                )
+                for d in range(dim)
+            ]
+            for c in range(k)
+        ]
+
+    cluster, best = _assign_cols()
+    out = q.select("vec_id", cluster.alias("cluster"), best.alias("dist_q"))
+    return out

@@ -273,3 +273,61 @@ def test_lsh_candidates_scored_once(spark):
     out = lsh_bucket_topk(e, e.where("vec_id = 0"), k=10, n_tables=4).collect()
     assert len(out) == 5  # each other vector exactly once
     assert all(r.sim == 1.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (operators/similarity.kmeans_assign)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_hand_golden_two_blobs(spark):
+    """Two well-separated 2-D blobs, k=2, seeds = vec_ids 0 (blob A) and 1
+    (blob B): one Lloyd round lands every point in its blob and the
+    assignment is stable from then on."""
+    from ocr_spark.operators.similarity import kmeans_assign
+
+    pts = [
+        (0, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.0, 0.1]),
+        (1, [5.0, 5.0]), (4, [5.1, 5.0]), (5, [5.0, 5.1]),
+    ]
+    e = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cluster for r in kmeans_assign(e, k=2, n_iters=2).collect()}
+    assert got == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1, 5: 1}
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """With k=3 but only two real blobs, the orphaned seed keeps its old
+    centroid (no NaN/missing cluster) and the output still covers every
+    vector."""
+    from ocr_spark.operators.similarity import kmeans_assign
+
+    pts = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [9.0, 9.0]),
+        (3, [9.1, 9.0]), (4, [0.0, 0.1]), (5, [9.0, 9.1]),
+    ]
+    e = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    rows = kmeans_assign(e, k=3, n_iters=3).collect()
+    assert len(rows) == 6
+    assert all(r.cluster in (0, 1, 2) for r in rows)
+
+
+def test_kmeans_partition_invariance(spark):
+    from ocr_spark.operators.similarity import kmeans_assign
+
+    pts = [(i, [float((i * 7) % 13) / 13.0, float((i * 11) % 17) / 17.0, float(i % 5)])
+           for i in range(40)]
+    e = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    a = sorted((r.vec_id, r.cluster, r.dist_q)
+               for r in kmeans_assign(e, k=4, n_iters=2).collect())
+    b = sorted((r.vec_id, r.cluster, r.dist_q)
+               for r in kmeans_assign(e.repartition(13), k=4, n_iters=2).collect())
+    assert a == b
+
+
+def test_kmeans_empty_table_raises(spark):
+    from ocr_spark.operators.similarity import kmeans_assign
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        kmeans_assign(e, k=2)
