@@ -26,6 +26,7 @@ from ocr_spark.sources.pages import pages_df  # noqa: E402
 
 BENCH_QUERIES = [
     "pdf_extract",
+    "markdown_export",
     "dedup_exact",
     "jaccard_pairs",
     "incremental_dedup",

@@ -1975,6 +1975,15 @@ def q_multimodal_frames(spark, sf):
     return frame_sample(d.where(F.col("blob_id") < 50), n_frames=8, every_k=2)
 
 
+def q_markdown_export(spark, sf):  # structured markdown rendering of extraction
+    """Flagship spans -> GFM-ish markdown as a pure Column aggregate on
+    top of the single-python-stage extraction (operators/markdown.py);
+    fixture oracle (extraction itself is not SQL-expressible)."""
+    from .operators.markdown import markdown_export
+
+    return markdown_export(extract_pages(pages_df(spark, sf)))
+
+
 def q_kmeans(spark, sf):  # distributed Lloyd's k-means over embeddings
     """Integer-quantized full-corpus k-means (operators/similarity.
     kmeans_assign): 3 Lloyd iterations, first-k seeds, exact long
@@ -2258,6 +2267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nms_boxes": q_nms_boxes,
     "reading_order": q_reading_order,
     "kmeans": q_kmeans,
+    "markdown_export": q_markdown_export,
     "image_dups": q_image_dups,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
@@ -4394,6 +4404,7 @@ FIXTURE_DIR = _os.path.abspath(
 
 FIXTURE_ORACLES = [
     "flagship_extract",
+    "markdown_export",
     "pdf_extract",
     "charset_sniff",
     "minhash_pairs",
