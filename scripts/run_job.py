@@ -56,6 +56,12 @@ def main():
         "directory",
     )
     ap.add_argument(
+        "--export-postings",
+        help="after the commit, export a term-sorted blocked inverted "
+        "index over the EXTRACTED text (.idx.gz shards + range manifest) "
+        "into this directory",
+    )
+    ap.add_argument(
         "--sidecar-meta",
         help="after the commit, write the fused page-metadata sidecar "
         "(head meta + OpenGraph/JSON-LD + pagination + provenance; ONE "
@@ -140,6 +146,20 @@ def main():
             manifest = export_cdxj(pages, args.export_cdx).collect()
             total = sum(r.n_records for r in manifest)
             print(f"cdx_export files={len(manifest)} records={total}")
+        if args.export_postings:
+            from pyspark.sql import functions as F
+
+            from ocr_spark.sources.invindex import export_postings
+
+            extracted = ManifestTable(os.path.join(args.output, "extracted")).read(
+                spark
+            )
+            docs = extracted.select(
+                F.xxhash64("url").alias("doc_id"), "text"
+            ).withColumn("doc_id", F.abs(F.col("doc_id")))
+            manifest = export_postings(docs, args.export_postings).collect()
+            total = sum(r.n_postings for r in manifest)
+            print(f"postings_export files={len(manifest)} postings={total}")
     finally:
         spark.stop()
 
