@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "vtt_cues",
     "bloom_prefilter",
     "bitext",
+    "bitext_align",
     "ccnet_buckets",
     "refresh_schedule",
     "feed_entries",

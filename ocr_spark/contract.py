@@ -1975,6 +1975,58 @@ def q_multimodal_frames(spark, sf):
     return frame_sample(d.where(F.col("blob_id") < 50), n_frames=8, every_k=2)
 
 
+def q_bitext_align(spark, sf):  # Gale-Church sentence alignment of bitext pairs
+    """Deterministic parallel corpus: text_b per doc is a word-reversed
+    'translation' of text_a's sentences, with every 3rd doc's first two
+    target sentences merged (forcing 2-1 beads) and every 7th doc given a
+    short trailing extra; fixture oracle (per-pair DP is not SQL)."""
+    from .operators.bitext_align import align_bitext
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("pair_id"),
+        F.substring(F.col("text"), 1, 400).alias("raw"),
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ta_out, tb_out = [], []
+            for pid, raw in zip(pdf["pair_id"], pdf["raw"]):
+                pid = int(pid)
+                words = str(raw or "").split()
+                # the corpus text carries no EOS punctuation, so sentence
+                # structure is synthesized: 5-9 words per sentence (length
+                # varies by doc residue)
+                k = 5 + pid % 5
+                sents = [
+                    " ".join(words[i : i + k]).rstrip(".") + "."
+                    for i in range(0, len(words), k)
+                    if words[i : i + k]
+                ]
+                trans = [
+                    " ".join(reversed(s.rstrip(".").split())) + "." for s in sents
+                ]
+                if pid % 3 == 0 and len(trans) >= 2:
+                    # interior EOS would re-split on the align side — strip
+                    # it so the merged target is ONE sentence (a 2-1 bead)
+                    trans = [trans[0].rstrip(".") + " " + trans[1]] + trans[2:]
+                if pid % 7 == 0:
+                    trans.append("Fin.")
+                ta_out.append(" ".join(sents))
+                tb_out.append(" ".join(trans))
+            yield pd.DataFrame(
+                {
+                    "pair_id": pdf["pair_id"].astype("int64"),
+                    "text_a": ta_out,
+                    "text_b": tb_out,
+                }
+            )
+
+    pairs = d.mapInPandas(build, schema="pair_id long, text_a string, text_b string")
+    return align_bitext(pairs)
+
+
 def q_markdown_export(spark, sf):  # structured markdown rendering of extraction
     """Flagship spans -> GFM-ish markdown as a pure Column aggregate on
     top of the single-python-stage extraction (operators/markdown.py);
@@ -2268,6 +2320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reading_order": q_reading_order,
     "kmeans": q_kmeans,
     "markdown_export": q_markdown_export,
+    "bitext_align": q_bitext_align,
     "image_dups": q_image_dups,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
@@ -4405,6 +4458,7 @@ FIXTURE_DIR = _os.path.abspath(
 FIXTURE_ORACLES = [
     "flagship_extract",
     "markdown_export",
+    "bitext_align",
     "pdf_extract",
     "charset_sniff",
     "minhash_pairs",
