@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "simhash_pairs",
     "image_dups",
+    "audio_dups",
     "ann_topk",
     "lsh_ann",
     "ivf_ann",

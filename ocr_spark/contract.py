@@ -1764,6 +1764,46 @@ def q_audio_features(spark, sf):  # REAL WAV decode -> integer features
     return audio_features(blobs)
 
 
+def q_audio_dups(spark, sf):  # audio near-dup pairs (energy fingerprint)
+    """650-sample 16-bit WAVs with closed-form pseudo-random PCM are
+    encoded/decoded through kernels/wavcodec.py (exact int16 round trip),
+    fingerprinted (operators/multimodal.afp64), and paired via the same
+    Manku banding as text SimHash and image dHash; doc_id % 10 == 5 clips
+    perturb the first 5 samples of doc_id - 5 (<= 2 bits).  The oracle
+    re-derives every energy, hash, and pair from the residue formula."""
+    from .operators.dedup import hamming_near_pairs
+    from .operators.multimodal import audio_fingerprint
+
+    d = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") < 2000)
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocr_spark.kernels.wavcodec import wav_encode
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                src = did - 5 if did % 10 == 5 else did
+                i = np.arange(650, dtype=np.int64)
+                s = ((src + 1) * (i * 17 + 31)) % 2001 - 1000
+                if did % 10 == 5:
+                    s = s.copy()
+                    s[:5] += 500
+                blobs.append(wav_encode(s.astype(np.int32), 8000))
+            yield pd.DataFrame(
+                {"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = d.mapInPandas(build, schema="blob_id long, blob binary")
+    sig = audio_fingerprint(blobs)
+    return hamming_near_pairs(
+        sig, sig_col="afp", id_col="blob_id", max_hamming=3, n_blocks=4
+    )
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -2322,6 +2362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markdown_export": q_markdown_export,
     "bitext_align": q_bitext_align,
     "image_dups": q_image_dups,
+    "audio_dups": q_audio_dups,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "chunk_extracted": q_chunk_extracted,
@@ -3563,6 +3604,49 @@ def _kmeans_oracle_sql(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
 
 
 ORACLE_SQL["kmeans"] = _kmeans_oracle_sql()
+
+# audio fingerprint re-derivation: int16 WAV round trip is exact, so frame
+# energies ARE the residue formula; same signed MSB-first packing as dhash
+_AFP_SAMPLE_SQL = (
+    "abs(((src + 1) * (({i}) * 17 + 31)) % 2001 - 1000"
+    " + CASE WHEN pert AND ({i}) < 5 THEN 500 ELSE 0 END)"
+)
+
+ORACLE_SQL["audio_dups"] = f"""
+    WITH ids AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 5 THEN doc_id - 5 ELSE doc_id END AS src,
+               doc_id % 10 = 5 AS pert
+        FROM documents WHERE doc_id < 2000
+    ),
+    en AS (
+        SELECT doc_id,
+               list_transform(range(0, 65), f ->
+                   list_sum(list_transform(range(f * 10, (f + 1) * 10),
+                       i -> {_AFP_SAMPLE_SQL.format(i='i')}))) AS e
+        FROM ids
+    ),
+    raw AS (
+        SELECT doc_id,
+               COALESCE(list_sum(list_transform(range(0, 64),
+                   k -> CASE WHEN e[CAST(k AS INT) + 1] > e[CAST(k AS INT) + 2]
+                             THEN CAST(1 AS HUGEINT) << CAST(63 - k AS INT)
+                             ELSE CAST(0 AS HUGEINT) END)),
+                   CAST(0 AS HUGEINT)) AS h
+        FROM en
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(h - CASE WHEN h >= (CAST(1 AS HUGEINT) << 63)
+                             THEN (CAST(1 AS HUGEINT) << 64)
+                             ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS afp
+        FROM raw
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+"""
 
 # dHash re-derivation: the PNG round trip is lossless, so the decoded gray
 # grid IS the closed-form residue formula; the hash is the MSB-first packing

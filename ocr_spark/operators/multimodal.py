@@ -145,6 +145,63 @@ def dhash64(img: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+#: audio fingerprint: 65 equal frames -> 64 energy comparisons (the same
+#: comparison-sign shape as dHash; chromaprint-family idea at its simplest)
+AFP_FRAMES = 65
+
+
+def afp64(samples: np.ndarray) -> int:
+    """Energy-contour fingerprint of decoded PCM as a SIGNED 64-bit int.
+    All-integer: channels sum together, frame energy = sum(abs(sample)),
+    bit k = energy(k) > energy(k+1), packed MSB-first; needs >= 65
+    samples."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 2:
+        s = s.sum(axis=1)
+    n = s.shape[0]
+    if n < AFP_FRAMES:
+        raise ValueError(f"afp64 needs >= {AFP_FRAMES} samples, got {n}")
+    mag = np.abs(s)
+    energies = [
+        int(mag[f * n // AFP_FRAMES : (f + 1) * n // AFP_FRAMES].sum())
+        for f in range(AFP_FRAMES)
+    ]
+    v = 0
+    for k in range(AFP_FRAMES - 1):
+        if energies[k] > energies[k + 1]:
+            v |= 1 << (63 - k)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+AFP_SCHEMA = "blob_id long, afp long"
+
+
+def audio_fingerprint(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id") -> DataFrame:
+    """Per-clip fingerprint over REAL WAV decode (kernels/wavcodec.py):
+    one Arrow stage, zero exchanges; undecodable/too-short blobs yield
+    NULL.  Feed to ``dedup.hamming_near_pairs(sig_col='afp')`` — the
+    audio leg of the text/image/audio near-dup triad."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.wavcodec import wav_decode
+
+        for pdf in batches:
+            out = []
+            for blob in pdf[blob_col]:
+                try:
+                    samples, _rate = wav_decode(bytes(blob))
+                    out.append(afp64(samples))
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame(
+                {"blob_id": pdf[id_col].astype("int64"), "afp": pd.array(out, dtype="Int64")}
+            )
+
+    return df.mapInPandas(gen, schema=AFP_SCHEMA)
+
+
 DHASH_SCHEMA = "blob_id long, dhash long"
 
 

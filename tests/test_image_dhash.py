@@ -80,3 +80,46 @@ def test_hamming_near_pairs_generic_recall(spark):
         for r in hamming_near_pairs(df, sig_col="sig", max_hamming=3).collect()
     }
     assert pairs == {(0, 1): 1}
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint (operators/multimodal.afp64 / audio_fingerprint)
+# ---------------------------------------------------------------------------
+
+def test_afp_bit_layout_and_channels():
+    from ocr_spark.operators.multimodal import afp64
+
+    # strictly decreasing energy staircase -> every comparison true -> -1
+    s = np.repeat(np.arange(65, 0, -1) * 10, 10).astype(np.int64)
+    assert afp64(s) == -1
+    # increasing -> 0
+    assert afp64(np.repeat(np.arange(65) * 10, 10)) == 0
+    # stereo sums channels BEFORE the energy: a channel pair that cancels
+    # to zero fingerprints like silence
+    mono = np.repeat(np.arange(65, 0, -1) * 10, 10).astype(np.int64)
+    stereo = np.stack([mono, -mono], axis=1)
+    assert afp64(stereo) == 0
+
+
+def test_afp_too_short_raises():
+    from ocr_spark.operators.multimodal import afp64
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="65"):
+        afp64(np.zeros(64, dtype=np.int64))
+
+
+def test_audio_fingerprint_spark_real_wav_and_null(spark):
+    from ocr_spark.kernels.wavcodec import wav_encode
+    from ocr_spark.operators.multimodal import afp64, audio_fingerprint
+
+    s = ((np.arange(650) * 37 + 11) % 1801 - 900).astype(np.int32)
+    rows = [
+        (0, bytearray(wav_encode(s, 8000))),
+        (1, bytearray(b"RIFFgarbage")),
+    ]
+    df = spark.createDataFrame(rows, "blob_id long, blob binary")
+    got = {r["blob_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert got[0] == afp64(s.astype(np.int64))
+    assert got[1] is None
