@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "meta_robots",
     "video_frames",
     "domain_split",
+    "domain_prior",
     "unimax",
     "vtt_cues",
     "bloom_prefilter",

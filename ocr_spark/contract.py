@@ -1653,6 +1653,30 @@ def q_domain_split(spark, sf):  # leakage-safe train/val/test by eTLD+1
     return leakage_safe_split(hosts)
 
 
+def q_domain_prior(spark, sf):  # site-level quality prior by eTLD+1
+    """12 synthetic sites across three PSL suffix classes group the
+    corpus; the oracle re-derives domain, integer quality, prior, and
+    delta entirely in SQL."""
+    from .operators.urls import domain_quality_prior
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    m = (F.col("doc_id") % 12).cast("string")
+    suffix = (
+        F.when(F.col("doc_id") % 12 % 3 == 0, F.lit(".com"))
+        .when(F.col("doc_id") % 12 % 3 == 1, F.lit(".co.uk"))
+        .otherwise(F.lit(".github.io"))
+    )
+    sub = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("www.")
+    ).otherwise(F.concat(F.lit("sub"), F.col("doc_id").cast("string"), F.lit(".")))
+    hosts = d.select(
+        "doc_id",
+        "text",
+        F.concat(sub, F.lit("site"), m, suffix).alias("host"),
+    )
+    return domain_quality_prior(hosts)
+
+
 def q_video_frames(spark, sf):  # REAL AVI container decode -> frame rows
     """Raw-DIB AVI blobs (3-5 uniform 8x6 frames, per-frame value from
     doc_id residues) are ENCODED to real RIFF/AVI bytes and DECODED back
@@ -2338,6 +2362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "registrable_domain": q_registrable_domain,
     "meta_robots": q_meta_robots,
     "domain_split": q_domain_split,
+    "domain_prior": q_domain_prior,
     "unimax": q_unimax,
     "bloom_prefilter": q_bloom_prefilter,
     "bitext": q_bitext,
@@ -3604,6 +3629,49 @@ def _kmeans_oracle_sql(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
 
 
 ORACLE_SQL["kmeans"] = _kmeans_oracle_sql()
+
+ORACLE_SQL["domain_prior"] = r"""
+    WITH hosts AS (
+        SELECT doc_id, text,
+               'site' || CAST(doc_id % 12 AS VARCHAR) ||
+               CASE (doc_id % 12) % 3
+                   WHEN 0 THEN '.com'
+                   WHEN 1 THEN '.co.uk'
+                   ELSE '.github.io' END AS domain
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, domain,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digits,
+               length(text) - length(replace(text, ' ', '')) AS n_spaces,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                               w -> w <> '')) AS n_tokens
+        FROM hosts
+    ),
+    scored AS (
+        SELECT doc_id, domain,
+               CASE WHEN n_tokens >= 5
+                         AND (n_chars - n_spaces) >= 2 * n_tokens
+                         AND (n_chars - n_spaces) <= 12 * n_tokens
+                         AND n_chars > 0
+                    THEN 1000 - CAST(floor((1000 * n_digits)
+                                           / CAST(n_chars AS DOUBLE)) AS BIGINT)
+                    ELSE 0 END AS q_milli
+        FROM q
+    ),
+    agg AS (
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs_domain,
+               CAST(floor(SUM(q_milli) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                   AS prior_milli
+        FROM scored GROUP BY domain
+    )
+    SELECT s.doc_id, s.domain, CAST(s.q_milli AS BIGINT) AS q_milli,
+           a.n_docs_domain, a.prior_milli,
+           CAST(s.q_milli - a.prior_milli AS BIGINT) AS delta_milli
+    FROM scored s JOIN agg a USING (domain)
+"""
 
 # audio fingerprint re-derivation: int16 WAV round trip is exact, so frame
 # energies ARE the residue formula; same signed MSB-first packing as dhash

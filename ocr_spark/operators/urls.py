@@ -308,3 +308,66 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
         .cast("int")
         .alias("digit_milli"),
     )
+
+
+def domain_quality_prior(
+    df: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Site-level quality prior (the RefinedWeb/Gopher site-curation
+    signal): per-document integer quality folded to its REGISTRABLE
+    DOMAIN (never the raw hostname — subdomain farms would dilute the
+    prior the same way they dilute leakage_safe_split), then joined back
+    so each page carries (own score, site prior, delta).
+
+    All-integer scoring, so the DuckDB oracle replays it exactly:
+
+        q_milli = 1000 - (1000 * n_digits) // n_chars   if the gates pass
+                  (n_tokens >= 5 AND 2*n_tokens <= n_alpha_chars
+                   <= 12*n_tokens, the integer form of the avg-token-len
+                   gate in text_analysis.quality_features), else 0
+
+    Scale shape: domain derivation is free Column algebra on the scan;
+    ONE domain groupBy (map-side partial agg, output bounded by distinct
+    domains); the per-domain table is BROADCAST back (a domain table is
+    millions of rows at web scale — far under executor memory), so pages
+    never shuffle. prior_milli = floor(sum/count) via double (exact
+    below 2^53)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_digits = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_spaces = n_chars - F.length(F.regexp_replace(t, r" ", ""))
+    n_alpha = n_chars - n_spaces
+    n_tokens = F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != ""))
+    q_milli = F.when(
+        (n_tokens >= 5)
+        & (n_alpha >= 2 * n_tokens)
+        & (n_alpha <= 12 * n_tokens)
+        & (n_chars > 0),
+        F.lit(1000) - F.floor((F.lit(1000) * n_digits) / n_chars),
+    ).otherwise(F.lit(0)).cast("long")
+
+    per_doc = registrable_domain(
+        df.select(id_col, host_col, text_col), host_col
+    ).select(
+        id_col,
+        F.coalesce(F.col("registrable_domain"), F.col("public_suffix")).alias(
+            "domain"
+        ),
+        q_milli.alias("q_milli"),
+    )
+    agg = per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_domain"),
+        F.floor(F.sum("q_milli") / F.count(F.lit(1))).cast("long").alias("prior_milli"),
+    )
+    return per_doc.join(F.broadcast(agg), "domain").select(
+        id_col,
+        "domain",
+        "q_milli",
+        "n_docs_domain",
+        "prior_milli",
+        (F.col("q_milli") - F.col("prior_milli")).cast("long").alias("delta_milli"),
+    )

@@ -304,3 +304,32 @@ def test_url_features_plan_zero_exchange_zero_python(spark):
     df = url_features(spark.createDataFrame([("https://a.example/x",)], "url string"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_domain_prior_groups_by_etld1_and_broadcasts(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.urls import domain_quality_prior
+
+    rows = [
+        (0, "www.a.co.uk", "clean text with several plain words here"),
+        (1, "sub.a.co.uk", "numbers 11 22 33 44 55 66 77 88 99 00"),
+        (2, "b.com", "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = domain_quality_prior(df)
+    got = {r.doc_id: r for r in out.collect()}
+    # subdomains fold into ONE site
+    assert got[0].domain == "a.co.uk" and got[1].domain == "a.co.uk"
+    assert got[0].n_docs_domain == 2
+    # doc 0: 0 digits -> 1000; doc 1: 37 chars, 9 spaces, 10 tokens ->
+    # avg token len 2.8 passes the gate; 20 digits -> 1000-floor(20000/37)
+    assert got[0].q_milli == 1000
+    assert got[1].q_milli == 1000 - (1000 * 20) // 37
+    assert got[0].prior_milli == (got[0].q_milli + got[1].q_milli) // 2
+    assert got[0].delta_milli == got[0].q_milli - got[0].prior_milli
+    # doc 2 fails the n_tokens gate -> 0
+    assert got[2].q_milli == 0 and got[2].n_docs_domain == 1
+    # the join back must be broadcast: pages never shuffle on domain
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
