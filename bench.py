@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "markdown_export",
     "dedup_exact",
     "jaccard_pairs",
+    "winnow_pairs",
     "incremental_dedup",
     "minhash_pairs",
     "simhash_pairs",

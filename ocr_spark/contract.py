@@ -991,6 +991,22 @@ def q_jaccard_pairs(spark, sf):  # near-dup: 3-gram-shingle Jaccard (exact, pref
     return dedup_ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
+def q_winnow(spark, sf):  # winnowing fingerprints (Schleimer 2003 / MOSS)
+    """Local document fingerprints: token 4-gram hashes, rightmost
+    minimum per window of 4, distinct (pos, fp) per doc.  One narrow
+    zero-shuffle projection; the oracle re-derives every token hash,
+    gram hash, and window minimum with DuckDB list algebra."""
+    return dedup_ops.winnow_fingerprints(_t(spark, sf, "documents"))
+
+
+def q_winnow_pairs(spark, sf):  # MOSS overlap pairs from shared fingerprints
+    """Posting-list self-join on winnowing fingerprint VALUES with a
+    document-frequency cap (stop-fingerprints dropped before the join,
+    bounding per-key fan-out at any corpus size); pairs sharing >= 2
+    distinct values survive."""
+    return dedup_ops.winnow_pairs(_t(spark, sf, "documents"))
+
+
 def q_dedup_keep_best(spark, sf):  # near-dup retention policy
     """Clusters from the exact-Jaccard pair list collapse to their best
     member (max n_chars, tie min doc_id); singletons always kept. The
@@ -2299,6 +2315,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid": q_langid,
     "repetition": q_repetition,
     "jaccard_pairs": q_jaccard_pairs,
+    "winnow": q_winnow,
+    "winnow_pairs": q_winnow_pairs,
     "incremental_dedup": q_incremental_dedup,
     "ann_topk": q_ann_topk,
     "cube_agg": q_cube_agg,
@@ -3755,6 +3773,55 @@ ORACLE_SQL["image_dups"] = f"""
            CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
     FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+# winnowing: token poly-hash (31-fold mod 1e9+7) -> gram hash (37-fold over
+# the k token hashes) -> rightmost window minimum; k = w = 4 throughout
+_WINNOW_FP_SQL = r"""
+    toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+    th AS (SELECT doc_id,
+           list_transform(t, word -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(split(word, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007)) AS h FROM toks),
+    gh AS (SELECT doc_id,
+           CASE WHEN len(h) >= 4 THEN
+               list_transform(range(0, len(h) - 3), i -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_slice(h, CAST(i AS INT) + 1, CAST(i AS INT) + 4)),
+                   (a, b) -> (a * 37 + b) % 1000000007))
+           ELSE [] END AS g FROM th)
+"""
+
+ORACLE_SQL["winnow"] = f"""
+    WITH {_WINNOW_FP_SQL},
+    wins AS (SELECT doc_id,
+           list_transform(range(0, len(g) - 3), i ->
+               {{'pos': CAST(list_max(list_filter(range(i, i + 4),
+                           j -> g[CAST(j AS INT) + 1] =
+                                list_min(list_slice(g, CAST(i AS INT) + 1,
+                                                       CAST(i AS INT) + 4)))) AS INT),
+                'fp': list_min(list_slice(g, CAST(i AS INT) + 1,
+                                             CAST(i AS INT) + 4))}}) AS fps
+           FROM gh WHERE len(g) >= 4),
+    ex AS (SELECT doc_id, unnest(fps) AS s FROM wins)
+    SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM ex
+"""
+
+ORACLE_SQL["winnow_pairs"] = f"""
+    WITH {_WINNOW_FP_SQL},
+    wins AS (SELECT doc_id,
+           list_transform(range(0, len(g) - 3), i ->
+               list_min(list_slice(g, CAST(i AS INT) + 1, CAST(i AS INT) + 4))) AS fps
+           FROM gh WHERE len(g) >= 4),
+    fp AS (SELECT DISTINCT doc_id AS doc, unnest(fps) AS fp FROM wins),
+    good AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+    post AS (SELECT doc, fp.fp FROM fp JOIN good USING (fp))
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
+    FROM post a JOIN post b ON a.fp = b.fp AND a.doc < b.doc
+    GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 

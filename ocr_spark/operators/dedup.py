@@ -697,3 +697,129 @@ def dedup_keep_best(
         "cluster_id",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — MOSS)
+# ---------------------------------------------------------------------------
+
+#: second-level multiplier for hashing a k-gram from its token hashes
+#: (distinct from the per-token POLY_MULT=31 so "a b" and "ab" differ)
+GRAM_MULT = 37
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, §4 — the
+    MOSS algorithm): token k-gram hashes -> in each sliding window of
+    ``w`` consecutive hashes keep the minimum, rightmost occurrence on
+    ties -> distinct (pos, fp) pairs per document.
+
+    Guarantee (the paper's correctness property): any shared substring of
+    at least ``w + k - 1`` tokens between two documents yields at least
+    one shared fingerprint *value*, and density is bounded (~2/(w+1) of
+    all gram hashes are selected) — local fingerprinting, unlike MinHash,
+    so it also localizes WHERE the overlap is (``pos`` = gram index).
+
+    Scale shape: pure Column algebra over per-document arrays — ONE
+    narrow projection, zero shuffles, zero Python.  Hashes are the
+    portable polynomial fold (corpus_filters._poly_hash) composed with a
+    second-level fold over the k token hashes (O(k) per gram, not
+    O(k * chars)), so the DuckDB oracle re-derives values exactly.
+
+    Output: (id_col, pos:int, fp:long) — documents shorter than
+    ``w + k - 1`` tokens emit no rows (no window exists).
+    """
+    from .corpus_filters import POLY_MOD, _poly_hash, _tokens
+
+    th = F.transform(_tokens(F.col(text_col)), lambda t: _poly_hash(t))
+    d = df.select(F.col(id_col), th.alias("_th"))
+
+    d = d.select(
+        id_col,
+        F.when(
+            F.size("_th") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_th") - k),
+                lambda i: F.aggregate(
+                    F.slice(F.col("_th"), i + 1, k),
+                    F.lit(0).cast("long"),
+                    lambda a, x: (a * F.lit(GRAM_MULT) + x) % F.lit(POLY_MOD),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("_gh"),
+    )
+
+    def _win(i):
+        mn = F.array_min(F.slice(F.col("_gh"), i + 1, w))
+        pos = F.array_max(
+            F.filter(
+                F.sequence(i, i + w - 1),
+                lambda j: F.element_at(F.col("_gh"), j + 1) == mn,
+            )
+        )
+        return F.struct(pos.cast("int").alias("pos"), mn.alias("fp"))
+
+    sel = F.when(
+        F.size("_gh") >= w,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(0), F.size("_gh") - w), _win)
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,fp:long>>"))
+    return d.select(id_col, F.explode(sel).alias("_s")).select(
+        id_col, F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document-overlap candidate pairs from shared winnowing
+    fingerprints — the MOSS pairing step as a posting-list self-join.
+
+    Fingerprint *values* appearing in more than ``max_df`` documents are
+    dropped before the join (stop-fingerprints — boilerplate fragments;
+    the exact analogue of stop-shingle capping in prefix-filtered
+    Jaccard), so the self-join key distribution is bounded: every
+    surviving posting list has <= max_df entries => <= max_df^2 pair
+    rows per key, no hot keys at any corpus size.  Pairs sharing >=
+    ``min_shared`` distinct fingerprint values are emitted.
+
+    Output: (doc_a, doc_b, shared:long), doc_a < doc_b.
+    """
+    fps = (
+        winnow_fingerprints(df, text_col=text_col, id_col=id_col, k=k, w=w)
+        .select(F.col(id_col).alias("doc"), "fp")
+        .distinct()
+    )
+    good = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("fp")
+    )
+    post = fps.join(good, "fp")
+    a = post.select(F.col("doc").alias("doc_a"), "fp")
+    b = post.select(F.col("doc").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
