@@ -1844,6 +1844,61 @@ def q_audio_dups(spark, sf):  # audio near-dup pairs (energy fingerprint)
     )
 
 
+def q_video_dups(spark, sf):  # video near-dup pairs (majority-vote frame dHash)
+    """7-frame 8x9 grayscale AVIs (raw-DIB frames — exact byte round
+    trip through kernels/avicodec.py) built closed-form from doc_id
+    residues are decoded, per-frame dHashed, majority-pooled into a
+    64-bit video fingerprint (operators/multimodal.vfp64), and paired
+    via the SAME Manku banding as text SimHash / image dHash / audio
+    afp64 — completing the near-dup family across all four modalities.
+    doc_id % 10 == 5 videos perturb pixel (0,0) of EVERY frame of
+    doc_id - 5 (a global overlay edit: flips at most the (0,0)
+    comparison in each frame, so vfp hamming <= 1 by construction).
+    The oracle re-derives every gray level, frame bit, majority vote,
+    and pair from the residue formula."""
+    from .operators.dedup import hamming_near_pairs
+    from .operators.multimodal import video_fingerprint
+
+    d = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") < 2000)
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocr_spark.kernels.avicodec import avi_encode
+
+        r = np.arange(8)[:, None]
+        c = np.arange(9)[None, :]
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                src = did - 5 if did % 10 == 5 else did
+                frames = []
+                for f in range(7):
+                    # quadratic column term: a LINEAR c coefficient makes
+                    # gray(c+1) - gray(c) constant per row, so whole rows of
+                    # comparisons flip together and unrelated videos collide
+                    base = (src + 1) * (r * 131 + c * c * 29 + c * 31 + 7) + (
+                        f + 1
+                    ) * (r * 59 + c * 17 + 11)
+                    if did % 10 == 5:
+                        base = base.copy()
+                        base[0, 0] += 40
+                    g = (base % 256).astype(np.uint8)
+                    frames.append(np.stack([g, g, g], axis=-1))
+                blobs.append(avi_encode(frames))
+            yield pd.DataFrame(
+                {"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    vids = d.mapInPandas(build, schema="blob_id long, blob binary")
+    sig = video_fingerprint(vids).drop("n_frames")
+    return hamming_near_pairs(
+        sig, sig_col="vfp", id_col="blob_id", max_hamming=3, n_blocks=4
+    )
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -2406,6 +2461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_align": q_bitext_align,
     "image_dups": q_image_dups,
     "audio_dups": q_audio_dups,
+    "video_dups": q_video_dups,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "chunk_extracted": q_chunk_extracted,
@@ -3773,6 +3829,47 @@ ORACLE_SQL["image_dups"] = f"""
            CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
     FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+# video fingerprint re-derivation: raw-DIB AVI frames round-trip exactly, so
+# each frame's gray grid IS the residue formula; per-frame dHash bits are
+# majority-voted over the 7 frames (> 3 of 7), then packed signed MSB-first
+_VFP_GRAY_SQL = (
+    "(((src + 1) * (({r}) * 131 + ({c}) * ({c}) * 29 + ({c}) * 31 + 7)"
+    " + (f + 1) * (({r}) * 59 + ({c}) * 17 + 11)"
+    " + CASE WHEN pert AND ({r}) = 0 AND ({c}) = 0 THEN 40 ELSE 0 END) % 256)"
+)
+
+ORACLE_SQL["video_dups"] = f"""
+    WITH ids AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 5 THEN doc_id - 5 ELSE doc_id END AS src,
+               doc_id % 10 = 5 AS pert
+        FROM documents WHERE doc_id < 2000
+    ),
+    raw AS (
+        SELECT doc_id,
+               COALESCE(list_sum(list_transform(range(0, 64),
+                   k -> CASE WHEN list_sum(list_transform(range(0, 7), f ->
+                             CASE WHEN {_VFP_GRAY_SQL.format(r='k // 8', c='k % 8')}
+                                      < {_VFP_GRAY_SQL.format(r='k // 8', c='k % 8 + 1')}
+                                  THEN 1 ELSE 0 END)) > 3
+                             THEN CAST(1 AS HUGEINT) << CAST(63 - k AS INT)
+                             ELSE CAST(0 AS HUGEINT) END)),
+                   CAST(0 AS HUGEINT)) AS h
+        FROM ids
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(h - CASE WHEN h >= (CAST(1 AS HUGEINT) << 63)
+                             THEN (CAST(1 AS HUGEINT) << 64)
+                             ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS vfp
+        FROM raw
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.vfp, b.vfp)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.vfp, b.vfp)) <= 3
 """
 
 # winnowing: token poly-hash (31-fold mod 1e9+7) -> gram hash (37-fold over

@@ -463,3 +463,71 @@ def frame_sample(
             )
 
     return df.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+VFP_SCHEMA = "blob_id long, vfp long, n_frames int"
+
+
+def vfp64(frames: list[np.ndarray]) -> int:
+    """Video fingerprint: per-frame :func:`dhash64`, then per-bit STRICT
+    majority vote across frames, packed back into a SIGNED 64-bit int.
+
+    Temporal aggregation makes the signature robust to single-frame noise
+    (an intro card or one corrupted frame cannot move a majority of
+    frames), while a global edit — a logo overlay, a crop — shifts the
+    same comparison in every frame and therefore the vote.  This is the
+    frame-hash + temporal-pooling shape of practical video copy
+    detection, at its all-integer simplest."""
+    if not frames:
+        raise ValueError("vfp64 needs at least one frame")
+    counts = [0] * 64
+    for fr in frames:
+        u = dhash64(fr)
+        if u < 0:
+            u += 1 << 64
+        for k in range(64):
+            counts[k] += (u >> (63 - k)) & 1
+    v = 0
+    for k in range(64):
+        if 2 * counts[k] > len(frames):
+            v |= 1 << (63 - k)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def video_fingerprint(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id"
+) -> DataFrame:
+    """Per-video perceptual fingerprint over REAL AVI container decode
+    (kernels/avicodec.py — raw-DIB frames are exact, MJPEG via the repo's
+    JPEG decoder): one Arrow stage, zero exchanges; undecodable blobs
+    yield NULL vfp (the crawl-side no-task-failure contract).
+
+    Feed the result to ``dedup.hamming_near_pairs(sig_col='vfp')`` — the
+    video leg of the text/image/audio/video near-dup family, same Manku
+    banding, same perfect-recall bound."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.avicodec import AviError, avi_decode_frames
+
+        for pdf in batches:
+            sig, nfr = [], []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    frames, _, _, _ = avi_decode_frames(b)
+                    sig.append(vfp64(frames))
+                    nfr.append(len(frames))
+                except (AviError, ValueError):
+                    sig.append(None)
+                    nfr.append(0)
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf[id_col].astype("int64"),
+                    "vfp": pd.array(sig, dtype="Int64"),
+                    "n_frames": pd.array(nfr, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(gen, schema=VFP_SCHEMA)
