@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "image_dups",
     "audio_dups",
+    "video_dups",
+    "cdc_chunks",
     "ann_topk",
     "lsh_ann",
     "ivf_ann",

@@ -1899,6 +1899,47 @@ def q_video_dups(spark, sf):  # video near-dup pairs (majority-vote frame dHash)
     )
 
 
+def q_cdc_chunks(spark, sf):  # content-defined chunking storage dedup
+    """LBFS/FastCDC-style payload chunking (kernels/cdc.py): cubic-residue
+    payloads (aperiodic mod 126, 192-432 bytes) are cut wherever the
+    trailing-8-byte polynomial hash is divisible by 64; doc_id % 10 == 5
+    payloads prepend a 16-byte edit to doc_id - 5's bytes, so chunk
+    hashes REALIGN after the first shared boundary — the content-defined
+    property fixed-size blocks lack.  One Arrow chunking stage + one
+    window exchange on the uniformly-distributed chunk hash for reference
+    counts.  The oracle re-derives every byte, window hash, cut, md5, and
+    ref count from the residue formula with DuckDB list algebra."""
+    from .operators import cdc as cdc_ops
+
+    d = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") < 1500)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                src = did - 5 if did % 10 == 5 else did
+                L = 192 + (src % 5) * 48
+                base = bytes(
+                    ((src + 1) * (i * i * i + 5 * i + 11)) % 9973 % 126 + 1
+                    for i in range(L)
+                )
+                if did % 10 == 5:
+                    base = (
+                        bytes((did * 37 + i * 11 + 5) % 126 + 1 for i in range(16))
+                        + base
+                    )
+                blobs.append(base)
+            yield pd.DataFrame(
+                {"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = d.mapInPandas(build, schema="blob_id long, blob binary")
+    return cdc_ops.chunk_refs(cdc_ops.payload_chunks(blobs))
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -2462,6 +2503,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_dups": q_image_dups,
     "audio_dups": q_audio_dups,
     "video_dups": q_video_dups,
+    "cdc_chunks": q_cdc_chunks,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "chunk_extracted": q_chunk_extracted,
@@ -3870,6 +3912,63 @@ ORACLE_SQL["video_dups"] = f"""
            CAST(bit_count(xor(a.vfp, b.vfp)) AS INT) AS hamming
     FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.vfp, b.vfp)) <= 3
+"""
+
+# CDC storage dedup: bytes from the cubic residue formula, trailing-8-byte
+# polynomial window hash (coefficients 31^7..31^0, no overflow below 2^63),
+# cut where hash % 1e9+7 % 64 == 0, md5 over chr()-built ASCII-range chunks
+# (bytes are 1..126 so UTF-8 encoding is the identity), ref counts windowed
+# on the chunk hash
+ORACLE_SQL["cdc_chunks"] = """
+    WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 5 THEN doc_id - 5 ELSE doc_id END AS s,
+               doc_id % 10 = 5 AS pert
+        FROM documents WHERE doc_id < 1500
+    ), byt AS (
+        SELECT doc_id,
+               list_concat(
+                   CASE WHEN pert THEN list_transform(range(0, 16),
+                       i -> (doc_id * 37 + i * 11 + 5) % 126 + 1)
+                        ELSE CAST([] AS BIGINT[]) END,
+                   list_transform(range(0, 192 + (s % 5) * 48),
+                       i -> ((s + 1) * (i * i * i + 5 * i + 11)) % 9973 % 126 + 1)
+               ) AS b
+        FROM src
+    ), cut AS (
+        SELECT doc_id, b, len(b) AS L,
+               list_filter(range(7, len(b)), i ->
+                   list_sum(list_transform(range(0, 8),
+                       j -> b[i - 6 + j] * ([27512614111, 887503681, 28629151,
+                                             923521, 29791, 961, 31, 1])[j + 1]
+                   )) % 1000000007 % 64 = 0) AS hits
+        FROM byt
+    ), ends AS (
+        SELECT doc_id, b,
+               CASE WHEN len(hits) = 0 OR hits[-1] != L - 1
+                    THEN list_append(hits, L - 1) ELSE hits END AS e
+        FROM cut
+    ), chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(e) + 1), k -> struct_pack(
+                   chunk_idx := k - 1,
+                   off := CASE WHEN k = 1 THEN 0 ELSE e[k - 1] + 1 END,
+                   endp := e[k]
+               ))) AS c,
+               b
+        FROM ends
+    ), flat AS (
+        SELECT doc_id AS blob_id,
+               CAST(c.chunk_idx AS INT) AS chunk_idx,
+               CAST(c.off AS INT) AS "offset",
+               CAST(c.endp - c.off + 1 AS INT) AS length,
+               md5(list_aggregate(list_transform(range(c.off + 1, c.endp + 2),
+                   x -> chr(CAST(b[x] AS INT))), 'string_agg', '')) AS chunk_md5
+        FROM chunks
+    )
+    SELECT blob_id, chunk_idx, "offset", length, chunk_md5,
+           CAST(COUNT(*) OVER (PARTITION BY chunk_md5) AS INT) AS ref_count
+    FROM flat
 """
 
 # winnowing: token poly-hash (31-fold mod 1e9+7) -> gram hash (37-fold over
