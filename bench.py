@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "quality",
     "repetition",
     "bpe_tokens",
+    "unigram_segment",
     "url_canon",
     "line_dedup",
     "charset_sniff",

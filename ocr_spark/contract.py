@@ -1940,6 +1940,38 @@ def q_cdc_chunks(spark, sf):  # content-defined chunking storage dedup
     return cdc_ops.chunk_refs(cdc_ops.payload_chunks(blobs))
 
 
+def q_unigram_segment(spark, sf):  # unigram-LM subword tokenization
+    """SentencePiece-unigram segmentation (Kudo 2018) with exact integer
+    Viterbi over a literal milli-log-prob vocab: corpus words (lowercased
+    a-z tokens, len 1..10) unioned with closed-form synthetic words built
+    from doc_id residues (the corpus vocabulary alone is tiny).  The
+    oracle enumerates ALL 2^(L-1) cut masks per word in DuckDB list
+    algebra and must land on the identical (score, smallest-mask)
+    optimum — the strongest possible check of the DP's tie-break."""
+    from .operators.tokenize import unigram_segment_table
+
+    d = _t(spark, sf, "documents")
+    corpus = (
+        d.where(F.col("doc_id") < 2000)
+        .select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " ")
+            ).alias("word")
+        )
+        .where((F.length("word") >= 1) & (F.length("word") <= 10))
+    )
+    synth = d.where(F.col("doc_id") < 2000).select(
+        F.expr(
+            "array_join(transform(sequence(0, 2 + CAST(doc_id % 8 AS INT)), "
+            "j -> chr(97 + CAST(((doc_id + 1) * (j * j * 7 + j * 3 + 1) "
+            "+ (doc_id div 26) * (j + 1)) % 26 AS INT))"
+            "), '') "
+        ).alias("word")
+    )
+    words = corpus.union(synth).distinct()
+    return unigram_segment_table(words)
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -2504,6 +2536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_dups": q_audio_dups,
     "video_dups": q_video_dups,
     "cdc_chunks": q_cdc_chunks,
+    "unigram_segment": q_unigram_segment,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "chunk_extracted": q_chunk_extracted,
@@ -3969,6 +4002,67 @@ ORACLE_SQL["cdc_chunks"] = """
     SELECT blob_id, chunk_idx, "offset", length, chunk_md5,
            CAST(COUNT(*) OVER (PARTITION BY chunk_md5) AS INT) AS ref_count
     FROM flat
+"""
+
+# unigram segmentation: the oracle scores EVERY cut mask of every word with
+# the same literal vocab (rendered from operators.tokenize.UNIGRAM_VOCAB —
+# one source of truth) and picks (max score, min mask); DuckDB 1.0 map
+# lookup returns a list, hence the [1] + COALESCE fallback ladder
+from .operators.tokenize import UNIGRAM_VOCAB as _UVOCAB
+from .operators.tokenize import UNK_MILLI as _UNK
+
+_UVOCAB_SQL = "MAP {" + ", ".join(f"'{k}': {v}" for k, v in _UVOCAB.items()) + "}"
+
+ORACLE_SQL["unigram_segment"] = f"""
+    WITH corpus AS (
+        SELECT unnest(string_split(
+                   regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
+        FROM documents WHERE doc_id < 2000
+    ), synth AS (
+        SELECT list_aggregate(list_transform(range(0, 3 + doc_id % 8),
+                   j -> chr(97 + CAST(((doc_id + 1) * (j * j * 7 + j * 3 + 1)
+                                       + (doc_id // 26) * (j + 1)) % 26
+                                      AS INT))), 'string_agg', '') AS word
+        FROM documents WHERE doc_id < 2000
+    ), words AS (
+        SELECT DISTINCT word FROM (
+            SELECT word FROM corpus WHERE length(word) BETWEEN 1 AND 10
+            UNION ALL SELECT word FROM synth
+        )
+    ), masks AS (
+        SELECT word,
+               unnest(range(0, CAST(1 AS BIGINT) << (length(word) - 1))) AS m
+        FROM words
+    ), seg AS (
+        SELECT word, m,
+            list_prepend(CAST(0 AS BIGINT),
+                list_filter(range(1, length(word)),
+                            i -> (m >> CAST(i - 1 AS INT)) & 1 = 1)) AS starts,
+            list_append(
+                list_filter(range(1, length(word)),
+                            i -> (m >> CAST(i - 1 AS INT)) & 1 = 1),
+                CAST(length(word) AS BIGINT)) AS ends
+        FROM masks
+    ), pieces AS (
+        SELECT word, m,
+            list_transform(range(1, len(starts) + 1),
+                k -> word[CAST(starts[k] + 1 AS INT) : CAST(ends[k] AS INT)]) AS ps
+        FROM seg
+    ), scored AS (
+        SELECT word, m, ps,
+            list_sum(list_transform(ps, p ->
+                COALESCE(({_UVOCAB_SQL})[p][1],
+                         CASE WHEN length(p) = 1 THEN {_UNK}
+                              ELSE -100000000 END))) AS score
+        FROM pieces
+    )
+    SELECT word,
+           list_aggregate(ps, 'string_agg', ' ') AS segmentation,
+           CAST(score AS BIGINT) AS score_milli,
+           CAST(len(ps) AS INT) AS n_pieces,
+           CAST(m AS BIGINT) AS cut_mask
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY word ORDER BY score DESC, m ASC) = 1
 """
 
 # winnowing: token poly-hash (31-fold mod 1e9+7) -> gram hash (37-fold over
