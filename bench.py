@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "langid",
     "quality",
     "repetition",
+    "readability",
     "bpe_tokens",
     "unigram_segment",
     "url_canon",

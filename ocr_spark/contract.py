@@ -1972,6 +1972,18 @@ def q_unigram_segment(spark, sf):  # unigram-LM subword tokenization
     return unigram_segment_table(words)
 
 
+def q_readability(spark, sf):  # Flesch / FK-grade readability gate
+    """Integer-exact readability (text_analysis.readability_scores):
+    sentence segments, a-z word tokens, heuristic vowel-run syllables,
+    then Flesch reading ease and FK grade as single-step BIGINT floor
+    divisions in micro-units.  Pure Column program, zero exchanges; the
+    oracle re-derives every count and both scores with the same list
+    algebra in DuckDB."""
+    from .operators.text_analysis import readability_scores
+
+    return readability_scores(_t(spark, sf, "documents"))
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -2537,6 +2549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_dups": q_video_dups,
     "cdc_chunks": q_cdc_chunks,
     "unigram_segment": q_unigram_segment,
+    "readability": q_readability,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "chunk_extracted": q_chunk_extracted,
@@ -4002,6 +4015,41 @@ ORACLE_SQL["cdc_chunks"] = """
     SELECT blob_id, chunk_idx, "offset", length, chunk_md5,
            CAST(COUNT(*) OVER (PARTITION BY chunk_md5) AS INT) AS ref_count
     FROM flat
+"""
+
+# readability: same tokenizations, same vowel-run syllable heuristic, same
+# single-step BIGINT floor divisions (// == Spark's div for the positive
+# operands here); list_sum([]) is NULL in DuckDB hence the COALESCE
+ORACLE_SQL["readability"] = """
+    WITH base AS (
+        SELECT doc_id,
+               GREATEST(1, len(list_filter(
+                   string_split_regex(text, '[.!?]+'),
+                   s -> trim(s) != ''))) AS n_sentences,
+               list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                   w -> w != '') AS words
+        FROM documents
+    ), cnt AS (
+        SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(COALESCE(list_sum(list_transform(words, w ->
+                   GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))
+                       - CASE WHEN w LIKE '%e'
+                                   AND len(regexp_extract_all(w, '[aeiouy]+')) > 1
+                              THEN 1 ELSE 0 END))), 0) AS BIGINT) AS n_syllables
+        FROM base
+    )
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+           CASE WHEN n_words > 0 THEN 206835000
+                    - (1015000 * n_words) // n_sentences
+                    - (84600000 * n_syllables) // n_words
+           END AS flesch_micro,
+           CASE WHEN n_words > 0 THEN
+                    (390000 * n_words) // n_sentences
+                    + (11800000 * n_syllables) // n_words - 15590000
+           END AS fk_grade_micro
+    FROM cnt
 """
 
 # unigram segmentation: the oracle scores EVERY cut mask of every word with

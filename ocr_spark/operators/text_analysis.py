@@ -165,3 +165,65 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
             ).alias("top_2gram_frac"),
         )
     )
+
+
+def syllable_count(word: Column) -> Column:
+    """Deterministic heuristic syllable count: vowel-group runs
+    ([aeiouy]+), minus one for a silent trailing 'e' when more than one
+    run exists, floored at 1.  Chosen for exact SQL portability (the
+    oracle re-derives it with regexp_extract_all), not phonetic truth —
+    the standard engineering stance for Flesch at corpus scale."""
+    runs = F.size(F.regexp_extract_all(word, F.lit("[aeiouy]+"), F.lit(0)))
+    silent_e = (word.endswith("e") & (runs > 1)).cast("int")
+    return F.greatest(F.lit(1), runs - silent_e)
+
+
+def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade in EXACT integer
+    micro-units (single-step BIGINT floor divisions, so the DuckDB
+    oracle reproduces every value bit-for-bit — the repo's integer
+    quantization contract).  Pure Column program: words and sentence
+    segments come from split/filter arrays, per-word syllables fold via
+    F.aggregate — zero exchanges, zero Python, whole-stage codegen."""
+    text = F.col(text_col)
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(text), "[^a-z]+", " "), " "),
+        lambda w: w != "",
+    )
+    sentences = F.greatest(
+        F.lit(1),
+        F.size(F.filter(F.split(text, "[.!?]+"), lambda s: F.trim(s) != "")),
+    ).cast("long")
+    n_words = F.size(words).cast("long")
+    syll = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0)))
+            - (w.endswith("e") & (F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))) > 1)).cast("int"),
+        ).cast("long"),
+    )
+    d = df.select(
+        "doc_id",
+        sentences.alias("n_sentences"),
+        n_words.alias("n_words"),
+        syll.alias("n_syllables"),
+    )
+    wps = F.expr("1015000 * n_words div n_sentences")
+    spw = F.expr("84600000 * n_syllables div n_words")
+    fk_wps = F.expr("390000 * n_words div n_sentences")
+    fk_spw = F.expr("11800000 * n_syllables div n_words")
+    return d.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.when(F.col("n_words") > 0, F.lit(206835000) - wps - spw)
+        .cast("long")
+        .alias("flesch_micro"),
+        F.when(F.col("n_words") > 0, fk_wps + fk_spw - F.lit(15590000))
+        .cast("long")
+        .alias("fk_grade_micro"),
+    )
