@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "quality",
     "repetition",
     "readability",
+    "blocklist",
     "bpe_tokens",
     "unigram_segment",
     "url_canon",

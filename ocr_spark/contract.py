@@ -1984,6 +1984,29 @@ def q_readability(spark, sf):  # Flesch / FK-grade readability gate
     return readability_scores(_t(spark, sf, "documents"))
 
 
+def q_blocklist(spark, sf):  # Aho-Corasick keyword-blocklist gate
+    """Multi-pattern blocklist over lower(text) with planted spam
+    suffixes (doc_id % 7 == 3 gets 'click here to bet now winner',
+    % 7 == 5 gets 'xxxx casino lottery' — the xxxx yields TWO
+    overlapping 'xxx' matches, pinning the all-occurrences semantics).
+    One Aho-Corasick Arrow stage, zero exchanges; the oracle rescans
+    every pattern at every position with substring equality."""
+    from .operators.corpus_filters import blocklist_flags
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 3, F.lit(" click here to bet now winner")
+            )
+            .when(F.col("doc_id") % 7 == 5, F.lit(" xxxx casino lottery"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return blocklist_flags(d)
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -2550,6 +2573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_chunks": q_cdc_chunks,
     "unigram_segment": q_unigram_segment,
     "readability": q_readability,
+    "blocklist": q_blocklist,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "chunk_extracted": q_chunk_extracted,
@@ -4015,6 +4039,39 @@ ORACLE_SQL["cdc_chunks"] = """
     SELECT blob_id, chunk_idx, "offset", length, chunk_md5,
            CAST(COUNT(*) OVER (PARTITION BY chunk_md5) AS INT) AS ref_count
     FROM flat
+"""
+
+# blocklist: the oracle scans EVERY pattern at EVERY position (substring
+# equality — counts overlapping matches exactly like the automaton); the
+# pattern list renders from corpus_filters.BLOCKLIST_PATTERNS
+from .operators.corpus_filters import BLOCKLIST_PATTERNS as _BLK
+
+_BLK_SQL = "[" + ", ".join(f"'{p}'" for p in _BLK) + "]"
+
+ORACLE_SQL["blocklist"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               lower(text || CASE WHEN doc_id % 7 = 3
+                                  THEN ' click here to bet now winner'
+                                  WHEN doc_id % 7 = 5
+                                  THEN ' xxxx casino lottery'
+                                  ELSE '' END) AS t
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, p,
+               list_filter(range(1, len(t) - len(p) + 2),
+                   i -> t[CAST(i AS INT) : CAST(i + len(p) - 1 AS INT)] = p) AS pos
+        FROM t CROSS JOIN (SELECT unnest({_BLK_SQL}) AS p)
+    )
+    SELECT doc_id,
+           CAST(SUM(len(pos)) AS INT) AS n_hits,
+           CAST(SUM(CASE WHEN len(pos) > 0 THEN 1 ELSE 0 END) AS INT)
+               AS n_patterns_hit,
+           CAST(MIN(CASE WHEN len(pos) > 0 THEN list_min(pos) END) AS INT)
+               AS first_hit_pos,
+           SUM(len(pos)) > 0 AS blocked
+    FROM hits
+    GROUP BY doc_id
 """
 
 # readability: same tokenizations, same vowel-run syllable heuristic, same

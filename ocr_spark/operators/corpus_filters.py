@@ -817,3 +817,66 @@ def compression_ratio(
         "is_repetitive",
         F.coalesce(F.col("compress_milli") < repetitive_below, F.lit(False)),
     )
+
+
+# --------------------------------------------------------------------------
+# multi-pattern blocklist gate (Aho-Corasick)
+# --------------------------------------------------------------------------
+
+#: Literal demo blocklist (UT1/Dolma-style keyword gate) shared with the
+#: DuckDB oracle — lowercase, matched over lower(text), overlaps counted.
+BLOCKLIST_PATTERNS = (
+    "casino", "viagra", "lottery", "jackpot", "xxx",
+    "free money", "click here", "winner", "porn", "bet now",
+)
+
+
+def blocklist_flags(
+    df: DataFrame,
+    patterns: tuple[str, ...] = BLOCKLIST_PATTERNS,
+    *,
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Keyword-blocklist gate: (doc_id, n_hits, n_patterns_hit,
+    first_hit_pos, blocked).  ONE Aho-Corasick pass per document finds
+    ALL occurrences of every pattern (overlaps included) — O(text +
+    matches) regardless of blocklist size, vs the O(patterns x text) of
+    per-pattern scans.  The automaton ships in the closure (built once
+    per executor); one Arrow stage, zero exchanges.  ``first_hit_pos``
+    is the 1-based START of the earliest match, the same coordinate the
+    oracle's substring scan produces; blocked = n_hits > max_hits."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.aho import AhoCorasick
+
+        ac = AhoCorasick(list(patterns))
+        for pdf in batches:
+            out = {"doc_id": [], "n_hits": [], "n_patterns_hit": [],
+                   "first_hit_pos": [], "blocked": []}
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                hits = ac.find_all(str(text).lower())
+                out["doc_id"].append(int(did))
+                out["n_hits"].append(len(hits))
+                out["n_patterns_hit"].append(len({i for _, i in hits}))
+                out["first_hit_pos"].append(
+                    min(p for p, _ in hits) + 1 if hits else None
+                )
+                out["blocked"].append(len(hits) > max_hits)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                    "n_hits": pd.array(out["n_hits"], dtype="int32"),
+                    "n_patterns_hit": pd.array(out["n_patterns_hit"], dtype="int32"),
+                    "first_hit_pos": pd.array(out["first_hit_pos"], dtype="Int32"),
+                    "blocked": out["blocked"],
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        gen,
+        schema="doc_id long, n_hits int, n_patterns_hit int, "
+        "first_hit_pos int, blocked boolean",
+    )
