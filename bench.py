@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "dup_spans",
     "decontaminate",
     "stratified_sample",
+    "shuffle_shards",
     "url_latest",
     "redirects",
     "snapshot_drift",

@@ -2007,6 +2007,16 @@ def q_blocklist(spark, sf):  # Aho-Corasick keyword-blocklist gate
     return blocklist_flags(d)
 
 
+def q_shuffle_shards(spark, sf):  # deterministic training-shard shuffle
+    """Reproducible corpus permutation + hash sharding (the training-
+    export tail): overflow-safe multiplicative-hash key, shard = key %
+    n, per-shard rank.  ONE exchange; the oracle replays the identical
+    integer arithmetic and window."""
+    from .operators.corpus_filters import shuffle_shards
+
+    return shuffle_shards(_t(spark, sf, "documents"))
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -2574,6 +2584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_segment": q_unigram_segment,
     "readability": q_readability,
     "blocklist": q_blocklist,
+    "shuffle_shards": q_shuffle_shards,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "chunk_extracted": q_chunk_extracted,
@@ -4039,6 +4050,21 @@ ORACLE_SQL["cdc_chunks"] = """
     SELECT blob_id, chunk_idx, "offset", length, chunk_md5,
            CAST(COUNT(*) OVER (PARTITION BY chunk_md5) AS INT) AS ref_count
     FROM flat
+"""
+
+# shuffle shards: identical integer permutation + window in SQL
+ORACLE_SQL["shuffle_shards"] = """
+    WITH k AS (
+        SELECT doc_id,
+               ((doc_id % 2147483648) * 2654435761 + 17) % 4294967296
+                   AS shuffle_key
+        FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(shuffle_key % 8 AS INT) AS shard,
+           ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+                              ORDER BY shuffle_key, doc_id) AS pos_in_shard
+    FROM k
 """
 
 # blocklist: the oracle scans EVERY pattern at EVERY position (substring

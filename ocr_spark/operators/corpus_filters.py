@@ -880,3 +880,33 @@ def blocklist_flags(
         schema="doc_id long, n_hits int, n_patterns_hit int, "
         "first_hit_pos int, blocked boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic corpus shuffle + training shards
+# --------------------------------------------------------------------------
+
+def shuffle_shards(
+    df: DataFrame, *, n_shards: int = 8, seed: int = 17
+) -> DataFrame:
+    """The training-export tail every corpus pipeline ends with: a
+    reproducible pseudo-random order, sharded for parallel data loaders.
+
+    shard = shuffle_key % n_shards (hash sharding — balanced by
+    construction, no sampled range bounds to drift between runs);
+    pos_in_shard = rank by (shuffle_key, doc_id) within the shard.  The
+    shuffle key is the same overflow-safe multiplicative hash as
+    :func:`stratified_sample` with the seed folded in, so the permutation
+    is deterministic across engines, runs, AND parallelism levels —
+    rand() reshuffles differently per run and per partitioning, which
+    breaks resumable training.  ONE exchange (the per-shard window);
+    doc_id tie-break makes colliding keys stable."""
+    key = ((F.col("doc_id") % F.lit(U31)) * F.lit(KNUTH) + F.lit(seed)) % F.lit(U32)
+    shard = (key % F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        df.select("doc_id", key.alias("shuffle_key"), shard.alias("shard"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+    )
