@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "combine_boxes",
     "training_pipeline",
     "langid",
+    "ct_langid",
     "quality",
     "repetition",
     "readability",

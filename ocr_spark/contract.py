@@ -2017,6 +2017,38 @@ def q_shuffle_shards(spark, sf):  # deterministic training-shard shuffle
     return shuffle_shards(_t(spark, sf, "documents"))
 
 
+_CT_MARKS = {
+    "en": "the and of",
+    "fr": "le la et",
+    "de": "der und die",
+    "es": "el los que",
+    "zh": "de shi bu le",
+}
+
+
+def q_ct_langid(spark, sf):  # Cavnar-Trenkle n-gram language ID
+    """Trained rank-profile language ID (Cavnar & Trenkle 1994): letter
+    bigram counts -> per-language top-20 rank profiles (trained from the
+    corpus itself, two bounded aggs) -> out-of-place distance argmin.
+    The synthetic corpus text carries no language signal, so each doc
+    gets its language's marker phrase planted 3x — the classifier then
+    has real signal and the pytest asserts accuracy.  Profiles and the
+    language list are broadcast (bounded model tables); per-doc work
+    exchanges on doc_id only.  The oracle replays every gram, count,
+    rank, distance, and tie-break."""
+    from .operators.text_analysis import ct_classify
+
+    mark = F.create_map(
+        *[F.lit(x) for kv in _CT_MARKS.items() for x in kv]
+    )[F.col("lang")]
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat_ws(" ", F.col("text"), mark, mark, mark).alias("text"),
+    )
+    return ct_classify(d)
+
+
 def q_sort_boxes_sql(spark, sf):  # W7 SQL-expressible orderings
     b = _synth_boxes(spark, sf)
     corner = Window.partitionBy("url").orderBy(
@@ -2585,6 +2617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability": q_readability,
     "blocklist": q_blocklist,
     "shuffle_shards": q_shuffle_shards,
+    "ct_langid": q_ct_langid,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "chunk_extracted": q_chunk_extracted,
@@ -4050,6 +4083,57 @@ ORACLE_SQL["cdc_chunks"] = """
     SELECT blob_id, chunk_idx, "offset", length, chunk_md5,
            CAST(COUNT(*) OVER (PARTITION BY chunk_md5) AS INT) AS ref_count
     FROM flat
+"""
+
+# Cavnar-Trenkle language ID: the oracle re-derives planted text, bigram
+# lists, per-lang and per-doc rank profiles, out-of-place distances with
+# the top_k=20 missing penalty, and the (distance, lang) argmin
+_CT_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in _CT_MARKS.items()
+) + " END"
+
+ORACLE_SQL["ct_langid"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               lower(text || ' ' || {_CT_CASE} || ' ' || {_CT_CASE}
+                          || ' ' || {_CT_CASE}) AS s
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(
+                   list_transform(range(1, greatest(2, length(s))),
+                       i -> s[CAST(i AS INT) : CAST(i + 1 AS INT)]),
+                   g -> regexp_matches(g, '^[a-z]{{2}}$'))) AS g
+        FROM t
+    ), lang_cnt AS (
+        SELECT lang, g, COUNT(*) AS cnt FROM grams GROUP BY lang, g
+    ), prof AS (
+        SELECT lang AS pred_lang, g, lang_rank FROM (
+            SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY cnt DESC, g ASC) AS lang_rank
+            FROM lang_cnt
+        ) WHERE lang_rank <= 20
+    ), doc_cnt AS (
+        SELECT doc_id, lang AS true_lang, g, COUNT(*) AS cnt
+        FROM grams GROUP BY doc_id, lang, g
+    ), dg AS (
+        SELECT doc_id, true_lang, g, doc_rank FROM (
+            SELECT doc_id, true_lang, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, g ASC) AS doc_rank
+            FROM doc_cnt
+        ) WHERE doc_rank <= 20
+    ), dist AS (
+        SELECT dg.doc_id, dg.true_lang, pl.pred_lang,
+               SUM(COALESCE(ABS(dg.doc_rank - p.lang_rank), 20)) AS distance
+        FROM dg
+        CROSS JOIN (SELECT DISTINCT pred_lang FROM prof) pl
+        LEFT JOIN prof p ON p.pred_lang = pl.pred_lang AND p.g = dg.g
+        GROUP BY dg.doc_id, dg.true_lang, pl.pred_lang
+    )
+    SELECT doc_id, true_lang, pred_lang, CAST(distance AS BIGINT) AS distance
+    FROM dist
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY distance ASC, pred_lang ASC) = 1
 """
 
 # shuffle shards: identical integer permutation + window in SQL

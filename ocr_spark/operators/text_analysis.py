@@ -11,7 +11,7 @@ and the emission filter's quality gates
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny per-language stopword markers; deterministic and SQL-expressible in
 # any engine (the DuckDB oracle uses the same LIKE predicates)
@@ -226,4 +226,84 @@ def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(F.col("n_words") > 0, fk_wps + fk_spw - F.lit(15590000))
         .cast("long")
         .alias("fk_grade_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cavnar-Trenkle n-gram language ID (1994, SDAIR) — langid v2
+# --------------------------------------------------------------------------
+
+def _letter_bigrams(col_name: str) -> Column:
+    """Letter bigrams of lower(<col>) as a Column array — pure expr
+    algebra, identical list comprehension in the oracle."""
+    s = f"lower(`{col_name}`)"
+    return F.expr(
+        f"filter(transform(sequence(1, greatest(1, length({s}) - 1)), "
+        f"i -> substring({s}, i, 2)), g -> g rlike '^[a-z]{{2}}$')"
+    )
+
+
+def ct_profiles(docs: DataFrame, *, top_k: int = 20, text_col: str = "text") -> DataFrame:
+    """Per-language rank profile: top_k letter bigrams by (count desc,
+    gram asc).  Trained FROM the corpus itself via two bounded
+    aggregations; the output is at most n_langs * top_k rows — the
+    broadcastable model table."""
+    grams = _letter_bigrams(text_col)
+    cnt = (
+        docs.select("lang", F.explode(grams).alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
+    return (
+        cnt.withColumn("lang_rank", F.row_number().over(w))
+        .where(F.col("lang_rank") <= top_k)
+        .select("lang", "g", "lang_rank")
+    )
+
+
+def ct_classify(
+    docs: DataFrame, *, top_k: int = 20, top_m: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Cavnar-Trenkle out-of-place classification: rank the document's
+    own top_m bigrams, sum |doc_rank - profile_rank| against every
+    language profile (missing grams cost the full penalty = top_k), and
+    take the argmin language (ties break lexicographically).
+
+    Scale shape: doc-gram counting and ranking exchange on doc_id only;
+    the profile and language tables are bounded and BROADCAST, so
+    classification adds no corpus-wide shuffle beyond the per-doc
+    aggregations.  Integer distances — the oracle replays every rank and
+    sum exactly."""
+    profiles = ct_profiles(docs, top_k=top_k, text_col=text_col)
+    grams = _letter_bigrams(text_col)
+    doc_cnt = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"), F.explode(grams).alias("g"))
+        .groupBy("doc_id", "true_lang", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
+    dg = (
+        doc_cnt.withColumn("doc_rank", F.row_number().over(wd))
+        .where(F.col("doc_rank") <= top_m)
+        .select("doc_id", "true_lang", "g", "doc_rank")
+    )
+    plangs = profiles.select(F.col("lang").alias("pred_lang")).distinct()
+    prof = profiles.select(
+        F.col("lang").alias("pred_lang"), "g", "lang_rank"
+    )
+    cand = dg.join(F.broadcast(plangs))
+    scored = cand.join(F.broadcast(prof), ["pred_lang", "g"], "left")
+    dist = scored.groupBy("doc_id", "true_lang", "pred_lang").agg(
+        F.sum(
+            F.coalesce(
+                F.abs(F.col("doc_rank") - F.col("lang_rank")), F.lit(top_k)
+            )
+        ).alias("distance")
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.asc("distance"), F.asc("pred_lang"))
+    return (
+        dist.withColumn("rk", F.row_number().over(wb))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "true_lang", "pred_lang", F.col("distance").cast("long").alias("distance"))
     )
