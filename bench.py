@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "heavy_hitters",
     "hll_distinct",
+    "length_quantiles",
 ]
 
 

@@ -923,6 +923,18 @@ def q_page_links(spark, sf):  # link graph: byte-level anchor extraction
     return extract_page_links(pages_df(spark, sf))
 
 
+def q_html_tables(spark, sf):  # relational lift of web tables
+    """REAL path: charset-aware decode + table/tr/td cell scan over the raw
+    html bytes -> (url, table_idx, row_idx, col_idx, cell) grid rows. The
+    oracle re-derives every cell from the corpus-construction residues
+    (sources/pages.py: header row (key,val) + data rows (row{r},
+    (doc_id+r)%100)) — two independent derivations that must agree
+    cell-for-cell."""
+    from .operators.html_tables import extract_html_tables
+
+    return extract_html_tables(pages_df(spark, sf))
+
+
 def q_link_hosts(spark, sf):  # inter-host edge rollup of the link graph
     from .operators.link_graph import extract_page_links, host_graph
 
@@ -1049,6 +1061,18 @@ def q_hll_distinct(spark, sf):  # HyperLogLog distinct-count sketch
     est = hll_estimate(hll_registers(keys, "key", m=128), m=128)
     exact = keys.agg(F.countDistinct("key").cast("long").alias("exact_distinct"))
     return est.crossJoin(exact)
+
+
+def q_length_quantiles(spark, sf):  # HDR-histogram quantile sketch
+    """Document-length P50/P90/P99/P99.9 through the log2/linear HDR
+    bucket sketch — distribution shape from ONE bounded aggregation, no
+    global sort. Integer bucketing (length(bin(v))-1 exponent, v - v%2^s
+    lower bound) makes every bucket and quantile bit-identical in the
+    oracle's re-derivation."""
+    from .operators.sketches import hdr_buckets, hdr_quantiles
+
+    lens = _t(spark, sf, "documents").select(F.length("text").alias("v"))
+    return hdr_quantiles(hdr_buckets(lens, "v", sub_bits=5)).orderBy("q_milli")
 
 
 def q_incremental_dedup(spark, sf):
@@ -2562,6 +2586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "refresh_schedule": q_refresh_schedule,
     "token_budget": q_token_budget,
     "page_links": q_page_links,
+    "html_tables": q_html_tables,
     "anchor_summary": q_anchor_summary,
     "link_hosts": q_link_hosts,
     "pagerank": q_pagerank,
@@ -2594,6 +2619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "heavy_hitters": q_heavy_hitters,
     "hll_distinct": q_hll_distinct,
+    "length_quantiles": q_length_quantiles,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -3722,6 +3748,26 @@ ORACLE_SQL["page_links"] = f"""
         SELECT url, dst_url, anchor, pos FROM nav
         UNION ALL
         SELECT url, dst_url, anchor, pos FROM rel
+"""
+
+ORACLE_SQL["html_tables"] = f"""
+        WITH src AS ({_LINK_SRC_SQL}),
+        hdr AS (
+            SELECT url, 0 AS row_idx, u.c AS col_idx,
+                   CASE u.c WHEN 0 THEN 'key' ELSE 'val' END AS cell
+            FROM src, unnest(range(0, 2)) AS u(c)
+        ),
+        data AS (
+            SELECT url, CAST(u.r + 1 AS INTEGER) AS row_idx, v.c AS col_idx,
+                   CASE v.c WHEN 0 THEN 'row' || CAST(u.r AS VARCHAR)
+                            ELSE CAST((doc_id + u.r) % 100 AS VARCHAR)
+                   END AS cell
+            FROM src, unnest(range(0, 2)) AS u(r), unnest(range(0, 2)) AS v(c)
+        )
+        SELECT url, CAST(0 AS INTEGER) AS table_idx,
+               CAST(row_idx AS INTEGER) AS row_idx,
+               CAST(col_idx AS INTEGER) AS col_idx, cell
+        FROM (SELECT * FROM hdr UNION ALL SELECT * FROM data)
 """
 
 ORACLE_SQL["anchor_summary"] = f"""
@@ -5005,6 +5051,28 @@ ORACLE_SQL["hll_distinct"] = """
                 // (1000 * harmonic_scaled) AS BIGINT) AS estimate,
            (SELECT CAST(count(*) AS BIGINT) FROM keys) AS exact_distinct
     FROM agg
+"""
+
+ORACLE_SQL["length_quantiles"] = """
+    WITH v AS (
+        SELECT greatest(CAST(length(text) AS BIGINT), 1) AS v FROM documents
+    ), sh AS (
+        SELECT v, greatest(length(bin(v)) - 1 - 5, 0) AS shift FROM v
+    ), lbs AS (
+        SELECT v - v % CAST(power(2, shift) AS BIGINT) AS lb FROM sh
+    ), buckets AS (
+        SELECT lb, CAST(count(*) AS BIGINT) AS cnt FROM lbs GROUP BY 1
+    ), cums AS (
+        SELECT lb,
+               CAST(sum(cnt) OVER (ORDER BY lb) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS total
+        FROM buckets
+    ), qs AS (SELECT q_milli FROM (VALUES (500), (900), (990), (999)) q(q_milli))
+    SELECT CAST(q.q_milli AS INT) AS q_milli,
+           CAST(min(c.lb) AS BIGINT) AS est,
+           CAST(min(c.total) AS BIGINT) AS total
+    FROM qs q JOIN cums c ON c.cum * 1000 >= q.q_milli * c.total
+    GROUP BY 1
 """
 
 ORACLE_SQL["dedup_keep_best"] = """

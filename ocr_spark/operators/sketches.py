@@ -186,6 +186,57 @@ def hll_registers(df: DataFrame, key_col: str = "key", *, m: int = 128) -> DataF
     )
 
 
+def hdr_buckets(df: DataFrame, value_col: str, *, sub_bits: int = 5) -> DataFrame:
+    """HDR-histogram quantile sketch (Tene's HdrHistogram bucketing; same
+    guarantee family as DDSketch, Masson et al. 2019): positive values
+    collapse onto log2-spaced buckets with ``2^sub_bits`` linear
+    sub-buckets per octave, so the bucket LOWER BOUND underestimates the
+    true value by a relative error < 2^-sub_bits. Completes the sketch
+    toolbox: CMS = frequency, HLL = cardinality, HDR = distribution shape
+    (corpus length/score percentiles WITHOUT a global sort).
+
+    Bucketing is pure integer arithmetic — exponent via length(bin(v))-1
+    (both engines print minimal binary), lower bound via v - v % 2^shift —
+    so every bucket and quantile is bit-identical under any partitioning
+    and exactly re-derivable by the DuckDB oracle. ONE map-side-combined
+    exchange; the partial agg is the per-partition histogram and the merge
+    adds counts (mergeability from Spark's partial-agg machinery, as with
+    cms_build/hll_registers). Output is bounded by 64 * 2^sub_bits rows
+    whatever the corpus size.
+
+    Values are clamped to >= 1 (zero/negative land in the first bucket —
+    corpus stats here are lengths/counts, never negative)."""
+    v = F.greatest(F.col(value_col).cast("long"), F.lit(1).cast("long"))
+    exp = (F.length(F.bin(v)) - 1).cast("int")
+    shift = F.greatest(exp - F.lit(sub_bits), F.lit(0))
+    # 2^shift is a power of two: exact in binary64 for any shift < 63.
+    pw = F.pow(F.lit(2.0), shift.cast("double")).cast("long")
+    lb = (v - v % pw).alias("lb")
+    return df.select(lb).groupBy("lb").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def hdr_quantiles(
+    buckets: DataFrame, *, q_millis: tuple = (500, 900, 990, 999)
+) -> DataFrame:
+    """Quantile estimates from the bounded bucket table: for each q (in
+    milli-units), rank = ceil(q * N / 1000) and the estimate is the lower
+    bound of the first bucket whose cumulative count reaches the rank —
+    integer-exact end to end. The window sort runs over the <= 64*2^b
+    bucket rows, never the corpus. Output: (q_milli, est, total)."""
+    from pyspark.sql import Window
+
+    cum = F.sum("cnt").over(Window.orderBy("lb").rowsBetween(Window.unboundedPreceding, 0))
+    total = F.sum("cnt").over(Window.partitionBy())
+    b = buckets.select("lb", cum.alias("cum"), total.alias("total"))
+    qs = F.explode(F.array(*[F.lit(int(q)) for q in q_millis])).alias("q_milli")
+    return (
+        b.select("lb", "cum", "total", qs)
+        .where(F.col("cum") * 1000 >= F.col("q_milli") * F.col("total"))
+        .groupBy("q_milli")
+        .agg(F.min("lb").alias("est"), F.first("total").alias("total"))
+    )
+
+
 def hll_estimate(registers: DataFrame, *, m: int = 128) -> DataFrame:
     """Raw HLL estimate from the register table, integer-exact:
 

@@ -61,7 +61,7 @@ class ManifestTable:
             s for s in self._load_manifest() if s["commit_id"] != commit_id
         ]
         manifest.append(
-            {"commit_id": commit_id, "path": path, "ts": time.time()}
+            {"commit_id": commit_id, "path": path, "ts": time.time(), "op": "append"}
         )
         self._save_manifest(manifest)
         return commit_id
@@ -117,6 +117,7 @@ class ManifestTable:
                 "commit_id": cid,
                 "path": path,
                 "ts": time.time(),
+                "op": "compact",
                 "replaces": sorted(s["commit_id"] for s in vis),
             }
         )
@@ -181,11 +182,53 @@ class ManifestTable:
                 "commit_id": cid,
                 "path": path,
                 "ts": time.time(),
+                "op": "merge",
                 "replaces": sorted(s["commit_id"] for s in affected),
             }
         )
         self._save_manifest(manifest)
         return cid
+
+    def read_changes(self, spark, since: int, until: int | None = None):
+        """Iceberg incremental (append) scan: rows ADDED by commits with
+        ``since < commit_id <= until`` — the consumption contract that lets
+        a downstream pipeline (dedup increment, index refresh, WET export)
+        process each crawl batch exactly once by remembering only the last
+        commit id it saw.
+
+        Commit-type semantics match Iceberg's incremental read:
+        - append commits stream their files verbatim;
+        - compaction commits are SKIPPED — they rewrite existing rows and
+          add none, so including them would double-count every compacted
+          row for any reader whose window spans the compaction;
+        - merge (overwrite) commits raise: their new-row delta is not
+          recoverable from the snapshot alone (Iceberg likewise refuses to
+          incrementally scan overwrite snapshots).
+
+        Returns None when the window holds no appended rows."""
+        window = [
+            s
+            for s in self._load_manifest()
+            if s["commit_id"] > since
+            and (until is None or s["commit_id"] <= until)
+        ]
+        paths = []
+        for s in window:
+            # legacy entries (pre-"op") carry no marker: entries that
+            # replace others are rewrites, plain entries are appends
+            op = s.get("op", "merge" if s.get("replaces") else "append")
+            if op == "append":
+                paths.append(s["path"])
+            elif op == "merge":
+                raise ValueError(
+                    f"read_changes: commit {s['commit_id']} is an overwrite "
+                    "(merge); its append-delta is not derivable from the "
+                    "snapshot — consume merges via read(as_of=...) diffs"
+                )
+            # op == "compact": rewrite only, skip
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
 
     def expire(self) -> list[int]:
         """Iceberg expire_snapshots: physically delete every data directory

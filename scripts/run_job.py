@@ -50,6 +50,18 @@ def main():
         "(.warc.wet.gz conversion records) into this directory",
     )
     ap.add_argument(
+        "--export-jsonl",
+        help="after the commit, export the extracted table as Dolma-style "
+        "training shards (.jsonl.gz, one JSON document per line) into "
+        "this directory",
+    )
+    ap.add_argument(
+        "--export-wat",
+        help="after the commit, export per-page metadata sidecars as WAT "
+        "(.warc.wat.gz metadata records with JSON envelopes: head meta + "
+        "outlinks) into this directory",
+    )
+    ap.add_argument(
         "--export-cdx",
         help="after the commit, export the INPUT pages as a SURT-sorted "
         "CDXJ url index (.cdxj.gz shards + range manifest) into this "
@@ -132,6 +144,21 @@ def main():
             manifest = export_wet(extracted, args.export_wet).collect()
             total = sum(r.n_records for r in manifest)
             print(f"wet_export files={len(manifest)} records={total}")
+        if args.export_wat:
+            from ocr_spark.sources.wat import export_wat
+
+            manifest = export_wat(pages, args.export_wat).collect()
+            total = sum(r.n_records for r in manifest)
+            print(f"wat_export files={len(manifest)} records={total}")
+        if args.export_jsonl:
+            from ocr_spark.sources.jsonl import export_jsonl
+
+            extracted = ManifestTable(os.path.join(args.output, "extracted")).read(
+                spark
+            )
+            manifest = export_jsonl(extracted, args.export_jsonl).collect()
+            total = sum(r.n_records for r in manifest)
+            print(f"jsonl_export files={len(manifest)} records={total}")
         if args.sidecar_meta:
             from ocr_spark.operators.page_meta import extract_meta_sidecar
 

@@ -180,3 +180,42 @@ def test_merge_pure_insert_replaces_nothing(spark, tmp_path):
     entry = next(s for s in tbl.snapshots if s["commit_id"] == cid)
     assert entry["replaces"] == []
     assert tbl.read(spark).count() == 13
+
+
+def test_read_changes_incremental_appends(spark, tmp_path):
+    """Incremental scan: exactly the rows of commits in (since, until],
+    consumed once per window — the downstream-pipeline contract."""
+    tbl = _mk(spark, tmp_path)  # commits 0,1,2
+    assert _ids(spark, tbl.read_changes(spark, since=-1)) == _ids(spark, tbl.read(spark))
+    assert _ids(spark, tbl.read_changes(spark, since=0)) == [
+        100, 101, 102, 103, 200, 201, 202, 203
+    ]
+    assert _ids(spark, tbl.read_changes(spark, since=0, until=1)) == [100, 101, 102, 103]
+    assert tbl.read_changes(spark, since=2) is None
+    # windows tile: (since=-1,until=1] + (1,2] == full table, no overlap
+    a = _ids(spark, tbl.read_changes(spark, since=-1, until=1))
+    b = _ids(spark, tbl.read_changes(spark, since=1, until=2))
+    assert sorted(a + b) == _ids(spark, tbl.read(spark))
+
+
+def test_read_changes_skips_compaction_rewrites(spark, tmp_path):
+    """A compaction inside the window must not double-count rewritten rows;
+    appends after it still stream."""
+    tbl = _mk(spark, tmp_path)
+    cid = tbl.compact(spark)
+    df = spark.createDataFrame([(900 + i, f"n{i}") for i in range(2)], "id long, v string")
+    tbl.append(df)
+    # window spans the compaction: only the post-compaction append shows
+    assert _ids(spark, tbl.read_changes(spark, since=2)) == [900, 901]
+    # window of ONLY the compaction: nothing was added
+    assert tbl.read_changes(spark, since=2, until=cid) is None
+
+
+def test_read_changes_refuses_merge_overwrites(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    upd = spark.createDataFrame([(100, "updated")], "id long, v string")
+    tbl.merge(spark, upd, key="id")
+    with pytest.raises(ValueError, match="overwrite"):
+        tbl.read_changes(spark, since=2)
+    # a window that ends before the merge is still consumable
+    assert _ids(spark, tbl.read_changes(spark, since=1, until=2)) == [200, 201, 202, 203]

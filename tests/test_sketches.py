@@ -100,6 +100,77 @@ def test_hll_registers_mergeable_and_estimate_accuracy(spark):
     assert abs(est.estimate - n) / n < 0.32
 
 
+def _vals_df(spark, vals):
+    return spark.createDataFrame([(int(v),) for v in vals], "v long")
+
+
+def test_hdr_buckets_bounded_and_mergeable(spark):
+    vals = list(range(1, 2000)) + [10_000_000] * 5
+    df = _vals_df(spark, vals)
+    buckets = sk.hdr_buckets(df, "v", sub_bits=4)
+    rows = buckets.collect()
+    # bounded: at most 2^sub_bits sub-buckets per octave
+    assert len(rows) <= 64 * 16
+    assert sum(r.cnt for r in rows) == len(vals)
+
+    # mergeability: count-add of half-corpus buckets == whole-corpus
+    merged = (
+        sk.hdr_buckets(_vals_df(spark, vals[:1000]), "v", sub_bits=4)
+        .unionByName(sk.hdr_buckets(_vals_df(spark, vals[1000:]), "v", sub_bits=4))
+        .groupBy("lb")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rows))
+
+
+def test_hdr_quantiles_relative_error_bound(spark):
+    import math
+
+    vals = [int(math.exp(i / 100.0)) + 1 for i in range(1200)]  # log-spaced
+    df = _vals_df(spark, vals)
+    sub_bits = 5
+    qs = sk.hdr_quantiles(
+        sk.hdr_buckets(df, "v", sub_bits=sub_bits), q_millis=(500, 900, 990, 999)
+    ).collect()
+    assert len(qs) == 4
+    svals = sorted(vals)
+    for r in qs:
+        rank = -(-r.q_milli * len(vals) // 1000)  # ceil
+        true = svals[rank - 1]
+        # lower bound within one sub-bucket: est <= true, rel err < 2^-sub_bits
+        assert r.est <= true
+        assert (true - r.est) / true <= 2.0 ** -sub_bits
+        assert r.total == len(vals)
+
+
+def test_hdr_exact_for_small_values(spark):
+    # values below 2^sub_bits get exact buckets (shift clamps to 0)
+    vals = [1, 2, 3, 4, 5] * 10
+    qs = sk.hdr_quantiles(
+        sk.hdr_buckets(_vals_df(spark, vals), "v", sub_bits=5), q_millis=(500, 999)
+    ).collect()
+    by_q = {r.q_milli: r.est for r in qs}
+    assert by_q[500] == 3 and by_q[999] == 5
+
+
+def test_hdr_partition_invariance(spark):
+    vals = [((i * 2654435761) % 100000) + 1 for i in range(3000)]
+    a = sk.hdr_quantiles(
+        sk.hdr_buckets(_vals_df(spark, vals).repartition(1), "v")
+    ).collect()
+    b = sk.hdr_quantiles(
+        sk.hdr_buckets(_vals_df(spark, vals).repartition(17), "v")
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hdr_buckets_single_exchange(spark):
+    df = _vals_df(spark, range(1, 100))
+    plan = sk.hdr_buckets(df, "v")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # the one bucket groupBy
+    assert "partial_count" in plan  # map-side combine = per-partition sketch
+
+
 def test_cms_estimate_broadcasts_sketch(spark):
     df = _words_df(spark, [f"w{i}" for i in range(30)])
     sketch = sk.cms_build(df, width=16, depth=3)
