@@ -404,7 +404,8 @@ def kmeans_assign(
 
     The scalable shape (what Spark MLlib's KMeans also does, minus its
     float nondeterminism): per iteration, assignment is a zero-exchange
-    Column program against BROADCAST centroid literals, and the update is
+    Arrow-batched int64 kernel against centroids shipped in the UDF
+    closure (k*dim longs), and the update is
     one bounded groupBy — dims explode narrowly to (cluster, dim) keys,
     map-side partial agg reduces to k*dim rows, the driver rebuilds the
     literals. Corpus rows are never collected; driver state is k*dim longs
@@ -438,29 +439,47 @@ def kmeans_assign(
     cents = [list(r["q"]) for r in seed_rows]
     dim = len(cents[0])
 
-    def _assign_cols():
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("q"),
-                        F.array(*[F.lit(int(v)).cast("long") for v in cent]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
+    def _assign_col():
+        # Arrow-batched int64 assignment. The Column-algebra form (k
+        # aggregate(zip_with(...)) expressions over literal centroid
+        # arrays) is interpreted per element and re-analyzed per pass —
+        # measured 70 s for 2000x64 at k=8; this kernel does the same
+        # arithmetic in one numpy pass per batch (~100x). Exactness is
+        # unchanged: ||q-c||^2 = q.q - 2 q.c + c.c in int64, and integer
+        # addition is associative, so any batch size / partitioning /
+        # numpy reduction order gives bit-identical distances (bounds:
+        # |coord| <= ~2^22 => per-term < 2^46, dim-sums < 2^52 — no
+        # overflow). argmin takes the FIRST minimum -> lowest cluster
+        # index wins ties, matching the oracle's replay.
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(cents, dtype=np.int64)  # (k, dim)
+        c2 = (C * C).sum(axis=1)  # (k,)
+
+        @pandas_udf("struct<cluster:int, dist_q:long>")
+        def assign(qs: pd.Series) -> pd.DataFrame:
+            if len(qs) == 0:
+                return pd.DataFrame(
+                    {
+                        "cluster": pd.Series([], dtype="int32"),
+                        "dist_q": pd.Series([], dtype="int64"),
+                    }
                 )
-                for cent in cents
-            ]
-        )
-        best = F.array_min(dists)
-        # first index of the min -> lowest cluster wins ties
-        return (F.array_position(dists, best) - 1).cast("int"), best
+            M = np.array([np.asarray(v, dtype=np.int64) for v in qs])  # (n, dim)
+            d = (M * M).sum(axis=1)[:, None] - 2 * (M @ C.T) + c2[None, :]
+            cl = d.argmin(axis=1)
+            return pd.DataFrame(
+                {
+                    "cluster": cl.astype("int32"),
+                    "dist_q": d[np.arange(len(M)), cl].astype("int64"),
+                }
+            )
+
+        return assign(F.col("q"))
 
     for _ in range(n_iters):
-        cluster, _best = _assign_cols()
         sums = (
-            q.select(cluster.alias("cluster"), F.posexplode("q").alias("dim", "v"))
+            q.select(_assign_col().getField("cluster").alias("cluster"), F.posexplode("q").alias("dim", "v"))
             .groupBy("cluster", "dim")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
@@ -478,6 +497,8 @@ def kmeans_assign(
             for c in range(k)
         ]
 
-    cluster, best = _assign_cols()
-    out = q.select("vec_id", cluster.alias("cluster"), best.alias("dist_q"))
+    a = _assign_col().alias("a")
+    out = q.select("vec_id", a).select(
+        "vec_id", F.col("a.cluster").alias("cluster"), F.col("a.dist_q").alias("dist_q")
+    )
     return out
