@@ -114,6 +114,9 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "hll_distinct",
     "length_quantiles",
+    "sitemap_gap",
+    "host_communities",
+    "phrase_topk",
 ]
 
 

@@ -976,6 +976,43 @@ def q_trustrank(spark, sf):  # seeded TrustRank over the host graph
     )
 
 
+def q_host_communities(spark, sf):  # LPA community detection (planted blocks)
+    """Deterministic synchronous label propagation (operators/link_graph.
+    label_propagation) over a planted-community residue graph: 360 nodes
+    in 3 blocks of 120, each block internally connected by two unit-gcd
+    chord permutations (7m+13, 11m+1 mod 120 — single cycles, so every
+    block is connected and dense), blocks joined only by 3 bridge edges
+    at the block bases. LPA floods each block's lexicographic-min labels
+    through its core while the bridges lose every vote — communities
+    never cross a block boundary. 12 rounds: past convergence of the
+    community COUNT (12 communities, 4 per block, stable from round 12);
+    synchronous LPA then sits in the textbook period-2 limit cycle, and
+    the fixed round count pins one phase, so the result is exactly
+    reproducible. The oracle replays all rounds (vote counts,
+    max-count/min-label tie-breaks) bit-for-bit in unrolled SQL."""
+    from .operators.link_graph import label_propagation
+
+    d = _t(spark, sf, "documents").select((F.col("doc_id") % 360).alias("m"))
+    n = F.col("m")
+
+    def name(x):
+        return F.concat(F.lit("n"), F.lpad(x.cast("string"), 3, "0"))
+
+    base = n - n % 120
+    e1 = d.select(
+        name(n).alias("src_host"),
+        name(base + (n % 120 * 7 + 13) % 120).alias("dst_host"),
+    )
+    e2 = d.select(
+        name(n).alias("src_host"),
+        name(base + (n % 120 * 11 + 1) % 120).alias("dst_host"),
+    )
+    bridges = d.where(n % 120 == 0).select(
+        name(n).alias("src_host"), name((n + 120) % 360).alias("dst_host")
+    )
+    return label_propagation(e1.unionByName(e2).unionByName(bridges), n_iters=12)
+
+
 def q_hits(spark, sf):  # HITS hubs/authorities (integer L-inf fixed point)
     """Kleinberg HITS over the same host graph as `pagerank`; the oracle
     unrolls all 8 half-steps (auth then hub per round, each max-normalized
@@ -997,6 +1034,17 @@ def q_bm25_topk(spark, sf):  # corpus keyword search: BM25 top-k
     return bm25_topk(
         _t(spark, sf, "documents"), ["spark", "vector", "merge", "window"], k=15
     )
+
+
+def q_phrase_topk(spark, sf):  # exact-phrase search via positional postings
+    """Positional-index phrase query (operators/search.phrase_topk): docs
+    where 'table' and 'hash' appear CONSECUTIVELY, ranked by occurrence
+    count. The adjacency constraint pos_1 = pos_0 + 1 is an equi-join on
+    positional postings; the oracle re-derives every posting position and
+    the join from the shared tokenizer."""
+    from .operators.search import phrase_topk
+
+    return phrase_topk(_t(spark, sf, "documents"), ["table", "hash"], k=20)
 
 
 def q_jaccard_pairs(spark, sf):  # near-dup: 3-gram-shingle Jaccard (exact, prefix-filtered)
@@ -1488,6 +1536,106 @@ def q_frontier_plan(spark, sf):  # crawl-loop composition (discover->gate->pace)
         ).alias("robots_txt"),
     )
     return frontier_plan(discovered, crawled, robots)
+
+
+def q_sitemap_gap(spark, sf):  # sitemap XML parse -> crawl-gap detection
+    """The push half of crawl discovery: deterministically constructed
+    sitemap XML bodies (urlset files on doc_id%10==1 carriers, sitemapindex
+    files on doc_id%40==3 carriers) are PARSED from the xml text by the
+    real Column-program parser (operators/sitemaps.parse_sitemaps), then
+    joined against the crawled corpus: ``crawled`` = the loc is a stored
+    url, ``stale`` = crawled but <lastmod> post-dates the snapshot's
+    warc_ts date. The oracle never sees the XML — it re-derives every
+    record and both flags arithmetically from the residues (two
+    independent derivations, like robots_filter)."""
+    from .operators.sitemaps import parse_sitemaps
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    k = F.col("doc_id")
+    self_host = F.expr(
+        "CASE WHEN doc_id % 10 < 3 THEN 'host0' "
+        "ELSE 'host' || CAST(1 + doc_id % 37 AS STRING) END || '.example'"
+    )
+
+    def entry(j):
+        t = (k * 13 + 101 * j) % 4096
+        loc = F.concat(
+            F.lit("https://"),
+            F.when(t % 10 < 3, F.lit("host0")).otherwise(
+                F.concat(F.lit("host"), (1 + t % 37).cast("string"))
+            ),
+            F.lit(".example/p/"),
+            t.cast("string"),
+        )
+        lastmod = F.date_add(F.lit("2025-12-02").cast("date"), ((k + 17 * j) % 60).cast("int"))
+        cf = F.element_at(
+            F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+            ((k + j) % 3 + 1).cast("int"),
+        )
+        digit = (k + j) % 10 + 1
+        prio = F.when(digit == 10, F.lit("1.0")).otherwise(
+            F.concat(F.lit("0."), digit.cast("string"))
+        )
+        return F.concat(
+            F.lit("<url><loc>"), loc, F.lit("</loc><lastmod>"),
+            lastmod.cast("string"), F.lit("</lastmod><changefreq>"), cf,
+            F.lit("</changefreq><priority>"), prio, F.lit("</priority></url>"),
+        )
+
+    urlset = d.where(k % 10 == 1).select(
+        self_host.alias("host"),
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), (k % 4).cast("int")), entry), ""
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml"),
+    )
+    index = d.where(k % 40 == 3).select(
+        self_host.alias("host"),
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><sitemapindex>'),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(1)),
+                    lambda j: F.concat(
+                        F.lit("<sitemap><loc>https://"), self_host,
+                        F.lit("/sitemap-"), j.cast("string"),
+                        F.lit(".xml</loc><lastmod>"),
+                        F.date_add(F.lit("2026-01-01").cast("date"), (k % 5).cast("int")).cast("string"),
+                        F.lit("</lastmod></sitemap>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</sitemapindex>"),
+        ).alias("xml"),
+    )
+    parsed = parse_sitemaps(urlset.unionByName(index))
+
+    crawled = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.when(k % 10 < 3, F.lit("host0")).otherwise(
+                F.concat(F.lit("host"), (1 + k % 37).cast("string"))
+            ),
+            F.lit(".example/p/"),
+            k.cast("string"),
+        ).alias("loc"),
+        F.to_date(
+            F.lit("2026-01-01").cast("timestamp") + F.make_interval(secs=k.cast("double"))
+        ).alias("crawl_date"),
+    )
+    # left join on loc: the crawled side is the FULL corpus, so this is a
+    # plain shuffle hash join (never broadcast) — the sitemap side is the
+    # small one at crawl scale and AQE is free to flip the build side
+    out = parsed.join(crawled, "loc", "left")
+    return out.select(
+        "host", "kind", "loc", "lastmod", "changefreq", "priority_milli",
+        F.col("crawl_date").isNotNull().alias("crawled"),
+        F.coalesce(F.col("lastmod") > F.col("crawl_date"), F.lit(False)).alias("stale"),
+    )
 
 
 def q_dsir(spark, sf):  # DSIR importance weights (target = lang 'en')
@@ -2603,6 +2751,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feed_entries": q_feed_entries,
     "politeness": q_politeness,
     "frontier_plan": q_frontier_plan,
+    "sitemap_gap": q_sitemap_gap,
+    "host_communities": q_host_communities,
+    "phrase_topk": q_phrase_topk,
     "dsir": q_dsir,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
@@ -3847,6 +3998,44 @@ def _trustrank_oracle_sql(n_iters: int = 5) -> str:
 
 ORACLE_SQL["trustrank"] = _trustrank_oracle_sql()
 
+
+def _lpa_oracle_sql(n_iters: int = 12) -> str:
+    """Unrolled synchronous label propagation over the planted-block
+    residue graph, replaying operators/link_graph.label_propagation
+    (vote counts, max-count then min-label tie-break) round by round."""
+    name = "('n' || lpad(CAST({x} AS VARCHAR), 3, '0'))"
+    parts = [
+        "WITH m AS (SELECT DISTINCT doc_id % 360 AS m FROM documents)",
+        "e_raw AS ("
+        f"SELECT {name.format(x='m')} AS s, "
+        f"{name.format(x='(m - m % 120) + (m % 120 * 7 + 13) % 120')} AS d FROM m "
+        f"UNION ALL SELECT {name.format(x='m')}, "
+        f"{name.format(x='(m - m % 120) + (m % 120 * 11 + 1) % 120')} FROM m "
+        f"UNION ALL SELECT {name.format(x='m')}, "
+        f"{name.format(x='(m + 120) % 360')} FROM m WHERE m % 120 = 0)",
+        "und AS (SELECT s, d FROM (SELECT s, d FROM e_raw"
+        " UNION SELECT d, s FROM e_raw) WHERE s <> d)",
+        "nodes AS (SELECT DISTINCT s AS host FROM und)",
+        "l0 AS (SELECT host, host AS label FROM nodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"v{i} AS (SELECT u.s AS host, l.label, count(*) AS n "
+            f"FROM und u JOIN l{i-1} l ON l.host = u.d GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT host, label FROM (SELECT host, label, "
+            "row_number() OVER (PARTITION BY host ORDER BY n DESC, label ASC)"
+            f" AS rn FROM v{i}) WHERE rn = 1)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT host, label AS community FROM l{n_iters}"
+    )
+
+
+ORACLE_SQL["host_communities"] = _lpa_oracle_sql()
+
 def _kmeans_oracle_sql(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
     """Unrolled Lloyd replay of operators/similarity.kmeans_assign:
     integer-quantized vectors, first-k seeds, (dist, cl)-ordered argmin,
@@ -4477,6 +4666,25 @@ ORACLE_SQL["bm25_topk"] = """
 """
 
 
+ORACLE_SQL["phrase_topk"] = """
+        WITH toks AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> '') AS ts
+             FROM documents),
+        -- 0-based positions, matching posexplode
+        pos AS (SELECT doc_id, u.i AS pos, ts[u.i + 1] AS term
+                FROM toks, unnest(range(0, len(ts))) AS u(i)),
+        occ AS (SELECT p0.doc_id
+                FROM pos p0 JOIN pos p1
+                  ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+                WHERE p0.term = 'table' AND p1.term = 'hash')
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM occ GROUP BY doc_id
+        ORDER BY n_occurrences DESC, doc_id ASC
+        LIMIT 20
+"""
+
+
 ORACLE_SQL["asof_join"] = """
     WITH clicks AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
@@ -4677,6 +4885,51 @@ ORACLE_SQL["frontier_plan"] = """
                              ELSE ((k % 10) % 4 + 1) * 1000 END)
                 AS BIGINT) AS fetch_offset_ms
     FROM sched
+"""
+
+# sitemap_gap: the oracle re-derives every parsed record and both crawl
+# flags purely arithmetically — it never constructs or parses XML, so the
+# Spark side's regexp parser is checked against an independent derivation.
+ORACLE_SQL["sitemap_gap"] = f"""
+    WITH urlset AS (
+        SELECT {_FQHOST_SQL.format(k='doc_id')} AS host,
+               'url' AS kind,
+               (doc_id * 13 + 101 * u.j) % 4096 AS t,
+               DATE '2025-12-02'
+                   + CAST((doc_id + 17 * u.j) % 60 AS INTEGER) AS lastmod,
+               CASE (doc_id + u.j) % 3 WHEN 0 THEN 'daily'
+                    WHEN 1 THEN 'weekly' ELSE 'monthly' END AS changefreq,
+               CAST(((doc_id + u.j) % 10 + 1) * 100 AS INTEGER) AS priority_milli
+        FROM documents, unnest(range(0, doc_id % 4 + 1)) AS u(j)
+        WHERE doc_id % 10 = 1
+    ),
+    url_rows AS (
+        SELECT host, kind,
+               'https://' || {_HOST_SQL.format(k='t')} || '.example/p/'
+                   || CAST(t AS VARCHAR) AS loc,
+               t, lastmod, changefreq, priority_milli
+        FROM urlset
+    ),
+    index_rows AS (
+        SELECT {_FQHOST_SQL.format(k='doc_id')} AS host,
+               'index' AS kind,
+               'https://' || {_FQHOST_SQL.format(k='doc_id')} || '/sitemap-'
+                   || CAST(u.j AS VARCHAR) || '.xml' AS loc,
+               CAST(NULL AS BIGINT) AS t,
+               DATE '2026-01-01' + CAST(doc_id % 5 AS INTEGER) AS lastmod,
+               CAST(NULL AS VARCHAR) AS changefreq,
+               CAST(NULL AS INTEGER) AS priority_milli
+        FROM documents, unnest(range(0, 2)) AS u(j)
+        WHERE doc_id % 40 = 3
+    ),
+    recs AS (SELECT * FROM url_rows UNION ALL SELECT * FROM index_rows)
+    SELECT r.host, r.kind, r.loc, r.lastmod, r.changefreq, r.priority_milli,
+           (c.doc_id IS NOT NULL) AS crawled,
+           COALESCE(
+               r.lastmod > CAST(TIMESTAMP '2026-01-01'
+                                + INTERVAL (c.doc_id) SECOND AS DATE),
+               false) AS stale
+    FROM recs r LEFT JOIN documents c ON c.doc_id = r.t
 """
 
 ORACLE_SQL["dsir"] = r"""

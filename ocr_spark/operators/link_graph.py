@@ -49,7 +49,7 @@ from __future__ import annotations
 import re
 from urllib.parse import urljoin, urlparse
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 LINKS_SCHEMA = "url string, dst_url string, anchor string, pos int"
 
@@ -418,3 +418,55 @@ def host_reciprocity(edges_df: DataFrame) -> DataFrame:
             .alias("recip_milli"),
         )
     )
+
+
+def label_propagation(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) made fully deterministic -> (host, community).
+
+    Classic LPA visits nodes in random order and breaks ties randomly;
+    here every node updates SIMULTANEOUSLY each round to the label most
+    frequent among its undirected neighbors, ties -> lexicographically
+    smallest label, initial label = the node's own name. Determinism is
+    total (no RNG, no visit order, integer counts), so the DuckDB oracle
+    replays every round bit-for-bit and any partitioning gives identical
+    communities. Fixed iteration count (diameter-scale rounds flood a
+    community's min label through its dense core; sparse bridges lose
+    the vote) — the same bounded-rounds policy as pagerank/trustrank.
+
+    Scale shape per round: ONE join of the edge table against the
+    bounded (node, label) table + ONE (host, label) groupBy + ONE
+    row_number window partitioned by host — all hash-exchanged on host;
+    state is |nodes| rows. Static sides persist once. Used for mirror
+    families / link-farm rings, the graph-structure complement to the
+    reciprocity and trustrank spam features."""
+    e = edges_df.select("src_host", "dst_host").distinct()
+    und = (
+        e.union(e.select(F.col("dst_host"), F.col("src_host")))
+        .toDF("src_host", "dst_host")
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("src_host").alias("host")).distinct().persist()
+    labels = nodes.select("host", F.col("host").alias("label"))
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("label"))
+    for i in range(n_iters):
+        votes = (
+            und.join(labels.withColumnRenamed("host", "nb"), und.dst_host == F.col("nb"))
+            .select(F.col("src_host").alias("host"), "label")
+            .groupBy("host", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("host", "label")
+        )
+        # truncate lineage every SECOND round (the hits_hosts-measured
+        # optimum): the label table is one tiny row per host, and letting
+        # 12 rounds of join+agg+window chain into one job pays far more
+        # in stage scheduling than the eager checkpoint jobs cost
+        if i % 2 == 1 and i + 1 < n_iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("host", F.col("label").alias("community"))

@@ -92,3 +92,58 @@ def bm25_topk(
         .orderBy(F.desc("score_scaled"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def phrase_topk(
+    docs: DataFrame,
+    phrase_terms: Sequence[str],
+    k: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search via positional postings -> the k docs with the
+    most CONSECUTIVE occurrences of ``phrase_terms``: (doc_id,
+    n_occurrences), ties broken by doc_id.
+
+    The classic positional-index query (Manning et al., IIR ch. 2): a
+    posting here is (doc_id, pos, term) from the shared tokenizer, and an
+    m-term phrase is an (m-1)-way self-join with the adjacency constraint
+    ``pos_i = pos_0 + i`` — every join is an EQUI-join on (doc_id,
+    pos arithmetic), so Spark plans hash joins, never a cartesian.
+
+    Scale shape: the term filter runs BEFORE the posexplode's exchange, so
+    only postings of the phrase's own terms (a few rows per matching doc)
+    are shuffled — cost follows the phrase's selectivity, not the corpus;
+    the same contract as bm25_topk's tf pipeline. Top-k is a global k-row
+    heap (TakeOrderedAndProject). Works identically against a STORED
+    positional index: swap the inline postings CTE for the index scan.
+    """
+    terms = [str(t) for t in phrase_terms]
+    if not terms:
+        raise ValueError("phrase_topk: empty phrase")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+        lambda w: w != F.lit(""),
+    )
+    postings = (
+        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "term"))
+        .where(F.col("term").isin(terms))
+    )
+    occ = (
+        postings.where(F.col("term") == terms[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.where(F.col("term") == t).select(
+            F.col("doc_id").alias("d_i"), F.col("pos").alias("p_i")
+        )
+        occ = occ.join(
+            nxt,
+            (occ.doc_id == nxt.d_i) & (nxt.p_i == occ.p0 + i),
+        ).select("doc_id", "p0")
+    return (
+        occ.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+        .limit(k)
+    )
