@@ -1538,17 +1538,18 @@ def q_frontier_plan(spark, sf):  # crawl-loop composition (discover->gate->pace)
     return frontier_plan(discovered, crawled, robots)
 
 
-def q_sitemap_gap(spark, sf):  # sitemap XML parse -> crawl-gap detection
-    """The push half of crawl discovery: deterministically constructed
-    sitemap XML bodies (urlset files on doc_id%10==1 carriers, sitemapindex
-    files on doc_id%40==3 carriers) are PARSED from the xml text by the
-    real Column-program parser (operators/sitemaps.parse_sitemaps), then
-    joined against the crawled corpus: ``crawled`` = the loc is a stored
+def q_sitemap_gap(spark, sf):  # sitemap entries -> crawl-gap detection
+    """What `sitemap_urls` parses, this query ACTS ON: deterministically
+    constructed sitemap XML bodies (urlset files on doc_id%10==1 carriers,
+    sitemapindex files on doc_id%40==3 carriers) go through the SAME
+    parser as sitemap_urls (operators/crawl_edge.sitemap_entries), then
+    join against the crawled corpus: ``crawled`` = the loc is a stored
     url, ``stale`` = crawled but <lastmod> post-dates the snapshot's
-    warc_ts date. The oracle never sees the XML — it re-derives every
-    record and both flags arithmetically from the residues (two
-    independent derivations, like robots_filter)."""
-    from .operators.sitemaps import parse_sitemaps
+    warc_ts date — the uncrawled/re-crawl frontier a sitemap exists to
+    surface. The oracle never sees the XML — it re-derives every record
+    and both flags arithmetically from the residues (two independent
+    derivations, like robots_filter)."""
+    from .operators.crawl_edge import sitemap_entries
 
     d = _t(spark, sf, "documents").select("doc_id")
     k = F.col("doc_id")
@@ -1612,7 +1613,14 @@ def q_sitemap_gap(spark, sf):  # sitemap XML parse -> crawl-gap detection
             F.lit("</sitemapindex>"),
         ).alias("xml"),
     )
-    parsed = parse_sitemaps(urlset.unionByName(index))
+    raw = sitemap_entries(
+        urlset.unionByName(index), body_col="xml"
+    )
+    parsed = raw.select(
+        "host", "kind", "loc",
+        F.to_date("lastmod").alias("lastmod"),
+        "changefreq", "priority_milli",
+    )
 
     crawled = d.select(
         F.concat(
@@ -4912,7 +4920,7 @@ ORACLE_SQL["sitemap_gap"] = f"""
     ),
     index_rows AS (
         SELECT {_FQHOST_SQL.format(k='doc_id')} AS host,
-               'index' AS kind,
+               'sitemap' AS kind,
                'https://' || {_FQHOST_SQL.format(k='doc_id')} || '/sitemap-'
                    || CAST(u.j AS VARCHAR) || '.xml' AS loc,
                CAST(NULL AS BIGINT) AS t,
