@@ -164,6 +164,13 @@ def main():
             t0 = time.time()
             fn()
             best = min(best, time.time() - t0)
+            # drop orphaned persist() blocks: every call builds NEW
+            # DataFrames, so a previous call's cache is never reused and
+            # only accumulates in executor storage memory. A fresh-vs-
+            # dirty-session A/B showed no measurable bleed into later
+            # queries at sf0.1 (suite-context inflation turned out to be
+            # co-tenant bursts), so this is hygiene, not a speedup.
+            spark.catalog.clearCache()
         return round(best, 3)
 
     timings["flagship_extract"] = timed(lambda: extract_pages(pages).count())
