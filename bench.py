@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "sitemap_gap",
     "host_communities",
     "phrase_topk",
+    "jsonld_entities",
 ]
 
 

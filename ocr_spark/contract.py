@@ -1646,6 +1646,63 @@ def q_sitemap_gap(spark, sf):  # sitemap entries -> crawl-gap detection
     )
 
 
+def q_jsonld_entities(spark, sf):  # schema.org JSON-LD entity extraction
+    """Deterministically constructed pages carry application/ld+json
+    blocks (single Product with an int price and a bool, an @graph
+    envelope with two entities, a malformed block followed by a valid
+    one, and a no-LD decoy flavor); the REAL parser
+    (operators/structured_data.extract_jsonld) lifts them into flat
+    (url, block, entity, type, key, value) rows and the oracle
+    re-derives every row arithmetically from the residues — the JSON is
+    never parsed twice."""
+    from .operators.structured_data import extract_jsonld
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(k % 10 < 3, F.lit("host0")).otherwise(
+            F.concat(F.lit("host"), (1 + k % 37).cast("string"))
+        ),
+        F.lit(".example/p/"), ks,
+    )
+    product = F.concat(
+        F.lit('<script type="application/ld+json">{"@context":"https://schema.org",'
+              '"@type":"Product","name":"Product '), ks,
+        F.lit('","sku":"SKU-'), ks,
+        F.lit('","price":'), (k % 997).cast("string"),
+        F.lit(',"inStock":'), F.when(k % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(",\"agg\":{\"ratingValue\":5}}</script>"),
+    )
+    graph = F.concat(
+        F.lit('<script type="application/ld+json">{"@context":"https://schema.org",'
+              '"@graph":[{"@type":"Article","headline":"Title '), ks,
+        F.lit('","wordCount":'), (k % 500).cast("string"),
+        F.lit('},{"@type":"Person","name":"Author '), (k % 50).cast("string"),
+        F.lit('"}]}</script>'),
+    )
+    broken_then_event = F.concat(
+        F.lit('<script type="application/ld+json">{"@type":"Product","name":</script>'
+              '<script type="application/ld+json">{"@type":"Event","name":"Event '),
+        ks, F.lit('"}</script>'),
+    )
+    r = k % 4
+    body = (
+        F.when(r == 0, product)
+        .when(r == 1, graph)
+        .when(r == 2, broken_then_event)
+        .otherwise(F.lit(""))  # r == 3: no JSON-LD at all
+    )
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><script>var decoy = 1;</script>"),
+        body,
+        F.lit("</head><body><p>page</p></body></html>"),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return extract_jsonld(pages)
+
+
 def q_dsir(spark, sf):  # DSIR importance weights (target = lang 'en')
     """Two-pass hashed-unigram importance estimator: bounded bucket counts
     -> integer milli-log-ratio literal -> zero-exchange integer scoring.
@@ -2762,6 +2819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_gap": q_sitemap_gap,
     "host_communities": q_host_communities,
     "phrase_topk": q_phrase_topk,
+    "jsonld_entities": q_jsonld_entities,
     "dsir": q_dsir,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
@@ -4938,6 +4996,43 @@ ORACLE_SQL["sitemap_gap"] = f"""
                                 + INTERVAL (c.doc_id) SECOND AS DATE),
                false) AS stale
     FROM recs r LEFT JOIN documents c ON c.doc_id = r.t
+"""
+
+ORACLE_SQL["jsonld_entities"] = f"""
+    WITH d AS (
+        SELECT doc_id AS k,
+               'https://' || {_HOST_SQL.format(k='doc_id')} || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    )
+    SELECT url, CAST(b AS INTEGER) AS block_idx, CAST(e AS INTEGER) AS entity_idx,
+           jtype, key, value
+    FROM (
+        SELECT url, 0 AS b, 0 AS e, 'Product' AS jtype, 'name' AS key,
+               'Product ' || CAST(k AS VARCHAR) AS value FROM d WHERE k % 4 = 0
+        UNION ALL
+        SELECT url, 0, 0, 'Product', 'sku', 'SKU-' || CAST(k AS VARCHAR)
+        FROM d WHERE k % 4 = 0
+        UNION ALL
+        SELECT url, 0, 0, 'Product', 'price', CAST(k % 997 AS VARCHAR)
+        FROM d WHERE k % 4 = 0
+        UNION ALL
+        SELECT url, 0, 0, 'Product', 'inStock',
+               CASE WHEN k % 2 = 0 THEN 'true' ELSE 'false' END
+        FROM d WHERE k % 4 = 0
+        UNION ALL
+        SELECT url, 0, 0, 'Article', 'headline', 'Title ' || CAST(k AS VARCHAR)
+        FROM d WHERE k % 4 = 1
+        UNION ALL
+        SELECT url, 0, 0, 'Article', 'wordCount', CAST(k % 500 AS VARCHAR)
+        FROM d WHERE k % 4 = 1
+        UNION ALL
+        SELECT url, 0, 1, 'Person', 'name', 'Author ' || CAST(k % 50 AS VARCHAR)
+        FROM d WHERE k % 4 = 1
+        UNION ALL
+        SELECT url, 1, 0, 'Event', 'name', 'Event ' || CAST(k AS VARCHAR)
+        FROM d WHERE k % 4 = 2
+    )
 """
 
 ORACLE_SQL["dsir"] = r"""
