@@ -86,13 +86,30 @@ def registrable_domain(
         .when(isin(F.element_at(labels, n), rules1), F.lit(1))
         .otherwise(F.lit(1))
     )
-    suffix = F.array_join(F.slice(labels, n - suffix_len + 1, suffix_len), ".")
-    reg = F.when(
-        n > suffix_len,
-        F.array_join(F.slice(labels, n - suffix_len, suffix_len + 1), "."),
+    # let-bind suffix_len ONCE via a single-element transform: suffix and
+    # reg reference the lambda VARIABLE, not copies of the rule-matching
+    # CASE tree. Naive substitution embeds that tree 3x (suffix once, reg
+    # twice in the slice args); fused into a downstream hashAgg's group
+    # key (domain_quality_prior) the generated method then crossed
+    # janino's 64 KB limit and the whole stage fell back to interpreted
+    # eval. The one-element HOF is O(1) per row.
+    bound = F.element_at(
+        F.transform(
+            F.array(suffix_len.cast("int")),
+            lambda sl: F.struct(
+                F.array_join(F.slice(labels, n - sl + 1, sl), ".").alias("ps"),
+                F.when(
+                    n > sl, F.array_join(F.slice(labels, n - sl, sl + 1), ".")
+                ).alias("rd"),
+            ),
+        ),
+        1,
     )
-    return df.withColumn("public_suffix", suffix).withColumn(
-        "registrable_domain", reg
+    tmp = df.withColumn("_psl", bound)
+    return (
+        tmp.withColumn("public_suffix", F.col("_psl").getField("ps"))
+        .withColumn("registrable_domain", F.col("_psl").getField("rd"))
+        .drop("_psl")
     )
 
 
