@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "host_communities",
     "phrase_topk",
     "jsonld_entities",
+    "crawl_overlap",
 ]
 
 

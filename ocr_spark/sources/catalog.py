@@ -89,11 +89,20 @@ class ManifestTable:
     def read(self, spark, as_of: int | None = None):
         """Current view, or the historical snapshot ``as_of`` a commit id
         (Iceberg time travel: VERSION AS OF). Returns None for an empty
-        view."""
+        view.
+
+        Reads merge schemas across commits (Iceberg add-column evolution:
+        a crawl pipeline gains fields — lang tags, quality scores —
+        mid-table); rows from pre-evolution commits surface the new
+        columns as NULL. Type CHANGES of an existing column are not
+        supported (mergeSchema raises), matching the scope of additive
+        evolution."""
         vis = self._visible(self._load_manifest(), as_of)
         if not vis:
             return None
-        return spark.read.parquet(*[s["path"] for s in vis])
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[s["path"] for s in vis]
+        )
 
     def compact(self, spark, target_partitions: int = 1) -> int | None:
         """Rewrite the current view as ONE new commit (Iceberg
@@ -109,7 +118,11 @@ class ManifestTable:
         if len(vis) <= 1:
             return None
         cid = self.next_commit_id()
-        df = spark.read.parquet(*[s["path"] for s in vis])
+        # mergeSchema: compaction of a schema-evolved table must keep the
+        # UNION schema, or the rewrite would silently drop added columns
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[s["path"] for s in vis]
+        )
         path = os.path.join(self.data_dir, f"commit={cid}")
         df.coalesce(target_partitions).write.mode("overwrite").parquet(path)
         manifest.append(
@@ -228,7 +241,7 @@ class ManifestTable:
             # op == "compact": rewrite only, skip
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def expire(self) -> list[int]:
         """Iceberg expire_snapshots: physically delete every data directory

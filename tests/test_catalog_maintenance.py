@@ -219,3 +219,28 @@ def test_read_changes_refuses_merge_overwrites(spark, tmp_path):
         tbl.read_changes(spark, since=2)
     # a window that ends before the merge is still consumable
     assert _ids(spark, tbl.read_changes(spark, since=1, until=2)) == [200, 201, 202, 203]
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg additive evolution: a commit with a NEW column joins the
+    table; pre-evolution rows read the column as NULL; compaction keeps
+    the union schema."""
+    tbl = ManifestTable(str(tmp_path / "evo"))
+    tbl.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    tbl.append(
+        spark.createDataFrame([(3, "c", "en")], "id long, v string, lang string")
+    )
+    df = tbl.read(spark)
+    assert set(df.columns) == {"id", "v", "lang"}
+    rows = {r.id: r.lang for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}
+    # time travel to the pre-evolution snapshot keeps the OLD schema
+    assert set(tbl.read(spark, as_of=0).columns) == {"id", "v"}
+    # compaction preserves the union schema and the NULL backfill
+    tbl.compact(spark)
+    df2 = tbl.read(spark)
+    assert set(df2.columns) == {"id", "v", "lang"}
+    assert {r.id: r.lang for r in df2.collect()} == rows
+    # incremental scan across the evolution boundary merges too
+    inc = tbl.read_changes(spark, since=-1, until=1)
+    assert set(inc.columns) == {"id", "v", "lang"}

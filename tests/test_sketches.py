@@ -181,3 +181,32 @@ def test_cms_estimate_broadcasts_sketch(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_hll_union_is_lossless_merge(spark):
+    # sketch(A) ∪ sketch(B) must EQUAL sketch(A ++ B), register for register
+    a = spark.createDataFrame([(f"k{i}",) for i in range(0, 600)], "key string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(400, 1000)], "key string")
+    both = a.unionByName(b)
+    u = sk.hll_union(sk.hll_registers(a, "key"), sk.hll_registers(b, "key"))
+    direct = sk.hll_registers(both, "key")
+    assert sorted(map(tuple, u.collect())) == sorted(map(tuple, direct.collect()))
+    # idempotent: A ∪ A == A
+    ra = sk.hll_registers(a, "key")
+    self_u = sk.hll_union(ra, ra)
+    assert sorted(map(tuple, self_u.collect())) == sorted(map(tuple, ra.collect()))
+
+
+def test_hll_inclusion_exclusion_accuracy(spark):
+    # |A|=3000, |B|=3000, |A∩B|=2000: intersection via est_a+est_b-est_union
+    a = spark.createDataFrame([(f"k{i}",) for i in range(0, 3000)], "key string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(1000, 4000)], "key string")
+    ea = sk.hll_estimate(sk.hll_registers(a, "key")).collect()[0].estimate
+    eb = sk.hll_estimate(sk.hll_registers(b, "key")).collect()[0].estimate
+    eu = sk.hll_estimate(
+        sk.hll_union(sk.hll_registers(a, "key"), sk.hll_registers(b, "key"))
+    ).collect()[0].estimate
+    inter = ea + eb - eu
+    # three raw estimates at ~9% each: allow a generous combined band
+    assert abs(inter - 2000) / 2000 < 0.5
+    assert abs(eu - 4000) / 4000 < 0.32
