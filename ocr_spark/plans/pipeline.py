@@ -225,3 +225,47 @@ def run_streaming_extract(
         # caller a partially-written sink with no error signal
         q.awaitTermination()
     return q
+
+
+def run_streaming_extract_to_catalog(
+    spark,
+    pages_glob: str,
+    table_root: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming extraction committing each micro-batch into the
+    ManifestTable catalog — the Iceberg streaming-sink shape: every
+    micro-batch becomes one catalog commit whose id IS the stream's
+    batchId, so a batch replayed after a crash (Structured Streaming
+    re-runs the last uncommitted batch from the WAL) OVERWRITES its own
+    commit instead of duplicating rows. Downstream pipelines then consume
+    the table incrementally via ``read_changes(since=last_seen_commit)``
+    — checkpointed producer, exactly-once consumer, both keyed on the
+    same commit ids.
+
+    Returns the ManifestTable (drained with availableNow)."""
+    from ..sources.catalog import ManifestTable
+    from ..sources.pages import PAGES_SCHEMA
+
+    tbl = ManifestTable(table_root)
+
+    def commit_batch(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        tbl.append(batch_df, commit_id=int(batch_id))
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(pages_glob)
+    q = (
+        extract_pages(pages)
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return tbl
