@@ -47,12 +47,33 @@ class ManifestTable:
         return (max((s["commit_id"] for s in manifest), default=-1)) + 1
 
     # -- IO ----------------------------------------------------------------
-    def append(self, df, commit_id: int | None = None) -> int:
+    @staticmethod
+    def _column_stats(df, stats_cols) -> dict:
+        """Commit-level zone map: {col: [min, max]} for the declared
+        columns (one tiny agg over the commit's rows). Values must be
+        JSON-representable — strings/ints/floats; None min/max (all-NULL
+        column) stores as null and the commit is never skipped."""
+        if not stats_cols:
+            return {}
+        from pyspark.sql import functions as F
+
+        exprs = []
+        for c in stats_cols:
+            exprs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        row = df.agg(*exprs).collect()[0]
+        return {
+            c: [row[f"__min_{c}"], row[f"__max_{c}"]] for c in stats_cols
+        }
+
+    def append(self, df, commit_id: int | None = None, *, stats_cols=()) -> int:
         """Write df as one atomic-ish commit; manifest updated last (a crash
-        mid-write leaves an unreferenced directory, never a torn snapshot)."""
+        mid-write leaves an unreferenced directory, never a torn snapshot).
+        ``stats_cols`` records commit-level min/max zone maps in the
+        manifest for :meth:`read_pruned` data skipping."""
         if commit_id is None:
             commit_id = self.next_commit_id()
         path = os.path.join(self.data_dir, f"commit={commit_id}")
+        stats = self._column_stats(df, stats_cols)
         df.write.mode("overwrite").parquet(path)
         # the data write above is an overwrite; the manifest entry must be
         # too, or a retry of the same commit id would list the path twice
@@ -60,11 +81,38 @@ class ManifestTable:
         manifest = [
             s for s in self._load_manifest() if s["commit_id"] != commit_id
         ]
-        manifest.append(
-            {"commit_id": commit_id, "path": path, "ts": time.time(), "op": "append"}
-        )
+        entry = {"commit_id": commit_id, "path": path, "ts": time.time(), "op": "append"}
+        if stats:
+            entry["stats"] = stats
+        manifest.append(entry)
         self._save_manifest(manifest)
         return commit_id
+
+    def read_pruned(self, spark, col: str, lo, hi, *, as_of: int | None = None):
+        """Zone-map scan (Iceberg manifest pruning): read only the commits
+        whose recorded [min, max] of ``col`` can overlap [lo, hi], then
+        apply the predicate exactly. At crawl scale this is THE manifest
+        win — a url- or time-ranged probe over a million-commit table
+        opens the handful of overlapping commits instead of listing every
+        file. Commits WITHOUT stats for ``col`` (or with an all-NULL
+        range) are conservatively read — pruning never changes results,
+        it only skips provably-disjoint data. Returns None when no commit
+        can match."""
+        from pyspark.sql import functions as F
+
+        vis = self._visible(self._load_manifest(), as_of)
+
+        def may_match(s) -> bool:
+            rng = (s.get("stats") or {}).get(col)
+            if not rng or rng[0] is None or rng[1] is None:
+                return True  # no zone map -> cannot prove disjoint
+            return not (rng[1] < lo or rng[0] > hi)
+
+        paths = [s["path"] for s in vis if may_match(s)]
+        if not paths:
+            return None
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        return df.where((F.col(col) >= lo) & (F.col(col) <= hi))
 
     def rollback(self, commit_id: int):
         """Drop a commit from the manifest (aborted-transaction cleanup).

@@ -244,3 +244,46 @@ def test_schema_evolution_add_column(spark, tmp_path):
     # incremental scan across the evolution boundary merges too
     inc = tbl.read_changes(spark, since=-1, until=1)
     assert set(inc.columns) == {"id", "v", "lang"}
+
+
+def test_zone_map_pruning(spark, tmp_path):
+    """Commit-level min/max zone maps: a ranged read opens ONLY the
+    overlapping commits; commits without stats are read conservatively;
+    results equal the unpruned filter exactly."""
+    tbl = ManifestTable(str(tmp_path / "zm"))
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(10)], "id long, v string"
+        )
+        tbl.append(df, stats_cols=["id"])
+    # no-stats commit (legacy writer): must never be skipped
+    tbl.append(spark.createDataFrame([(55, "legacy")], "id long, v string"))
+
+    got = tbl.read_pruned(spark, "id", 100, 109)
+    # exactly the stats-overlapping commit + the conservative no-stats one
+    files = set(got.inputFiles())
+    assert any("commit=1/" in f for f in files)
+    assert not any("commit=0/" in f or "commit=2/" in f for f in files)
+    assert any("commit=3/" in f for f in files)  # legacy: conservative
+    assert sorted(r.id for r in got.collect()) == list(range(100, 110))
+
+    # predicate exactness: pruned == unpruned filter
+    full = tbl.read(spark).where("id between 100 and 109")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
+
+    # provably-disjoint range: only the legacy commit is opened
+    none_zone = tbl.read_pruned(spark, "id", 500, 600)
+    assert {f.split("commit=")[1][0] for f in none_zone.inputFiles()} == {"3"}
+    assert none_zone.count() == 0
+
+    # string zone maps work too (lexicographic)
+    tbl2 = ManifestTable(str(tmp_path / "zm2"))
+    tbl2.append(
+        spark.createDataFrame([("a1",), ("a9",)], "url string"), stats_cols=["url"]
+    )
+    tbl2.append(
+        spark.createDataFrame([("m1",), ("m9",)], "url string"), stats_cols=["url"]
+    )
+    got2 = tbl2.read_pruned(spark, "url", "m0", "mz")
+    assert {f.split("commit=")[1][0] for f in got2.inputFiles()} == {"1"}
+    assert sorted(r.url for r in got2.collect()) == ["m1", "m9"]
