@@ -111,11 +111,25 @@ def run_extract_job(
     salt_partitions: int | None = None,
     salt_mode: str = "all",
     decode_method: str = "greedy",
+    quality_gate: bool = False,
+    dedup_threshold: float | None = None,
 ):
     """Execute one commit: extract pending pages, append output + lineage.
 
     Returns (commit_id, metrics dict). Re-running after a failure processes
     only pages missing from the lineage table (exactly-once per url).
+
+    Production gates (both off by default):
+    - ``quality_gate``: drop extracted docs failing the Gopher rule set
+      (corpus_filters.gopher_rules) before the commit;
+    - ``dedup_threshold``: drop new docs whose exact shingle-Jaccard
+      against the EXISTING extracted table reaches the threshold
+      (dedup.cross_corpus_jaccard_dedup — the R-S prefix join, new x old
+      only).
+    Gated urls are still written to LINEAGE under the same commit id —
+    a gated url is processed work, and without its lineage row every
+    future run would re-extract and re-gate it forever. They are counted
+    in the metrics row (``gated``) and never enter the output table.
     """
     out_tbl = ManifestTable(f"{out_root}/extracted")
     lin_tbl = ManifestTable(f"{out_root}/lineage")
@@ -142,6 +156,39 @@ def run_extract_job(
         decode_method=decode_method,
     )
 
+    gated = None
+    n_gated = 0
+    if quality_gate or dedup_threshold is not None:
+        # the extraction output feeds the gate predicates AND both the
+        # kept/gated splits: persist so the python stage runs once
+        extracted = extracted.withColumn(
+            "partition_id", F.spark_partition_id()
+        ).persist()
+        kept = extracted
+        if quality_gate:
+            from ..operators.corpus_filters import gopher_rules
+
+            failing = (
+                gopher_rules(kept.select(F.col("url").alias("doc_id"), "text"))
+                .where(~F.col("passes"))
+                .select(F.col("doc_id").alias("url"))
+            )
+            kept = kept.join(failing, "url", "left_anti")
+        if dedup_threshold is not None:
+            from ..operators.dedup import cross_corpus_jaccard_dedup
+
+            old = out_tbl.read(spark)
+            if old is not None:
+                survivors = cross_corpus_jaccard_dedup(
+                    kept.select(F.col("url").alias("doc_id"), "text"),
+                    old.select(F.col("url").alias("doc_id"), "text"),
+                    threshold=dedup_threshold,
+                ).select(F.col("doc_id").alias("url"))
+                kept = kept.join(survivors, "url", "left_semi")
+        gated = extracted.join(kept.select("url"), "url", "left_anti")
+        n_gated = gated.count()
+        extracted = kept
+
     obs = Observation("extract_metrics")
     extracted = extracted.observe(
         obs,
@@ -151,20 +198,27 @@ def run_extract_job(
     )
 
     commit_id = out_tbl.next_commit_id()
-    with_lineage = extracted.withColumn(
-        "partition_id", F.spark_partition_id()
+    with_lineage = (
+        extracted
+        if "partition_id" in extracted.columns
+        else extracted.withColumn("partition_id", F.spark_partition_id())
     )
     out_tbl.append(with_lineage, commit_id)
 
     # lineage derives from what was actually committed in THIS snapshot —
     # read it back from the committed files so a mid-write crash can never
-    # mark unwritten urls as done
+    # mark unwritten urls as done. Gated urls join it from the persisted
+    # split: processed work that must never be re-extracted.
     committed = spark.read.parquet(f"{out_tbl.data_dir}/commit={commit_id}")
-    lin_tbl.append(lineage_of(committed, commit_id), commit_id)
+    new_lineage = lineage_of(committed, commit_id)
+    if gated is not None and n_gated:
+        new_lineage = new_lineage.unionByName(lineage_of(gated, commit_id))
+    lin_tbl.append(new_lineage, commit_id)
 
     # observe() counters land in a metrics table per commit (A8 analog:
     # the reference's stream counters, base_ocr.py:32-51)
     metrics = dict(obs.get)
+    metrics["gated"] = n_gated
     metrics_tbl = ManifestTable(f"{out_root}/metrics")
     metrics_tbl.append(
         spark.createDataFrame(
@@ -174,9 +228,10 @@ def run_extract_job(
                     int(metrics.get("docs") or 0),
                     int(metrics.get("spans") or 0),
                     int(metrics.get("chars") or 0),
+                    int(n_gated),
                 )
             ],
-            "commit_id long, docs long, spans long, chars long",
+            "commit_id long, docs long, spans long, chars long, gated long",
         ),
         commit_id,
     )

@@ -39,6 +39,20 @@ def main():
     )
     ap.add_argument("--decode", choices=["greedy", "beam"], default="greedy")
     ap.add_argument(
+        "--quality-gate",
+        action="store_true",
+        help="drop extracted docs failing the Gopher rule set before the "
+        "commit (gated urls still enter lineage and the metrics row)",
+    )
+    ap.add_argument(
+        "--dedup-gate",
+        type=float,
+        default=None,
+        help="drop new docs whose exact shingle-Jaccard vs the EXISTING "
+        "extracted table reaches this threshold (incremental near-dup "
+        "ingestion gate)",
+    )
+    ap.add_argument(
         "--robots",
         help="parquet path of (host, robots_txt) rows: drop disallowed urls "
         "before extraction (RFC 9309 longest-match)",
@@ -133,6 +147,8 @@ def main():
             salt_partitions=args.salt_partitions,
             salt_mode=args.salt_mode,
             decode_method=args.decode,
+            quality_gate=args.quality_gate,
+            dedup_threshold=args.dedup_gate,
         )
         print(f"commit={commit_id} metrics={metrics}")
         if args.export_wet:

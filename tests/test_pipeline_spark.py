@@ -342,3 +342,42 @@ def test_adversarial_corpus_completes(spark):
     out = extract_pages(pages)
     assert out.count() == len(blobs)
     assert out.where("text IS NULL").count() == 0
+
+
+def test_quality_and_dedup_gates(spark, tmp_path):
+    """Production gates: failing docs never enter the output table but DO
+    enter lineage (no re-extraction on resume); near-dups of already-
+    committed docs are gated on the second ingest wave."""
+    from pyspark.sql import functions as F
+
+    out_root = str(tmp_path / "gated")
+    pages = pages_df(spark, SF_SMOKE).where("url like '%/p/1%'")
+    n_pages = pages.count()
+
+    c1, m1 = run_extract_job(spark, pages, out_root, quality_gate=True)
+    # synthetic docs are short: the Gopher min-word rule gates most of them
+    assert m1["gated"] > 0
+    assert m1["docs"] + m1["gated"] == n_pages
+    out_tbl = ManifestTable(f"{out_root}/extracted")
+    assert (out_tbl.read(spark).count() if out_tbl.read(spark) is not None else 0) == m1["docs"]
+    # EVERY processed url (kept + gated) is in lineage
+    lin = ManifestTable(f"{out_root}/lineage").read(spark)
+    assert lin.select("url").distinct().count() == n_pages
+
+    # resume over the same input: nothing left to process OR re-gate
+    c2, m2 = run_extract_job(spark, pages, out_root, quality_gate=True)
+    assert (m2["docs"] or 0) == 0 and m2["gated"] == 0
+
+    # dedup gate: re-ingesting the SAME pages under shifted urls — every
+    # doc is an exact dup of a committed one (Jaccard 1.0) IF anything
+    # was committed; gate drops them all
+    if m1["docs"]:
+        dup_wave = pages.withColumn("url", F.concat(F.col("url"), F.lit("-mirror")))
+        c3, m3 = run_extract_job(
+            spark, dup_wave, out_root, dedup_threshold=0.9
+        )
+        assert (m3["docs"] or 0) == 0
+        assert m3["gated"] == dup_wave.count()
+        # gated mirrors are lineage-recorded too
+        lin2 = ManifestTable(f"{out_root}/lineage").read(spark)
+        assert lin2.select("url").distinct().count() == 2 * n_pages
