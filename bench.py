@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "lsh_ann",
     "ivf_ann",
+    "pq_ann",
     "kmeans",
     "revenue_topk",
     "cube_agg",

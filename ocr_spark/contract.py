@@ -2615,6 +2615,18 @@ def q_kmeans(spark, sf):  # distributed Lloyd's k-means over embeddings
     return kmeans_assign(_t(spark, sf, "embeddings"), k=8, n_iters=3)
 
 
+def q_pq_ann(spark, sf):  # product-quantization ANN (Jegou et al. 2011)
+    """PQ codes + ADC short-list + exact re-rank (operators/similarity.
+    pq_topk): 8 subspaces x 64 codes trained with the integer Lloyd
+    recipe, corpus scanned as 8-byte codes via driver-built ADC tables;
+    the oracle replays training, encoding, tables, short-lists, and
+    re-ranked ranks bit-for-bit."""
+    from .operators.similarity import pq_topk
+
+    e = _t(spark, sf, "embeddings")
+    return pq_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
 def q_image_dups(spark, sf):  # perceptual near-dup image pairs (dHash)
     """8x9 grayscale PNGs built closed-form from doc_id residues are
     encoded to REAL PNG bytes (lossless), decoded back through
@@ -2899,6 +2911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nms_boxes": q_nms_boxes,
     "reading_order": q_reading_order,
     "kmeans": q_kmeans,
+    "pq_ann": q_pq_ann,
     "markdown_export": q_markdown_export,
     "bitext_align": q_bitext_align,
     "image_dups": q_image_dups,
@@ -4209,6 +4222,116 @@ def _kmeans_oracle_sql(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
 
 
 ORACLE_SQL["kmeans"] = _kmeans_oracle_sql()
+
+
+def _pq_oracle_sql(
+    m: int = 8,
+    k: int = 64,
+    n_iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+    n_q: int = 5,
+    rerank: int = 100,
+) -> str:
+    """Unrolled replay of operators/similarity.pq_topk: per-subspace
+    integer Lloyd training (first-k subvector seeds, (d, cl)-argmin,
+    floor(sum/count) update with carryover), PQ encoding, per-query ADC
+    tables, the (adist, vec_id)-ordered short-list, and the exact-L2
+    re-ranked top-k — all in exact BIGINT arithmetic, so the hash must
+    match bit-for-bit. MATERIALIZED CTEs for the round-referenced tables
+    (the HITS-oracle inlining trap)."""
+    d_sub = dim // m
+    sq = (
+        "list_sum(list_transform(range(1, {d} + 1), i ->"
+        " ({a}.sq[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+        " * ({a}.sq[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))"
+    )
+    parts = [
+        "WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q"
+        " FROM embeddings)",
+        f"sv AS MATERIALIZED (SELECT vec_id, u.s,"
+        f" list_slice(q, u.s * {d_sub} + 1, u.s * {d_sub} + {d_sub}) AS sq"
+        f" FROM v, unnest(range(0, {m})) AS u(s))",
+        f"c0 AS MATERIALIZED (SELECT s,"
+        f" row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cl,"
+        f" sq AS cv FROM sv WHERE vec_id IN"
+        f" (SELECT vec_id FROM v ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT sv.vec_id, sv.s, c.cl,"
+            f" {sq.format(d=d_sub, a='sv')} AS d"
+            f" FROM sv JOIN c{i-1} c ON sv.s = c.s)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vec_id, s, cl FROM ("
+            f"SELECT vec_id, s, cl, row_number() OVER"
+            f" (PARTITION BY vec_id, s ORDER BY d, cl) AS rk FROM d{i})"
+            f" WHERE rk = 1)"
+        )
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT s, cl, list(val ORDER BY wd) AS cv"
+            f" FROM (SELECT a.s, a.cl, u.i AS wd,"
+            f" CAST(floor(SUM(sv.sq[CAST(u.i AS INT)])"
+            f" / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS val"
+            f" FROM a{i} a JOIN sv ON sv.vec_id = a.vec_id AND sv.s = a.s,"
+            f" unnest(range(1, {d_sub} + 1)) AS u(i)"
+            f" GROUP BY a.s, a.cl, u.i) GROUP BY s, cl)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT s, cl, cv FROM n{i}"
+            f" UNION ALL SELECT c.s, c.cl, c.cv FROM c{i-1} c"
+            f" WHERE NOT EXISTS (SELECT 1 FROM n{i} n"
+            f" WHERE n.s = c.s AND n.cl = c.cl))"
+        )
+    parts.append(
+        f"df AS (SELECT sv.vec_id, sv.s, c.cl, {sq.format(d=d_sub, a='sv')} AS d"
+        f" FROM sv JOIN c{n_iters} c ON sv.s = c.s)"
+    )
+    parts.append(
+        "af AS MATERIALIZED (SELECT vec_id, s, cl FROM ("
+        "SELECT vec_id, s, cl, row_number() OVER"
+        " (PARTITION BY vec_id, s ORDER BY d, cl) AS rk FROM df) WHERE rk = 1)"
+    )
+    parts.append(
+        f"qv AS (SELECT vec_id AS query_id, s, sq FROM sv WHERE vec_id < {n_q})"
+    )
+    parts.append(
+        f"t AS MATERIALIZED (SELECT qv.query_id, qv.s, c.cl,"
+        f" {sq.format(d=d_sub, a='qv')} AS d"
+        f" FROM qv JOIN c{n_iters} c ON qv.s = c.s)"
+    )
+    parts.append(
+        "adc AS (SELECT t.query_id, af.vec_id, SUM(t.d) AS adist_q"
+        " FROM af JOIN t ON t.s = af.s AND t.cl = af.cl"
+        " GROUP BY t.query_id, af.vec_id)"
+    )
+    parts.append(
+        f"sl AS (SELECT query_id, vec_id FROM ("
+        f"SELECT query_id, vec_id, row_number() OVER"
+        f" (PARTITION BY query_id ORDER BY adist_q, vec_id) AS crk"
+        f" FROM adc WHERE vec_id <> query_id) WHERE crk <= {rerank})"
+    )
+    parts.append(
+        f"ex AS (SELECT sl.query_id, sl.vec_id,"
+        f" list_sum(list_transform(range(1, {dim} + 1), i ->"
+        f" (cv.q[CAST(i AS INT)] - qw.q[CAST(i AS INT)])"
+        f" * (cv.q[CAST(i AS INT)] - qw.q[CAST(i AS INT)]))) AS dist_q"
+        f" FROM sl JOIN v cv ON cv.vec_id = sl.vec_id"
+        f" JOIN v qw ON qw.vec_id = sl.query_id)"
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(query_id AS BIGINT) AS query_id, vec_id,"
+        f" CAST(dist_q AS BIGINT) AS dist_q, CAST(rk AS INT) AS rank FROM ("
+        f"SELECT query_id, vec_id, dist_q, row_number() OVER"
+        f" (PARTITION BY query_id ORDER BY dist_q, vec_id) AS rk"
+        f" FROM ex) WHERE rk <= {topk}"
+    )
+
+
+ORACLE_SQL["pq_ann"] = _pq_oracle_sql()
 
 ORACLE_SQL["domain_prior"] = r"""
     WITH hosts AS (

@@ -316,6 +316,254 @@ def ivf_topk(
     )
 
 
+def _pq_assign_udf(books):
+    """Arrow-batched PQ code assignment: embedding-micro-units ->
+    array<int> of m codes (one per subspace).
+
+    ``books`` is an (m, k, d_sub) int64 codebook shipped in the closure
+    (broadcast-once semantics). Per subspace the distance is the exact
+    integer squared L2 via q.q - 2 q.c + c.c — int64 adds are associative,
+    so any Arrow batch size / partitioning gives bit-identical codes;
+    argmin takes the FIRST minimum so ties break to the lowest code,
+    matching the DuckDB replay (same contract as kmeans_assign)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(books, dtype=np.int64)  # (m, k, d_sub)
+    m, _, d_sub = C.shape
+    c2 = (C * C).sum(axis=2)  # (m, k)
+
+    @pandas_udf("array<int>")
+    def assign(qs: pd.Series) -> pd.Series:
+        if len(qs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array([np.asarray(v, dtype=np.int64) for v in qs])
+        M = M.reshape(len(M), m, d_sub)
+        codes = np.empty((len(M), m), dtype=np.int32)
+        for s in range(m):
+            Ms = M[:, s, :]
+            d = (Ms * Ms).sum(axis=1)[:, None] - 2 * (Ms @ C[s].T) + c2[s][None, :]
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return assign
+
+
+def pq_train(
+    embeddings: DataFrame, *, m: int = 4, k: int = 16, n_iters: int = 2
+) -> list:
+    """Train product-quantization codebooks (m subspaces x k codes) over the
+    full embedding table with the integer-exact Lloyd recipe of
+    ``kmeans_assign`` run on every subspace at once.
+
+    Per iteration: ONE zero-exchange Arrow assignment pass + ONE bounded
+    groupBy — dims explode to (subspace, code, within-dim) keys that
+    map-side-combine down to m*k*d_sub rows; the driver only ever holds the
+    codebooks (m*k*d_sub longs). Seeds are the first-k vec_ids' subvectors;
+    updates floor(sum/count) with empty-code carryover — all integer, so the
+    DuckDB oracle replays training bit-for-bit (``_pq_oracle_sql``).
+
+    At 100 TB you would train on a bounded sample (as ``ivf_topk`` does) and
+    encode the full corpus in the same single pass; full-table training here
+    keeps the replay oracle total."""
+    q = embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(KMEANS_QUANT)).cast("long"),
+        ).alias("q"),
+    )
+    from pyspark import StorageLevel
+
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    seed_rows = q.orderBy("vec_id").limit(k).collect()
+    if not seed_rows:
+        raise ValueError("pq_train: embeddings table is empty")
+    dim = len(seed_rows[0]["q"])
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books = [
+        [list(r["q"][s * d_sub : (s + 1) * d_sub]) for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(n_iters):
+        rows = (
+            q.select(
+                _pq_assign_udf(books)(F.col("q")).alias("codes"),
+                F.posexplode("q").alias("d", "v"),
+            )
+            .select(
+                (F.col("d") / d_sub).cast("int").alias("s"),
+                (F.col("d") % d_sub).alias("wd"),
+                "v",
+                "codes",
+            )
+            .select(
+                "s",
+                F.element_at("codes", F.col("s") + 1).alias("code"),
+                "wd",
+                "v",
+            )
+            .groupBy("s", "code", "wd")
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        upd = {(r["s"], r["code"], r["wd"]): (int(r["sv"]), int(r["n"])) for r in rows}
+        books = [
+            [
+                [
+                    (
+                        math.floor(upd[(s, c, d)][0] / upd[(s, c, d)][1])
+                        if (s, c, d) in upd
+                        else books[s][c][d]
+                    )
+                    for d in range(d_sub)
+                ]
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+    q.unpersist()
+    return books
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 64,
+    n_iters: int = 2,
+    rerank: int = 100,
+) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"; the FAISS
+    IVFPQ+refine shape) — the memory path for corpus-scale similarity:
+    each vector is stored as m small codes (8 bytes/vector vs 256 bytes of
+    float32), queries scan CODES via asymmetric distance computation (ADC)
+    to build a short-list of ``rerank`` candidates, and only the short-list
+    is re-ranked by the exact integer L2 distance.
+
+    Output (query_id, vec_id, dist_q, rank): top-k per query by exact
+    squared L2 in embedding micro-units over the ADC short-list.
+
+    Scale shape: encode is one zero-exchange Arrow pass over the corpus;
+    the per-query ADC TABLES (m*k longs each) are built driver-side from
+    the bounded probe side and shipped in the scoring UDF's closure
+    (broadcast-once); scoring is a table-lookup sum per row — no vector
+    arithmetic, no join — and only n_q*rerank candidate rows ever touch a
+    full vector again. The exchanges are the two per-query top-k windows
+    (short-list + final), both over candidate-sized inputs. Integer end to
+    end, so the DuckDB oracle re-derives training, codes, tables,
+    short-lists, and re-ranked ranks bit-for-bit.
+
+    On this sandbox's near-random synthetic embeddings the raw ADC ranking
+    saturates at ~0.3 recall@5 (neighbor margins are noise-level — the
+    same regime that pushes lsh_ann to 12 tables and ivf_ann to
+    n_probe=8); the re-rank stage restores 0.9+ while preserving the
+    codes-only corpus scan that makes PQ the 100 TB design."""
+    books = pq_train(embeddings, m=m, k=n_codes, n_iters=n_iters)
+    C = np.asarray(books, dtype=np.int64)  # (m, k, d_sub)
+    d_sub = C.shape[2]
+
+    codes = embeddings.select(
+        "vec_id",
+        _pq_assign_udf(books)(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * F.lit(KMEANS_QUANT)).cast(
+                    "long"
+                ),
+            )
+        ).alias("codes"),
+    )
+
+    # bounded probe side -> driver; ADC tables T[j, s, c] = ||q_j,s - c_s,c||^2
+    q_rows = queries.select("vec_id", "embedding").orderBy("vec_id").collect()
+    if not q_rows:
+        raise ValueError("pq_topk: queries side is empty")
+    qids = [int(r["vec_id"]) for r in q_rows]
+    Q = np.array(
+        [
+            np.floor(np.asarray(r["embedding"], dtype=np.float64) * KMEANS_QUANT)
+            for r in q_rows
+        ],
+        dtype=np.int64,
+    ).reshape(len(q_rows), C.shape[0], d_sub)
+    T = np.empty((len(qids), C.shape[0], C.shape[1]), dtype=np.int64)
+    for s in range(C.shape[0]):
+        Qs = Q[:, s, :]
+        T[:, s, :] = (
+            (Qs * Qs).sum(axis=1)[:, None]
+            - 2 * (Qs @ C[s].T)
+            + (C[s] * C[s]).sum(axis=1)[None, :]
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def adc(code_series: pd.Series) -> pd.Series:
+        if len(code_series) == 0:
+            return pd.Series([], dtype=object)
+        Cd = np.array([np.asarray(c, dtype=np.int64) for c in code_series])
+        n = len(Cd)
+        out = np.zeros((n, T.shape[0]), dtype=np.int64)
+        for s in range(T.shape[1]):
+            out += T[:, s, :][:, Cd[:, s]].T
+        return pd.Series(list(out))
+
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        codes.select("vec_id", F.posexplode(adc("codes")).alias("qi", "adist_q"))
+        .select(
+            F.element_at(qid_arr, F.col("qi") + 1).cast("long").alias("query_id"),
+            "vec_id",
+            "adist_q",
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adist_q"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("crank", F.row_number().over(w_adc))
+        .where(F.col("crank") <= rerank)
+        .select("query_id", "vec_id")
+    )
+
+    # exact integer L2 re-rank of the short-list only: candidates join back
+    # to the quantized vectors (n_q*rerank rows — Catalyst broadcasts the
+    # candidate side), distances against the driver-held query matrix in
+    # one Arrow pass (fixed-order int64 — bit-identical at any batch size).
+    Qfull = Q.reshape(len(qids), -1)
+    qindex = {qid: j for j, qid in enumerate(qids)}
+
+    @pandas_udf("bigint")
+    def exact_dist(q_col: pd.Series, qid_col: pd.Series) -> pd.Series:
+        if len(q_col) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.array([np.asarray(v, dtype=np.int64) for v in q_col])
+        J = np.array([qindex[int(q)] for q in qid_col])
+        d = M - Qfull[J]
+        return pd.Series((d * d).sum(axis=1).astype("int64"))
+
+    qvecs = embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(KMEANS_QUANT)).cast("long"),
+        ).alias("q"),
+    )
+    reranked = qvecs.join(F.broadcast(shortlist), "vec_id").select(
+        "query_id", "vec_id", exact_dist(F.col("q"), F.col("query_id")).alias("dist_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("vec_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dist_q", "rank")
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     *,

@@ -264,6 +264,48 @@ def test_lsh_multiprobe_recall_vs_brute_force(spark):
     assert recall >= 0.9, f"LSH multiprobe recall {recall} too low"
 
 
+def test_pq_recall_vs_exact_l2(spark):
+    """PQ/ADC is lossy by design (8 subspaces x 64 codes = 8 bytes/vector);
+    the quality contract is top-k recall of the ADC-shortlist +
+    exact-re-rank pipeline against the exact integer-L2 ground truth (ADC
+    approximates L2, not cosine). The determinism contract (bit-identical
+    training/codes/distances at any parallelism) is carried by the DuckDB
+    replay oracle of query pq_ann."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import KMEANS_QUANT, pq_topk
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.01"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    rows_e = e.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows_e])
+    Q = np.floor(
+        np.array([r.embedding for r in rows_e], dtype=np.float64) * KMEANS_QUANT
+    ).astype(np.int64)
+    exact = set()
+    for qi in range(10):
+        d = ((Q - Q[qi]) ** 2).sum(axis=1)
+        d[qi] = 1 << 62
+        for v in ids[np.lexsort((ids, d))[:5]]:
+            exact.add((qi, int(v)))
+
+    q = e.where(F.col("vec_id") < 10)
+    rows = pq_topk(e, q, k=5).collect()
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"PQ+rerank recall {recall} too low"
+    # every query returns a full top-k with contiguous ranks
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == set(range(10))
+    for ranks in per_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
 def test_lsh_candidates_scored_once(spark):
     """A pair colliding in several tables must appear once with one score."""
     from ocr_spark.operators.similarity import lsh_bucket_topk
