@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "url_canon",
     "line_dedup",
     "charset_sniff",
+    "mojibake",
     "c4_clean",
     "pii_redact",
     "ngram_spans",

@@ -2627,6 +2627,50 @@ def q_pq_ann(spark, sf):  # product-quantization ANN (Jegou et al. 2011)
     return pq_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
+def q_mojibake(spark, sf):  # UTF-8-as-cp1252 mojibake detect + repair
+    """Deterministic dirty corpus: doc_id % 3 == 0 docs get a non-ASCII
+    marker appended and are then corrupted through the FORWARD
+    UTF-8-read-as-windows-1252 table (twice for doc_id % 9 == 0 —
+    double mojibake); everything else is pure ASCII and passes through
+    corruption unchanged. The repair operator must peel exactly the
+    applied layers back; the oracle re-derives the expected clean text,
+    flag, and round count arithmetically from the corpus construction —
+    it never sees either byte table."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.corpus_filters import mojibake_repair
+
+    d = _t(spark, sf, "documents")
+
+    @pandas_udf("string")
+    def corrupt_n(text, times):
+        import pandas as pd
+
+        from .kernels.mojibake import corrupt_utf8_as_w1252
+
+        out = []
+        for t, n in zip(text, times):
+            t = str(t)
+            for _ in range(int(n)):
+                t = corrupt_utf8_as_w1252(t)
+            out.append(t)
+        return pd.Series(out)
+
+    dirty = d.select(
+        "doc_id",
+        corrupt_n(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(" déjà vu — café™")),
+            ).otherwise(F.col("text")),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(2))
+            .when(F.col("doc_id") % 3 == 0, F.lit(1))
+            .otherwise(F.lit(0)),
+        ).alias("text"),
+    )
+    return mojibake_repair(dirty)
+
+
 def q_image_dups(spark, sf):  # perceptual near-dup image pairs (dHash)
     """8x9 grayscale PNGs built closed-form from doc_id residues are
     encoded to REAL PNG bytes (lossless), decoded back through
@@ -2912,6 +2956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reading_order": q_reading_order,
     "kmeans": q_kmeans,
     "pq_ann": q_pq_ann,
+    "mojibake": q_mojibake,
     "markdown_export": q_markdown_export,
     "bitext_align": q_bitext_align,
     "image_dups": q_image_dups,
@@ -4332,6 +4377,21 @@ def _pq_oracle_sql(
 
 
 ORACLE_SQL["pq_ann"] = _pq_oracle_sql()
+
+# mojibake: the expected output is closed-form in the corpus construction —
+# marker + corruption rounds are keyed on doc_id residues, the base corpus
+# is pure ASCII (corruption-invariant), and repair must invert exactly.
+ORACLE_SQL["mojibake"] = """
+    SELECT doc_id,
+           (doc_id % 3 = 0) AS had_mojibake,
+           CAST(CASE WHEN doc_id % 9 = 0 THEN 2
+                     WHEN doc_id % 3 = 0 THEN 1
+                     ELSE 0 END AS INT) AS rounds,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' déjà vu — café™'
+                ELSE text END AS repaired
+    FROM documents
+"""
 
 ORACLE_SQL["domain_prior"] = r"""
     WITH hosts AS (

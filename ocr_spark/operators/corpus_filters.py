@@ -883,6 +883,52 @@ def blocklist_flags(
 
 
 # --------------------------------------------------------------------------
+# mojibake repair (UTF-8-as-windows-1252 damage)
+# --------------------------------------------------------------------------
+
+def mojibake_repair(
+    df: DataFrame, *, text_col: str = "text", max_rounds: int = 3
+) -> DataFrame:
+    """Detect and repair UTF-8-as-windows-1252 mojibake (kernels/mojibake,
+    the ftfy core move): (doc_id, had_mojibake, rounds, repaired).
+
+    ``had_mojibake`` is the signature-bigram detector on the INPUT text;
+    ``rounds`` counts the decode layers actually peeled (2 for
+    double-mojibake); repair is refused — text passes through — unless
+    the whole string round-trips to strictly valid UTF-8 with a strictly
+    falling signature score. ONE Arrow stage, zero exchanges; the byte
+    tables are fixed so output is bit-identical at any parallelism."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.mojibake import fix_mojibake, mojibake_score
+
+        for pdf in batches:
+            out = {"doc_id": [], "had_mojibake": [], "rounds": [], "repaired": []}
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                text = "" if text is None else str(text)
+                fixed, rounds = fix_mojibake(text, max_rounds=max_rounds)
+                out["doc_id"].append(int(did))
+                out["had_mojibake"].append(mojibake_score(text) > 0)
+                out["rounds"].append(rounds)
+                out["repaired"].append(fixed)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                    "had_mojibake": out["had_mojibake"],
+                    "rounds": pd.array(out["rounds"], dtype="int32"),
+                    "repaired": out["repaired"],
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        gen,
+        schema="doc_id long, had_mojibake boolean, rounds int, repaired string",
+    )
+
+
+# --------------------------------------------------------------------------
 # deterministic corpus shuffle + training shards
 # --------------------------------------------------------------------------
 
