@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "link_hosts",
     "pagerank",
     "trustrank",
+    "seed_distance",
     "hits",
     "reciprocity",
     "bm25_topk",

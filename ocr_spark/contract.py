@@ -2627,6 +2627,26 @@ def q_pq_ann(spark, sf):  # product-quantization ANN (Jegou et al. 2011)
     return pq_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
+def q_seed_distance(spark, sf):  # multi-source BFS hops from trusted seeds
+    """Hop-count-from-seed-whitelist over the host graph (the discrete
+    sibling of trustrank: link distance instead of decayed trust mass).
+    Same seed policy as q_trustrank (numeric host suffix % 5 == 0); the
+    oracle unrolls every min-plus relaxation round over the independently
+    re-derived edge set. Unreached hosts stay NULL."""
+    from .operators.link_graph import (
+        extract_page_links,
+        host_graph,
+        seed_distance_hosts,
+    )
+
+    edges = host_graph(extract_page_links(pages_df(spark, sf)))
+    seed = F.coalesce(
+        F.regexp_extract(F.col("host"), r"host(\d+)\.example", 1).cast("int") % 5 == 0,
+        F.lit(False),
+    )
+    return seed_distance_hosts(edges, seed)
+
+
 def q_mojibake(spark, sf):  # UTF-8-as-cp1252 mojibake detect + repair
     """Deterministic dirty corpus: doc_id % 3 == 0 docs get a non-ASCII
     marker appended and are then corrupted through the FORWARD
@@ -2957,6 +2977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans": q_kmeans,
     "pq_ann": q_pq_ann,
     "mojibake": q_mojibake,
+    "seed_distance": q_seed_distance,
     "markdown_export": q_markdown_export,
     "bitext_align": q_bitext_align,
     "image_dups": q_image_dups,
@@ -4170,6 +4191,43 @@ def _trustrank_oracle_sql(n_iters: int = 5) -> str:
 
 
 ORACLE_SQL["trustrank"] = _trustrank_oracle_sql()
+
+
+def _seed_distance_oracle_sql(max_hops: int = 4) -> str:
+    """Unrolled min-plus BFS replay of operators/link_graph.
+    seed_distance_hosts over the independently re-derived host edges;
+    NULL-aware min-combine per round (sentinel-free CASE so NULL means
+    'unreached', exactly as the Spark side's null-skipping least)."""
+    seed = (
+        "COALESCE(TRY_CAST(regexp_extract(host, 'host(\\d+)\\.example', 1)"
+        " AS INT) % 5 = 0, false)"
+    )
+    parts = [
+        f"WITH rel AS ({_LINK_EDGE_SQL})",
+        "edges AS (SELECT DISTINCT src_host, dst_host FROM rel"
+        " WHERE src_host <> dst_host)",
+        "nodes AS (SELECT host, " + seed + " AS is_seed FROM ("
+        "SELECT src_host AS host FROM edges"
+        " UNION SELECT dst_host FROM edges))",
+        "d0 AS (SELECT host, is_seed,"
+        " CAST(CASE WHEN is_seed THEN 0 END AS INT) AS dist FROM nodes)",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"d{i} AS (SELECT n.host, n.is_seed, CAST("
+            "CASE WHEN p.dist IS NULL THEN r.c"
+            " WHEN r.c IS NULL THEN p.dist"
+            " ELSE LEAST(p.dist, r.c) END AS INT) AS dist "
+            f"FROM nodes n JOIN d{i-1} p ON p.host = n.host "
+            "LEFT JOIN (SELECT e.dst_host AS host, MIN(p2.dist + 1) AS c "
+            f"FROM edges e JOIN d{i-1} p2 ON p2.host = e.src_host "
+            "WHERE p2.dist IS NOT NULL GROUP BY e.dst_host) r"
+            " ON r.host = n.host)"
+        )
+    return ",\n".join(parts) + f"\nSELECT host, is_seed, dist FROM d{max_hops}"
+
+
+ORACLE_SQL["seed_distance"] = _seed_distance_oracle_sql()
 
 
 def _lpa_oracle_sql(n_iters: int = 12) -> str:

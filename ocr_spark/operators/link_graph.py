@@ -420,6 +420,61 @@ def host_reciprocity(edges_df: DataFrame) -> DataFrame:
     )
 
 
+def seed_distance_hosts(edges_df, seed_pred, max_hops: int = 4) -> DataFrame:
+    """Multi-source BFS distance from a seed whitelist over the host graph
+    -> (host, is_seed, dist): the "hop count from trusted seeds" feature
+    (the discrete complement of trustrank_hosts — trust mass decays
+    smoothly, dist counts link hops; both flag far-from-any-seed spam).
+    Hosts unreached within ``max_hops`` report dist = NULL.
+
+    Min-plus relaxation, unit steps:
+        d_0(v) = 0 if seed(v) else NULL
+        d_i(v) = min(d_{i-1}(v), 1 + min_{(u,v) in E} d_{i-1}(u))
+    Integer mins are associative/commutative, so any partitioning or
+    reduction order yields bit-identical distances, and the DuckDB oracle
+    replays the rounds exactly.
+
+    Scale shape: static deduped edge table persisted once; each round is
+    ONE src equi-join over the reached frontier + ONE dst min-groupBy +
+    a node-table left join — state bounded by |hosts|. max_hops is small
+    by design (the feature saturates: anything > ~4 hops from every seed
+    is equally suspect), so rounds are unrolled, not pointer-doubled."""
+    edges = edges_df.select("src_host", "dst_host").where(
+        F.col("src_host") != F.col("dst_host")
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .select("host", seed_pred.alias("is_seed"))
+    )
+    edges = edges.persist()
+    nodes = nodes.persist()
+    dist = nodes.select(
+        "host",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(0)).cast("int").alias("dist"),
+    )
+    for _ in range(max_hops):
+        relax = (
+            edges.join(
+                dist.where(F.col("dist").isNotNull()).select(
+                    F.col("host").alias("src_host"), "dist"
+                ),
+                "src_host",
+            )
+            .select(F.col("dst_host").alias("host"), (F.col("dist") + 1).alias("cand"))
+            .groupBy("host")
+            .agg(F.min("cand").alias("cand"))
+        )
+        dist = dist.join(relax, "host", "left").select(
+            "host",
+            "is_seed",
+            F.least(F.col("dist"), F.col("cand")).cast("int").alias("dist"),
+        )
+    return dist
+
+
 def label_propagation(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan et
     al. 2007) made fully deterministic -> (host, community).

@@ -150,6 +150,31 @@ def test_trustrank_spam_host_decays_to_zero(spark):
     assert got["A"] > 0
 
 
+def test_seed_distance_hand_golden(spark):
+    """Chain S -> A -> B -> C with an off-graph spam cycle: distances are
+    exact hop counts, hops beyond max_hops and unreachable hosts are NULL,
+    and a second seed reached at a shorter distance wins the min."""
+    from ocr_spark.operators.link_graph import seed_distance_hosts
+
+    e = _edges(
+        spark,
+        [("S", "A"), ("A", "B"), ("B", "C"), ("spam1", "spam2"), ("spam2", "spam1")],
+    )
+    got = {
+        r.host: r.dist
+        for r in seed_distance_hosts(e, F.col("host") == "S", max_hops=2).collect()
+    }
+    assert got == {"S": 0, "A": 1, "B": 2, "C": None, "spam1": None, "spam2": None}
+    # two seeds: min over sources; C now reachable within 2 via B
+    two = {
+        r.host: r.dist
+        for r in seed_distance_hosts(
+            e, F.col("host").isin("S", "B"), max_hops=2
+        ).collect()
+    }
+    assert two == {"S": 0, "A": 1, "B": 0, "C": 1, "spam1": None, "spam2": None}
+
+
 def test_trustrank_partition_invariance(spark):
     from ocr_spark.operators.link_graph import trustrank_hosts
 
