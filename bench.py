@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "robots_filter",
     "politeness",
     "dsir",
+    "dsir_resample",
     "audio_features",
     "meta_robots",
     "video_frames",

@@ -2627,6 +2627,20 @@ def q_pq_ann(spark, sf):  # product-quantization ANN (Jegou et al. 2011)
     return pq_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
+def q_dsir_resample(spark, sf):  # DSIR systematic importance resampling
+    """The resampling half of DSIR: integer e^(milli-log) weights via the
+    shared fixed-point exp tables, a range-partitioned two-pass prefix
+    sum, and systematic (Madow) PPS selection in doc-id order. The oracle
+    re-derives weights from scratch (hash models -> milli-log -> table
+    exp) and replays the cumulative selection with a window cumsum."""
+    from .operators.dsir import dsir_resample
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.substring(F.col("text"), 1, 300).alias("text")
+    )
+    return dsir_resample(d, F.col("lang") == "en", n_samples=100, n_buckets=64)
+
+
 def q_seed_distance(spark, sf):  # multi-source BFS hops from trusted seeds
     """Hop-count-from-seed-whitelist over the host graph (the discrete
     sibling of trustrank: link distance instead of decayed trust mass).
@@ -2978,6 +2992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_ann": q_pq_ann,
     "mojibake": q_mojibake,
     "seed_distance": q_seed_distance,
+    "dsir_resample": q_dsir_resample,
     "markdown_export": q_markdown_export,
     "bitext_align": q_bitext_align,
     "image_dups": q_image_dups,
@@ -5352,6 +5367,66 @@ ORACLE_SQL["dsir"] = r"""
            CAST(coalesce(sc.s, 0) AS BIGINT) AS dsir_milli
     FROM b LEFT JOIN sc ON b.doc_id = sc.doc_id
 """
+
+def _dsir_resample_oracle_sql(n_samples: int = 100) -> str:
+    """Full re-derivation of q_dsir_resample: the dsir oracle's hash
+    models and milli-log scores as CTEs, then the shared fixed-point exp
+    tables (operators/dsir.exp_tables — shared math constants, the
+    BLOCKLIST_PATTERNS pattern), a window cumsum in doc-id order, and the
+    systematic PPS selection predicate. Everything after the quantized ln
+    is BIGINT, so the hash must match bit-for-bit."""
+    from .operators.dsir import EXP_CLAMP_MILLI, exp_tables
+
+    eq, er = exp_tables()
+    eq_lit = "[" + ", ".join(str(v) for v in eq) + "]"
+    er_lit = "[" + ", ".join(str(v) for v in er) + "]"
+    qoff = EXP_CLAMP_MILLI // 1000 + 1
+    return rf"""
+    WITH toks AS (SELECT doc_id, lang,
+           list_filter(string_split_regex(trim(substr(text, 1, 300)), '\s+'),
+                       w -> w <> '') AS t FROM documents),
+    b AS (SELECT doc_id, lang, len(t) AS n,
+           list_transform(t, w -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (a, x) -> (a * 31 + x) % 1000000007) % 64) AS bs
+         FROM toks),
+    cnt AS (SELECT u.x AS bucket, count(*) AS raw_n,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS target_n
+        FROM b, unnest(bs) AS u(x) GROUP BY 1),
+    tot AS (SELECT sum(raw_n) AS R, sum(target_n) AS T FROM cnt),
+    lam AS (SELECT r.i AS bucket,
+            CAST(floor(1000 * ln(
+                ((coalesce(c.target_n, 0) + 1) * (t.R + 64)) * 1.0 /
+                ((coalesce(c.raw_n, 0) + 1) * (t.T + 64)))) AS BIGINT) AS lam
+        FROM range(0, 64) AS r(i)
+        LEFT JOIN cnt c ON c.bucket = r.i CROSS JOIN tot t),
+    per AS (SELECT doc_id, u.x AS bucket FROM b, unnest(bs) AS u(x)),
+    sc AS (SELECT per.doc_id, sum(l.lam) AS s FROM per
+           JOIN lam l ON l.bucket = per.bucket GROUP BY 1),
+    m AS (SELECT b.doc_id, CAST(coalesce(sc.s, 0) AS BIGINT) AS milli
+          FROM b LEFT JOIN sc ON b.doc_id = sc.doc_id),
+    consts AS (SELECT {eq_lit} AS eq, {er_lit} AS er),
+    wq AS (SELECT doc_id,
+           GREATEST(CAST(-{EXP_CLAMP_MILLI} AS BIGINT),
+                    LEAST(CAST({EXP_CLAMP_MILLI} AS BIGINT), milli)) AS mc
+           FROM m),
+    w AS (SELECT doc_id,
+          (consts.eq[CAST(floor(mc / 1000.0) AS BIGINT) + {qoff}]
+           * consts.er[mc - 1000 * CAST(floor(mc / 1000.0) AS BIGINT) + 1])
+          // {1 << 20} AS weight
+          FROM wq CROSS JOIN consts),
+    cum AS (SELECT doc_id, weight,
+            SUM(weight) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM w),
+    tot2 AS (SELECT GREATEST(1, SUM(weight) // {n_samples}) AS step FROM w)
+    SELECT doc_id, weight, cum FROM cum CROSS JOIN tot2
+    WHERE ((cum - weight) // step) < (cum // step)
+    """
+
+
+ORACLE_SQL["dsir_resample"] = _dsir_resample_oracle_sql()
 
 ORACLE_SQL["registrable_domain"] = """
     SELECT doc_id,

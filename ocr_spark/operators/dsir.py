@@ -99,3 +99,127 @@ def dsir_weights(
         F.size(toks).alias("n_tokens"),
         score.alias("dsir_milli"),
     )
+
+
+#: clamp for the milli-log weight before exponentiation: e^±10 spans 9
+#: orders of magnitude — anything beyond is saturated, and the clamp
+#: bounds the integer exp tables so products stay far inside int64.
+EXP_CLAMP_MILLI = 10_000
+EXP_SCALE = 1 << 20
+
+
+def exp_tables() -> tuple[list[int], list[int]]:
+    """Fixed-point integer e^x tables shared verbatim with the DuckDB
+    oracle (the BLOCKLIST_PATTERNS shared-constant pattern): for
+    milli-nats m = 1000q + r (q = floor(m/1000) in [-10, 10], r in
+    [0, 999]),  e^(m/1000) * 2^20 ~= EQ[q] * ER[r] / 2^20.  Both tables
+    are pure math constants computed once here — scoring is then integer
+    multiply/shift everywhere, immune to libm differences."""
+    eq = [
+        math.floor(EXP_SCALE * math.exp(q))
+        for q in range(-EXP_CLAMP_MILLI // 1000, EXP_CLAMP_MILLI // 1000 + 1)
+    ]
+    er = [math.floor(EXP_SCALE * math.exp(r / 1000.0)) for r in range(1000)]
+    return eq, er
+
+
+def dsir_resample(
+    df: DataFrame,
+    target_pred: Column,
+    *,
+    n_samples: int = 100,
+    n_buckets: int = 64,
+    n_partitions: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The RESAMPLING half of DSIR (Xie et al. 2023 select documents
+    proportionally to their importance weight, not top-k — top-k collapses
+    onto the mode of the target distribution; proportional sampling keeps
+    diversity). Deterministic variant: systematic (Madow) PPS sampling in
+    doc-id order — select doc i iff floor(C_{i-1}/step) < floor(C_i/step)
+    where C is the cumulative integer weight and step = total/n_samples.
+    Returns the selected rows (id_col, weight, cum).
+
+    Weights: w = 2^20 * e^(dsir_milli/1000), computed EXACTLY in int64 via
+    the shared :func:`exp_tables` (milli-log clamped to ±10 nats).
+
+    Scale shape — the distributed prefix sum (same two-pass pattern as the
+    CDX range-partitioned sort): repartitionByRange on doc id (pinned with
+    persist so both passes see identical partitions), pass 1 collects ONE
+    row per partition (its weight sum), the driver turns those into
+    per-partition starting offsets, pass 2 is a zero-exchange Arrow scan
+    that cumsums within each partition from its offset and emits the
+    selected rows. No global-order window (a partitionBy-less window
+    funnels the corpus through one partition); prefix sums are
+    partition-boundary-invariant, so any range placement yields the same
+    selection. The input stays persisted — the selection references the
+    pinned partitioning."""
+    eq, er = exp_tables()
+    eq_arr = F.array(*[F.lit(int(v)).cast("long") for v in eq])
+    er_arr = F.array(*[F.lit(int(v)).cast("long") for v in er])
+
+    scores = dsir_weights(
+        df, target_pred, n_buckets=n_buckets, text_col=text_col, id_col=id_col
+    )
+    mc = F.greatest(
+        F.lit(-EXP_CLAMP_MILLI), F.least(F.lit(EXP_CLAMP_MILLI), F.col("dsir_milli"))
+    )
+    q = F.floor(mc / F.lit(1000.0)).cast("long")
+    r = (mc - F.lit(1000) * q).cast("int")
+    # the product reaches ~2^56 — beyond double mantissa — so the 2^20
+    # rescale must stay integral: arithmetic shift, never float division
+    prod = F.element_at(
+        eq_arr, (q + F.lit(EXP_CLAMP_MILLI // 1000 + 1)).cast("int")
+    ) * F.element_at(er_arr, r + F.lit(1))
+    w_df = scores.select(
+        F.col(id_col),
+        F.shiftright(prod, 20).cast("long").alias("weight"),
+    )
+
+    ranged = (
+        w_df.repartitionByRange(n_partitions, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .persist()
+    )
+    part_rows = (
+        ranged.select(F.spark_partition_id().alias("pid"), "weight")
+        .groupBy("pid")
+        .agg(F.sum("weight").alias("s"))
+        .collect()
+    )
+    sums = {int(row["pid"]): int(row["s"]) for row in part_rows}
+    total = sum(sums.values())
+    if total <= 0:
+        raise ValueError("dsir_resample: corpus has zero total weight")
+    step = max(1, total // n_samples)
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):  # range partitions are ordered by pid
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    def gen(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        running = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cum = running + pdf["weight"].to_numpy().cumsum()
+            prev = cum - pdf["weight"].to_numpy()
+            running = int(cum[-1])
+            keep = (prev // step) < (cum // step)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    "weight": pdf["weight"].to_numpy()[keep],
+                    "cum": cum[keep],
+                }
+            )
+            yield out
+
+    return ranged.mapInPandas(
+        gen, schema=f"{id_col} long, weight long, cum long"
+    )
