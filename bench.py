@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "host_communities",
     "phrase_topk",
     "jsonld_entities",
+    "microdata",
     "crawl_overlap",
 ]
 

@@ -1751,6 +1751,64 @@ def q_jsonld_entities(spark, sf):  # schema.org JSON-LD entity extraction
     return extract_jsonld(pages)
 
 
+def q_microdata(spark, sf):  # HTML microdata (itemscope/itemprop) extraction
+    """Third schema.org channel next to og_meta and jsonld_entities: pages
+    built from doc_id residues carry a Product item (text/meta/href value
+    sources), a Person with a NESTED PostalAddress (flattened as an
+    'item:N' link row), an Article (time@datetime + img@src), and a decoy
+    flavor whose stray itemprop has no itemscope (zero rows). The REAL
+    tag-stack parser (operators/structured_data.extract_microdata) lifts
+    them; the oracle re-states every row closed-form from the residues."""
+    from .operators.structured_data import extract_microdata
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(k % 10 < 3, F.lit("host0")).otherwise(
+            F.concat(F.lit("host"), (1 + k % 37).cast("string"))
+        ),
+        F.lit(".example/p/"), ks,
+    )
+    product = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Product">'
+              '<span itemprop="name">Widget '), ks,
+        F.lit('</span><meta itemprop="sku" content="SKU-'), (k % 97).cast("string"),
+        F.lit('"><a itemprop="url" href="/p/'), ks,
+        F.lit('">link</a></div>'),
+    )
+    person = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Person">'
+              '<span itemprop="name">P '), (k % 50).cast("string"),
+        F.lit('</span><div itemprop="address" itemscope'
+              ' itemtype="https://schema.org/PostalAddress">'
+              '<span itemprop="postalCode">'), (10000 + k % 900).cast("string"),
+        F.lit("</span></div></div>"),
+    )
+    article = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Article">'
+              '<time itemprop="datePublished" datetime="2024-01-'),
+        (1 + k % 28).cast("string"),
+        F.lit('">posted</time><img itemprop="image" src="/img/'), ks,
+        F.lit('.png"></div>'),
+    )
+    r = k % 4
+    body = (
+        F.when(r == 0, product)
+        .when(r == 1, person)
+        .when(r == 2, article)
+        .otherwise(F.lit('<span itemprop="stray">ignored</span>'))
+    )
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><body><p>page</p>"),
+        body,
+        F.lit("</body></html>"),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return extract_microdata(pages)
+
+
 def q_dsir(spark, sf):  # DSIR importance weights (target = lang 'en')
     """Two-pass hashed-unigram importance estimator: bounded bucket counts
     -> integer milli-log-ratio literal -> zero-exchange integer scoring.
@@ -2993,6 +3051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mojibake": q_mojibake,
     "seed_distance": q_seed_distance,
     "dsir_resample": q_dsir_resample,
+    "microdata": q_microdata,
     "markdown_export": q_markdown_export,
     "bitext_align": q_bitext_align,
     "image_dups": q_image_dups,
@@ -5337,6 +5396,42 @@ ORACLE_SQL["jsonld_entities"] = f"""
         UNION ALL
         SELECT url, 1, 0, 'Event', 'name', 'Event ' || CAST(k AS VARCHAR)
         FROM d WHERE k % 4 = 2
+    )
+"""
+
+ORACLE_SQL["microdata"] = f"""
+    WITH d AS (
+        SELECT doc_id AS k,
+               'https://' || {_HOST_SQL.format(k='doc_id')} || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    )
+    SELECT url, CAST(i AS INTEGER) AS item_idx, item_type, prop, value
+    FROM (
+        SELECT url, 0 AS i, 'https://schema.org/Product' AS item_type,
+               'name' AS prop, 'Widget ' || CAST(k AS VARCHAR) AS value
+        FROM d WHERE k % 4 = 0
+        UNION ALL
+        SELECT url, 0, 'https://schema.org/Product', 'sku',
+               'SKU-' || CAST(k % 97 AS VARCHAR) FROM d WHERE k % 4 = 0
+        UNION ALL
+        SELECT url, 0, 'https://schema.org/Product', 'url',
+               '/p/' || CAST(k AS VARCHAR) FROM d WHERE k % 4 = 0
+        UNION ALL
+        SELECT url, 0, 'https://schema.org/Person', 'name',
+               'P ' || CAST(k % 50 AS VARCHAR) FROM d WHERE k % 4 = 1
+        UNION ALL
+        SELECT url, 0, 'https://schema.org/Person', 'address', 'item:1'
+        FROM d WHERE k % 4 = 1
+        UNION ALL
+        SELECT url, 1, 'https://schema.org/PostalAddress', 'postalCode',
+               CAST(10000 + k % 900 AS VARCHAR) FROM d WHERE k % 4 = 1
+        UNION ALL
+        SELECT url, 0, 'https://schema.org/Article', 'datePublished',
+               '2024-01-' || CAST(1 + k % 28 AS VARCHAR) FROM d WHERE k % 4 = 2
+        UNION ALL
+        SELECT url, 0, 'https://schema.org/Article', 'image',
+               '/img/' || CAST(k AS VARCHAR) || '.png' FROM d WHERE k % 4 = 2
     )
 """
 

@@ -79,3 +79,85 @@ def test_spark_stage_schema_and_resilience(spark):
         "struct<url:string,block_idx:int,entity_idx:int,"
         "jtype:string,key:string,value:string>"
     )
+
+
+# ------------------------------------------------------------- microdata
+
+MD_URL = "https://h.example/md"
+
+
+def _md_page(body: str) -> bytes:
+    return ("<!DOCTYPE html><html><body>" + body + "</body></html>").encode()
+
+
+def test_microdata_value_sources_and_collapse():
+    from ocr_spark.operators.structured_data import _microdata_rows
+
+    rows = _microdata_rows(
+        MD_URL,
+        _md_page(
+            '<div itemscope itemtype="https://schema.org/Product">'
+            "<span itemprop='name'>Widget   <b>7</b> x</span>"
+            '<meta itemprop="sku" content="SKU-1">'
+            '<a itemprop="url" href="/p/7">link text ignored</a>'
+            '<time itemprop="when" datetime="2024-01-05">jan five</time>'
+            "</div>"
+        ),
+    )
+    assert rows == [
+        (MD_URL, 0, "https://schema.org/Product", "name", "Widget 7 x"),
+        (MD_URL, 0, "https://schema.org/Product", "sku", "SKU-1"),
+        (MD_URL, 0, "https://schema.org/Product", "url", "/p/7"),
+        (MD_URL, 0, "https://schema.org/Product", "when", "2024-01-05"),
+    ]
+
+
+def test_microdata_nested_item_link_and_numbering():
+    from ocr_spark.operators.structured_data import _microdata_rows
+
+    rows = _microdata_rows(
+        MD_URL,
+        _md_page(
+            '<div itemscope itemtype="T0"><span itemprop="a">A</span>'
+            '<div itemprop="child" itemscope itemtype="T1">'
+            '<span itemprop="b">B</span></div></div>'
+            '<div itemscope itemtype="T2"><span itemprop="c">C</span></div>'
+        ),
+    )
+    assert (MD_URL, 0, "T0", "child", "item:1") in rows
+    assert (MD_URL, 1, "T1", "b", "B") in rows
+    assert (MD_URL, 2, "T2", "c", "C") in rows
+
+
+def test_microdata_stray_prop_junk_and_unclosed():
+    from ocr_spark.operators.structured_data import _microdata_rows
+
+    assert _microdata_rows(MD_URL, b"\x00\x01binary") == []
+    assert _microdata_rows(
+        MD_URL, _md_page('<span itemprop="stray">ignored</span>')
+    ) == []
+    # unclosed text prop at EOF keeps its collected text
+    rows = _microdata_rows(
+        MD_URL, b'<div itemscope itemtype="T"><span itemprop="p">tail text'
+    )
+    assert rows == [(MD_URL, 0, "T", "p", "tail text")]
+
+
+def test_microdata_spark_stage_schema_and_resilience(spark):
+    from ocr_spark.operators.structured_data import extract_microdata
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", bytes(_md_page('<div itemscope itemtype="T">'
+                                  '<span itemprop="n">1</span></div>'))),
+            ("u2", None),
+            ("u3", b"not html at all"),
+        ],
+        "url string, html binary",
+    )
+    out = extract_microdata(pages)
+    assert [tuple(r) for r in out.collect()] == [("u1", 0, "T", "n", "1")]
+    assert out.schema.simpleString() == (
+        "struct<url:string,item_idx:int,item_type:string,"
+        "prop:string,value:string>"
+    )
