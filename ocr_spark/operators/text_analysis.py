@@ -237,9 +237,15 @@ def _letter_bigrams(col_name: str) -> Column:
     """Letter bigrams of lower(<col>) as a Column array — pure expr
     algebra, identical list comprehension in the oracle."""
     s = f"lower(`{col_name}`)"
+    # gram filter = both chars in [a-z]: ascii-range checks instead of a
+    # per-gram regex ('^[a-z]{2}$') — same set (codepoints 97..122 are
+    # exactly a-z; a length-1 tail gram has ascii('')=0 on its second char
+    # and is rejected), ~20x cheaper than len(text) regex matches per doc.
     return F.expr(
         f"filter(transform(sequence(1, greatest(1, length({s}) - 1)), "
-        f"i -> substring({s}, i, 2)), g -> g rlike '^[a-z]{{2}}$')"
+        f"i -> substring({s}, i, 2)), "
+        f"g -> ascii(g) BETWEEN 97 AND 122 "
+        f"AND ascii(substring(g, 2, 1)) BETWEEN 97 AND 122)"
     )
 
 
