@@ -307,3 +307,52 @@ def test_meta_extractors_never_raise(url, blob):
     _og_meta(blob)
     _pagination(url, blob)
     _provenance(url, blob)
+
+
+@given(st.text(max_size=200), _junk)
+@settings(max_examples=100, deadline=None)
+def test_structured_data_extractors_never_raise(url, blob):
+    """jsonld / microdata / html-table byte parsers obey the degradation
+    contract: junk bytes -> fewer rows, never a task failure."""
+    from ocr_spark.operators.html_tables import _html_tables
+    from ocr_spark.operators.structured_data import _jsonld_rows, _microdata_rows
+
+    for row in _jsonld_rows(url, blob):
+        assert row[0] == url
+    for row in _microdata_rows(url, blob):
+        assert row[0] == url
+    for (t, r, c, v) in _html_tables(url, blob):
+        assert isinstance(v, str)
+
+
+# a structure-biased generator: raw junk plus junk wrapped in the syntactic
+# markers each parser keys on, so the fuzz reaches past the cheap sniff
+_marked_junk = st.one_of(
+    _junk,
+    _junk.map(lambda b: b'<script type="application/ld+json">' + b + b"</script>"),
+    _junk.map(lambda b: b"<div itemscope itemtype=x><span itemprop=y>" + b),
+    _junk.map(lambda b: b"<table><tr><td>" + b + b"</td></tr></table>"),
+)
+
+
+@given(_marked_junk)
+@settings(max_examples=150, deadline=None)
+def test_structured_data_marked_junk_never_raises(blob):
+    from ocr_spark.operators.html_tables import _html_tables
+    from ocr_spark.operators.structured_data import _jsonld_rows, _microdata_rows
+
+    _jsonld_rows("u", blob)
+    _microdata_rows("u", blob)
+    _html_tables("u", blob)
+
+
+@given(st.one_of(_junk, st.text(max_size=400)))
+@settings(max_examples=150, deadline=None)
+def test_parse_vtt_never_raises(body):
+    """WebVTT cue parser: cue rows are well-typed (integer ms, start<=end)
+    for ANY input."""
+    from ocr_spark.kernels.vtt import parse_vtt
+
+    for cue in parse_vtt(body):
+        assert isinstance(cue["start_ms"], int) and isinstance(cue["end_ms"], int)
+        assert cue["start_ms"] <= cue["end_ms"]
