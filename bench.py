@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "window_topk",
     "ctc_roundtrip",
+    "crnn_read",
     "combine_boxes",
     "training_pipeline",
     "langid",

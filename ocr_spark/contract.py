@@ -1248,6 +1248,12 @@ def q_pixel_ocr(spark, sf):  # S1+P1+D-detect+R-recognize on REAL pixels
     return pixel_ocr_roundtrip(_t(spark, sf, "part"))
 
 
+def q_crnn_read(spark, sf):  # R4 CRNN-form forward (conv bank + CTC) on pixels
+    from .operators.recognize import crnn_read_roundtrip
+
+    return crnn_read_roundtrip(_t(spark, sf, "part"))
+
+
 def q_emission_filter(spark, sf):  # P6/X3 near-duplicate emission gate
     # relational form of _filter_text_results (base_ocr.py:679-725): basic
     # gates (non-empty, multi-word, has letters) + reject when normalized
@@ -2962,6 +2968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "ctc_roundtrip": q_ctc_roundtrip,
     "pixel_ocr": q_pixel_ocr,
+    "crnn_read": q_crnn_read,
     "emission_filter": q_emission_filter,
     "sort_boxes_sql": q_sort_boxes_sql,
     "pandas_udf_lev": q_pandas_udf_lev,
@@ -3423,6 +3430,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT p_partkey, lower(p_name) AS decoded FROM part
     """,
     "pixel_ocr": """
+        SELECT p_partkey,
+               trim(regexp_replace(regexp_replace(lower(p_name),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS decoded,
+               CAST(CASE WHEN trim(regexp_replace(regexp_replace(lower(p_name),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) = '' THEN 0
+                    ELSE len(string_split(trim(regexp_replace(regexp_replace(lower(p_name),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) END AS INT) AS n_words
+        FROM part
+    """,
+    "crnn_read": """
         SELECT p_partkey,
                trim(regexp_replace(regexp_replace(lower(p_name),
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS decoded,

@@ -1,0 +1,116 @@
+"""CRNN-form recognition forward pass on real pixels (R4 mechanism).
+
+The reference's CRNN (architectures/crnn_arch.py:306-531) is a conv
+feature extractor that turns a word image into a per-timestep class-score
+sequence, decoded by CTC. This kernel reproduces that MECHANISM with
+analytically constructed weights instead of trained ones:
+
+- conv layer = matched-filter bank: one 7x5 filter per font glyph in
+  +-1 ink coding, correlated at EVERY column (stride 1) of the word strip
+  -> integer class scores per timestep (dot = 35 - 2*hamming, so a
+  perfect template hit scores exactly 35);
+- CTC head: blank logit is pinned between the best imperfect score (34)
+  and a perfect hit (35), so the per-column argmax emits a glyph exactly
+  at its true alignments and blank everywhere else; the standard CTC
+  greedy collapse (kernels/ctc.py — the SAME decoder the fixture-logit
+  channel uses) then yields the text. Double letters survive because the
+  1-column letter gap forces a blank between the two perfect hits —
+  the textbook CTC alignment argument, running on real pixels.
+
+Unlike kernels/pixel_ocr.recognize_word (known-pitch cell slicing +
+nearest template), this path assumes NO glyph pitch or alignment: the
+conv scans every offset and CTC recovers the alignment, which is exactly
+what makes the CRNN shape work on variable-advance renderings.
+
+Correctness is exhaustively provable at font resolution: a 5-wide window
+sees at most two neighboring glyphs (pitch 6 >= window 5), so the
+all-pairs test in tests/test_crnn.py covers every window content any text
+can produce — no wrong template can ever score a perfect 35.
+
+Integer-exact throughout (logits are even integers, blank odd), decoded
+with blank id 0 and classes 1..36 in sorted-char order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from numpy.lib.stride_tricks import sliding_window_view
+
+from .ctc import ctc_greedy_decode_batch, pad_batch
+from .glyphs import GLYPH_H, GLYPH_W, TEMPLATES
+from .pixel_ocr import detect_words
+
+#: class order: blank (id 0) + glyphs sorted by char — matches the
+#: first-minimum/lexicographic tie rule used everywhere else
+CRNN_CHARS = sorted(TEMPLATES)
+_BANK = (
+    np.stack([TEMPLATES[c] for c in CRNN_CHARS]).astype(np.int64) * 2 - 1
+).reshape(len(CRNN_CHARS), GLYPH_H * GLYPH_W)  # (36, 35) in {-1, +1}
+
+#: a perfect correlation scores 2*35 = 70; the best imperfect one 68.
+_BLANK_LOGIT = 69
+
+
+def pool_to_font(ink: np.ndarray, scale: int) -> np.ndarray:
+    """(h, w) bool ink at an integer glyph scale -> (GLYPH_H, w/scale)
+    font-resolution ink. The detector's boxes start on glyph-block
+    boundaries (render scales each font pixel to a scale x scale block),
+    so block mean-pooling is the exact inverse of the rendering upscale."""
+    h = GLYPH_H * scale
+    w = -(-ink.shape[1] // scale) * scale
+    p = np.zeros((h, w), dtype=bool)
+    p[: min(ink.shape[0], h), : ink.shape[1]] = ink[:h, :]
+    return p.reshape(GLYPH_H, scale, w // scale, scale).mean(axis=(1, 3)) >= 0.5
+
+
+def crnn_word_logits(font_ink: np.ndarray) -> np.ndarray:
+    """(GLYPH_H, W) font-resolution ink -> (T, 37) integer logits.
+
+    T = W + GLYPH_W - 1 timesteps (the strip is padded GLYPH_W-1 paper
+    columns on each side so every alignment of the first/last glyph is a
+    full window). Column 0 is the CTC blank."""
+    w = font_ink.shape[1]
+    pad = GLYPH_W - 1
+    padded = np.zeros((GLYPH_H, w + 2 * pad), dtype=bool)
+    padded[:, pad : pad + w] = font_ink
+    # im2col: all (7, 5) windows at stride 1 -> (T, 35) in {-1, +1}
+    win = sliding_window_view(padded, (GLYPH_H, GLYPH_W))[0]
+    t = win.shape[0]
+    x = win.reshape(t, GLYPH_H * GLYPH_W).astype(np.int64) * 2 - 1
+    logits = np.empty((t, 1 + len(CRNN_CHARS)), dtype=np.int64)
+    logits[:, 0] = _BLANK_LOGIT
+    logits[:, 1:] = x @ _BANK.T * 2  # even integers in [-70, 70]
+    return logits
+
+
+def crnn_read_words(strips: list[np.ndarray]) -> list[str]:
+    """Batch of font-resolution word strips -> texts, via ONE padded
+    (N, T, V) CTC greedy decode (the shared kernels/ctc.py path)."""
+    if not strips:
+        return []
+    jobs = [crnn_word_logits(s).astype(np.float64) for s in strips]
+    batch, lengths = pad_batch(jobs, jobs[0].shape[1])
+    tokens, _scores = ctc_greedy_decode_batch(batch, lengths, blank=0)
+    return ["".join(CRNN_CHARS[i - 1] for i in toks) for toks in tokens]
+
+
+def crnn_read_page(img: np.ndarray, *, ink_threshold: int = 128) -> str:
+    """page image -> text via detect (projection profiles) + CRNN-form
+    recognize: words joined by spaces within a line, lines by newline —
+    the same output contract as pixel_ocr.ocr_page_text, without its
+    known-pitch assumption."""
+    ink = img < ink_threshold
+    boxes = detect_words(img)
+    strips = []
+    for x0, y0, x1, y1 in boxes:
+        scale = max((y1 - y0) // GLYPH_H, 1)
+        strips.append(pool_to_font(ink[y0:y1, x0:x1], scale))
+    words = crnn_read_words(strips)
+    lines: list[list[str]] = []
+    last_y = None
+    for (x0, y0, x1, y1), word in zip(boxes, words):
+        if last_y is None or y0 != last_y:
+            lines.append([])
+            last_y = y0
+        lines[-1].append(word)
+    return "\n".join(" ".join(ws) for ws in lines)

@@ -147,3 +147,40 @@ def pixel_ocr_roundtrip(parts: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["p_partkey", "decoded", "n_words"])
 
     return parts.select("p_partkey", "p_name").mapInPandas(gen, schema=PIXEL_SCHEMA)
+
+
+def crnn_read_roundtrip(parts: DataFrame) -> DataFrame:
+    """R4 CRNN-FORM forward pass on real pixels: render -> PNG round trip
+    -> projection-profile detect -> matched-filter conv bank producing
+    per-timestep integer logits -> the SHARED kernels/ctc.py greedy decode
+    (kernels/crnn.py). Unlike pixel_ocr_roundtrip's known-pitch template
+    slicing, this path assumes no glyph alignment — the conv scans every
+    column and CTC recovers the alignment, which is the actual CRNN
+    mechanism (reference architectures/crnn_arch.py:306-531 trains the
+    filters; here they are constructed from the font bank, exhaustively
+    proven collision-free in tests/test_crnn.py). Decode is byte-identical
+    to the sanitize projection, so the DuckDB oracle is pure SQL."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels import crnn
+        from ..kernels import pixel_ocr as px
+        from ..kernels.imagecodec import png_decode, png_encode
+
+        for pdf in batches:
+            rows = []
+            for key, name in zip(pdf["p_partkey"], pdf["p_name"]):
+                text = px.sanitize_for_font(str(name))
+                img = px.render_text_image([text], scale=1 + int(key) % 3)
+                got = crnn.crnn_read_page(png_decode(png_encode(img)))
+                rows.append(
+                    {
+                        "p_partkey": int(key),
+                        "decoded": got,
+                        "n_words": len(got.split()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["p_partkey", "decoded", "n_words"])
+
+    return parts.select("p_partkey", "p_name").mapInPandas(gen, schema=PIXEL_SCHEMA)
