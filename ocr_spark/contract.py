@@ -1254,6 +1254,12 @@ def q_crnn_read(spark, sf):  # R4 CRNN-form forward (conv bank + CTC) on pixels
     return crnn_read_roundtrip(_t(spark, sf, "part"))
 
 
+def q_embed_centroids(spark, sf):  # reference utils/embeddings.compute_centroids
+    from .operators.similarity import embed_centroids
+
+    return embed_centroids(_t(spark, sf, "embeddings"))
+
+
 def q_emission_filter(spark, sf):  # P6/X3 near-duplicate emission gate
     # relational form of _filter_text_results (base_ocr.py:679-725): basic
     # gates (non-empty, multi-word, has letters) + reject when normalized
@@ -2969,6 +2975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ctc_roundtrip": q_ctc_roundtrip,
     "pixel_ocr": q_pixel_ocr,
     "crnn_read": q_crnn_read,
+    "embed_centroids": q_embed_centroids,
     "emission_filter": q_emission_filter,
     "sort_boxes_sql": q_sort_boxes_sql,
     "pandas_udf_lev": q_pandas_udf_lev,
@@ -3448,6 +3455,19 @@ ORACLE_SQL: dict[str, str] = {
                     ELSE len(string_split(trim(regexp_replace(regexp_replace(lower(p_name),
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) END AS INT) AS n_words
         FROM part
+    """,
+    "embed_centroids": """
+        WITH dims AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS micro
+            FROM embeddings
+        )
+        SELECT label, dim,
+               SUM(micro) AS sum_micro,
+               COUNT(*) AS n,
+               CAST(FLOOR(SUM(micro) * 1.0 / COUNT(*)) AS BIGINT) AS centroid_micro
+        FROM dims GROUP BY label, dim
     """,
     "pandas_udf_lev": """
         SELECT c_custkey,

@@ -750,3 +750,38 @@ def kmeans_assign(
         "vec_id", F.col("a.cluster").alias("cluster"), F.col("a.dist_q").alias("dist_q")
     )
     return out
+
+
+def embed_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroids of the embedding column — the reference's
+    utils/embeddings.compute_centroids (tested at
+    /root/reference/tests/test_utils_embeddings.py:38-63: group-mean of
+    the member vectors per id), re-expressed as ONE bounded aggregation.
+
+    Integer-exact so the DuckDB oracle hash-matches: components are
+    micro-scaled (round(v * 1e6) as BIGINT) before summing; the mean is
+    a floor division of exact integers. posexplode -> groupBy(label, dim)
+    partial-aggregates map-side and the output is bounded by
+    n_labels * dim rows — no corpus-wide shuffle of raw vectors."""
+    dims = embeddings.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 1e6).cast("long").alias("micro"),
+    )
+    agg = dims.groupBy("label", "dim").agg(
+        F.sum("micro").alias("sum_micro"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # floor(sum/n) on exact integers: |sum| < 2^40 so the double division
+    # is exact enough for floor to agree with arbitrary-precision floor
+    # everywhere except exact-integer quotients, which floor identically
+    return agg.select(
+        "label",
+        "dim",
+        "sum_micro",
+        "n",
+        F.floor(F.col("sum_micro") / F.col("n")).cast("long").alias("centroid_micro"),
+    )

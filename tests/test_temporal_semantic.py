@@ -217,3 +217,28 @@ class TestSequencePack:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_embed_centroids_match_numpy_group_mean(spark):
+    """Reference parity (utils/embeddings.compute_centroids,
+    test_utils_embeddings.py:38-63): per-label centroid == numpy mean of
+    member vectors, checked in exact micro-integers."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import embed_centroids
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = {
+        (r["label"], r["dim"]): (r["sum_micro"], r["n"], r["centroid_micro"])
+        for r in embed_centroids(emb).collect()
+    }
+    rows = emb.collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    for label, vecs in by_label.items():
+        micro = np.round(np.array(vecs, dtype=np.float64) * 1e6).astype(np.int64)
+        for d in range(micro.shape[1]):
+            s, n = int(micro[:, d].sum()), micro.shape[0]
+            assert got[(label, d)] == (s, n, s // n)
