@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "unigram_segment",
     "url_canon",
     "line_dedup",
+    "host_templates",
     "charset_sniff",
     "mojibake",
     "c4_clean",

@@ -190,6 +190,25 @@ def q_line_dedup(spark, sf):  # CCNet/RefinedWeb cross-doc line boilerplate
     return dedup_ops.line_boilerplate_dedup(enriched, min_df=3)
 
 
+def q_host_templates(spark, sf):  # SITE-scoped template/boilerplate removal
+    """7 synthetic hosts; every page of a host gets that host's nav line,
+    ~2/3 of its pages (doc_id % 3 != 0 -> 66% >= the 60% threshold) get
+    its footer. Both must strip per-host while each page's own body
+    survives; the oracle replays the df/n_pages integer threshold."""
+    d = _t(spark, sf, "documents")
+    m = (F.col("doc_id") % 7).cast("string")
+    nav = F.concat(F.lit("site "), m, F.lit(" home products about contact"))
+    footer = F.when(
+        F.col("doc_id") % 3 != 0, F.concat(F.lit("\ncopyright site "), m)
+    ).otherwise(F.lit(""))
+    enriched = d.select(
+        "doc_id",
+        F.concat(F.lit("site"), m, F.lit(".example")).alias("host"),
+        F.concat(nav, F.lit("\n"), F.col("text"), footer).alias("text"),
+    )
+    return dedup_ops.host_template_strip(enriched, pct=60, min_df=3)
+
+
 def q_fingerprint(spark, sf):  # fingerprinting (md5 of normalized text)
     return ta.fingerprint(_t(spark, sf, "documents"))
 
@@ -2976,6 +2995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pixel_ocr": q_pixel_ocr,
     "crnn_read": q_crnn_read,
     "embed_centroids": q_embed_centroids,
+    "host_templates": q_host_templates,
     "emission_filter": q_emission_filter,
     "sort_boxes_sql": q_sort_boxes_sql,
     "pandas_udf_lev": q_pandas_udf_lev,
@@ -3455,6 +3475,45 @@ ORACLE_SQL: dict[str, str] = {
                     ELSE len(string_split(trim(regexp_replace(regexp_replace(lower(p_name),
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) END AS INT) AS n_words
         FROM part
+    """,
+    "host_templates": """
+        WITH enriched AS (
+            SELECT doc_id,
+                   'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+                   'site ' || CAST(doc_id % 7 AS VARCHAR) || ' home products about contact'
+                       || chr(10) || text ||
+                   CASE WHEN doc_id % 3 <> 0
+                        THEN chr(10) || 'copyright site ' || CAST(doc_id % 7 AS VARCHAR)
+                        ELSE '' END AS text
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, host,
+                   unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS pos
+            FROM enriched
+        ),
+        normed AS (
+            SELECT doc_id, host, pos, line, trim(lower(line)) AS norm FROM lines
+        ),
+        post AS (
+            SELECT DISTINCT host, norm, doc_id FROM normed WHERE len(norm) > 0
+        ),
+        dfreq AS (SELECT host, norm, count(*) AS df FROM post GROUP BY host, norm),
+        npages AS (
+            SELECT host, count(DISTINCT doc_id) AS n_pages FROM post GROUP BY host
+        ),
+        tpl AS (
+            SELECT d.host, d.norm FROM dfreq d JOIN npages p USING (host)
+            WHERE d.df >= 3 AND d.df * 100 >= 60 * p.n_pages
+        )
+        SELECT n.doc_id, n.host,
+               coalesce(string_agg(CASE WHEN t.norm IS NULL THEN n.line END,
+                                   chr(10) ORDER BY n.pos), '') AS clean_text,
+               CAST(count(*) FILTER (WHERE t.norm IS NULL) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (WHERE t.norm IS NOT NULL) AS BIGINT) AS n_removed
+        FROM normed n LEFT JOIN tpl t ON t.host = n.host AND t.norm = n.norm
+        GROUP BY n.doc_id, n.host
     """,
     "embed_centroids": """
         WITH dims AS (

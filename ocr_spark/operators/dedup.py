@@ -823,3 +823,82 @@ def winnow_pairs(
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def host_template_strip(
+    docs: DataFrame,
+    *,
+    pct: int = 60,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """SITE-scoped template removal — the complement of the corpus-wide
+    :func:`line_boilerplate_dedup`: a normalized line is a site template
+    when it appears on >= ``pct`` percent of its OWN host's pages (and on
+    >= ``min_df`` pages, so tiny hosts don't strip everything). Nav bars,
+    per-site footers and cookie banners are host-local: a corpus-wide df
+    threshold misses a 40-page site's menu, while a host-local fraction
+    catches it without a magic absolute count. This is the classic
+    site-level boilerplate pass crawl pipelines run ON TOP of per-page
+    DOM heuristics (the reference's per-page segmentation,
+    html_extract.py, cannot see cross-page repetition at all).
+
+    Integer-exact threshold: ``df * 100 >= pct * n_pages`` — no float
+    fraction. Plan shape at 100 TB: every aggregation and join keys on
+    (host[, norm]) — the natural crawl partitioning — with map-side
+    partial aggs; per-host page counts are a bounded second aggregate of
+    the SAME distinct pre-aggregate, so raw postings shuffle once.
+    Mega-host skew rides the same salting/AQE story as the extraction
+    job itself.
+
+    Output: (doc_id, host, clean_text, n_kept, n_removed), document line
+    order preserved; empty/whitespace lines are always kept.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.lower(F.col("line"))))
+
+    # one distinct pre-aggregate feeds BOTH the per-(host, line) df and
+    # the per-host page count — no countDistinct shuffle of raw postings
+    post = (
+        lines.where(F.length("norm") > 0)
+        .select("host", "norm", "doc_id")
+        .distinct()
+    )
+    dfreq = post.groupBy("host", "norm").agg(F.count(F.lit(1)).alias("df"))
+    npages = (
+        post.select("host", "doc_id")
+        .distinct()
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    templates = (
+        dfreq.join(npages, "host")
+        .where(
+            (F.col("df") >= F.lit(min_df))
+            & (F.col("df") * 100 >= F.lit(pct) * F.col("n_pages"))
+        )
+        .select("host", "norm")
+        .withColumn("_tpl", F.lit(True))
+    )
+
+    kept = lines.join(templates, ["host", "norm"], "left").withColumn(
+        "keep", F.col("_tpl").isNull()
+    )
+    return kept.groupBy("doc_id", "host").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+    )

@@ -79,3 +79,38 @@ def test_boilerplate_side_is_broadcast(spark):
     )
     plan = line_boilerplate_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_host_template_strip_semantics(spark):
+    """Site-scoped templates: host A's nav (on 100% of its 4 pages) and
+    footer (3/4 = 75% >= 60%) strip from host A only; host B shares the
+    same nav TEXT but has just 2 pages, so min_df=3 protects it; bodies
+    always survive."""
+    from ocr_spark.operators.dedup import host_template_strip
+
+    rows = []
+    for i in range(4):
+        footer = "\nfooter a" if i < 3 else ""
+        rows.append((i, "a.example", f"nav menu\nbody a{i}{footer}"))
+    for i in range(2):
+        rows.append((10 + i, "b.example", f"nav menu\nbody b{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {
+        r.doc_id: r
+        for r in host_template_strip(df, pct=60, min_df=3).collect()
+    }
+    assert got[0].clean_text == "body a0" and got[0].n_removed == 2
+    assert got[3].clean_text == "body a3" and got[3].n_removed == 1
+    # host B keeps its nav: df=2 < min_df=3
+    assert got[10].clean_text == "nav menu\nbody b0" and got[10].n_removed == 0
+
+
+def test_host_template_strip_all_template_page(spark):
+    """A page that is ONLY template still emits a row with empty text."""
+    from ocr_spark.operators.dedup import host_template_strip
+
+    rows = [(i, "h", "tpl" if i else "tpl\nunique body") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {r.doc_id: r for r in host_template_strip(df, pct=60, min_df=3).collect()}
+    assert got[1].clean_text == "" and got[1].n_kept == 0 and got[1].n_removed == 1
+    assert got[0].clean_text == "unique body"
