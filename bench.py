@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "ivf_ann",
     "pq_ann",
     "kmeans",
+    "embed_centroids",
     "revenue_topk",
     "cube_agg",
     "events_hourly",
