@@ -36,7 +36,7 @@ from __future__ import annotations
 import numpy as np
 from numpy.lib.stride_tricks import sliding_window_view
 
-from .ctc import ctc_greedy_decode_batch, pad_batch
+from .ctc import ctc_greedy_decode_batch
 from .glyphs import GLYPH_H, GLYPH_W, TEMPLATES
 from .pixel_ocr import detect_words
 
@@ -85,12 +85,29 @@ def crnn_word_logits(font_ink: np.ndarray) -> np.ndarray:
 
 def crnn_read_words(strips: list[np.ndarray]) -> list[str]:
     """Batch of font-resolution word strips -> texts, via ONE padded
-    (N, T, V) CTC greedy decode (the shared kernels/ctc.py path)."""
+    (N, T, V) CTC greedy decode (the shared kernels/ctc.py path).
+
+    The whole batch convs in one im2col matmul: strips are right-padded
+    with paper to a common width, which cannot change any decode — an
+    all-paper window never correlates perfectly with any glyph (no
+    template is blank), so every extra timestep scores at most 68 < 69 =
+    blank and collapses away. Decode-identical to the per-word path
+    (differentially asserted in tests/test_crnn.py)."""
     if not strips:
         return []
-    jobs = [crnn_word_logits(s).astype(np.float64) for s in strips]
-    batch, lengths = pad_batch(jobs, jobs[0].shape[1])
-    tokens, _scores = ctc_greedy_decode_batch(batch, lengths, blank=0)
+    n = len(strips)
+    pad = GLYPH_W - 1
+    w_max = max(s.shape[1] for s in strips)
+    imgs = np.zeros((n, GLYPH_H, w_max + 2 * pad), dtype=bool)
+    for i, s in enumerate(strips):
+        imgs[i, :, pad : pad + s.shape[1]] = s
+    t = w_max + pad  # windows per strip at stride 1
+    win = sliding_window_view(imgs, (GLYPH_H, GLYPH_W), axis=(1, 2))
+    x = win.reshape(n, t, GLYPH_H * GLYPH_W).astype(np.int64) * 2 - 1
+    logits = np.empty((n, t, 1 + len(CRNN_CHARS)), dtype=np.int64)
+    logits[:, :, 0] = _BLANK_LOGIT
+    logits[:, :, 1:] = x @ _BANK.T * 2
+    tokens, _scores = ctc_greedy_decode_batch(logits.astype(np.float64), blank=0)
     return ["".join(CRNN_CHARS[i - 1] for i in toks) for toks in tokens]
 
 

@@ -16,6 +16,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 from ..kernels import ctc as ctc_kernel
+from ..plans.session import widen
 
 ROUNDTRIP_SCHEMA = "p_partkey long, decoded string, score double"
 
@@ -146,7 +147,11 @@ def pixel_ocr_roundtrip(parts: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["p_partkey", "decoded", "n_words"])
 
-    return parts.select("p_partkey", "p_name").mapInPandas(gen, schema=PIXEL_SCHEMA)
+    # widen(): the bench-SF part scan is one row group -> one task; the
+    # render+decode kernel is the heavy narrow stage, so fan it out
+    return widen(parts.select("p_partkey", "p_name")).mapInPandas(
+        gen, schema=PIXEL_SCHEMA
+    )
 
 
 def crnn_read_roundtrip(parts: DataFrame) -> DataFrame:
@@ -183,4 +188,8 @@ def crnn_read_roundtrip(parts: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["p_partkey", "decoded", "n_words"])
 
-    return parts.select("p_partkey", "p_name").mapInPandas(gen, schema=PIXEL_SCHEMA)
+    # widen(): the bench-SF part scan is one row group -> one task; the
+    # render+decode kernel is the heavy narrow stage, so fan it out
+    return widen(parts.select("p_partkey", "p_name")).mapInPandas(
+        gen, schema=PIXEL_SCHEMA
+    )

@@ -11,6 +11,7 @@ import pytest
 
 from ocr_spark.kernels import crnn
 from ocr_spark.kernels import pixel_ocr as px
+from ocr_spark.kernels.ctc import ctc_greedy_decode_batch
 from ocr_spark.kernels.imagecodec import png_decode, png_encode
 
 
@@ -97,7 +98,13 @@ def test_batched_equals_per_word():
     for x0, y0, x1, y1 in px.detect_words(img):
         strips.append(crnn.pool_to_font(ink[y0:y1, x0:x1], 2))
     batched = crnn.crnn_read_words(strips)
-    solo = [crnn.crnn_read_words([s])[0] for s in strips]
+    # differential reference: each word conv'd + decoded alone at its own
+    # true length via crnn_word_logits (no common-width padding)
+    solo = []
+    for s in strips:
+        logits = crnn.crnn_word_logits(s).astype(np.float64)
+        tokens, _ = ctc_greedy_decode_batch(logits[None, :, :], blank=0)
+        solo.append("".join(crnn.CRNN_CHARS[i - 1] for i in tokens[0]))
     assert batched == solo == ["alpha", "beta", "gamma"]
 
 
