@@ -2324,6 +2324,14 @@ def q_unigram_segment(spark, sf):  # unigram-LM subword tokenization
     optimum — the strongest possible check of the DP's tie-break."""
     from .operators.tokenize import unigram_segment_table
 
+    return unigram_segment_table(_segment_words(spark, sf))
+
+
+def _segment_words(spark, sf):
+    """Shared word table for the subword-tokenizer queries: corpus words
+    (lowercased a-z tokens, len 1..10) unioned with closed-form synthetic
+    words built from doc_id residues (the corpus vocabulary alone is
+    tiny). The oracles re-derive the identical set in SQL."""
     d = _t(spark, sf, "documents")
     corpus = (
         d.where(F.col("doc_id") < 2000)
@@ -2342,8 +2350,20 @@ def q_unigram_segment(spark, sf):  # unigram-LM subword tokenization
             "), '') "
         ).alias("word")
     )
-    words = corpus.union(synth).distinct()
-    return unigram_segment_table(words)
+    return corpus.union(synth).distinct()
+
+
+def q_wordpiece(spark, sf):  # WordPiece subword tokenization (BERT)
+    """Greedy longest-match-first WordPiece (Wu et al. 2016) over the
+    literal WORDPIECE_VOCAB, on the same word table as unigram_segment.
+    Greedy longest-match is decision-free (at most one vocab entry of a
+    given length can match a position), so the oracle replays the scan
+    with unrolled longest-match join steps in DuckDB and must produce
+    the identical piece sequence — including the all-or-nothing [UNK]
+    rule for words touching the vocab's letter holes."""
+    from .operators.tokenize import wordpiece_segment_table
+
+    return wordpiece_segment_table(_segment_words(spark, sf))
 
 
 def q_readability(spark, sf):  # Flesch / FK-grade readability gate
@@ -3093,6 +3113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_dups": q_video_dups,
     "cdc_chunks": q_cdc_chunks,
     "unigram_segment": q_unigram_segment,
+    "wordpiece": q_wordpiece,
     "readability": q_readability,
     "blocklist": q_blocklist,
     "shuffle_shards": q_shuffle_shards,
@@ -5039,6 +5060,66 @@ ORACLE_SQL["unigram_segment"] = f"""
            CAST(m AS BIGINT) AS cut_mask
     FROM scored
     QUALIFY ROW_NUMBER() OVER (PARTITION BY word ORDER BY score DESC, m ASC) = 1
+"""
+
+# wordpiece: the oracle replays the greedy longest-match-first scan with a
+# recursive CTE — each step takes the LONGEST vocab piece matching at the
+# cursor ('##'-prefixed when not word-initial), dies to [UNK] when none
+# matches. Vocab rendered from operators.tokenize.WORDPIECE_VOCAB — one
+# source of truth. Max word length 10 bounds recursion depth at 10.
+from .operators.tokenize import WORDPIECE_VOCAB as _WPVOCAB
+
+_WPVOCAB_SQL = "[" + ", ".join(f"'{p}'" for p in _WPVOCAB) + "]"
+
+ORACLE_SQL["wordpiece"] = f"""
+    WITH RECURSIVE corpus AS (
+        SELECT unnest(string_split(
+                   regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
+        FROM documents WHERE doc_id < 2000
+    ), synth AS (
+        SELECT list_aggregate(list_transform(range(0, 3 + doc_id % 8),
+                   j -> chr(97 + CAST(((doc_id + 1) * (j * j * 7 + j * 3 + 1)
+                                       + (doc_id // 26) * (j + 1)) % 26
+                                      AS INT))), 'string_agg', '') AS word
+        FROM documents WHERE doc_id < 2000
+    ), words AS (
+        SELECT DISTINCT word FROM (
+            SELECT word FROM corpus WHERE length(word) BETWEEN 1 AND 10
+            UNION ALL SELECT word FROM synth
+        )
+    ), step AS (
+        SELECT word, 0 AS pos, CAST(NULL AS VARCHAR) AS seg,
+               0 AS np, FALSE AS dead
+        FROM words
+        UNION ALL
+        SELECT word,
+               CASE WHEN best IS NULL THEN length(word)
+                    ELSE pos + CAST(best AS INT) END AS pos,
+               CASE WHEN best IS NULL THEN seg
+                    WHEN pos = 0 THEN word[1 : CAST(best AS INT)]
+                    ELSE seg || ' ##' ||
+                         word[pos + 1 : pos + CAST(best AS INT)] END AS seg,
+               np + 1 AS np,
+               best IS NULL AS dead
+        FROM (
+            SELECT word, pos, seg, np,
+                   list_max(list_filter(range(1, length(word) - pos + 1),
+                       l -> list_contains({_WPVOCAB_SQL},
+                            CASE WHEN pos = 0
+                                 THEN word[1 : CAST(l AS INT)]
+                                 ELSE '##' ||
+                                      word[pos + 1 : pos + CAST(l AS INT)]
+                            END))) AS best
+            FROM step
+            WHERE pos < length(word) AND NOT dead
+        )
+    )
+    SELECT word,
+           CASE WHEN dead THEN '[UNK]' ELSE seg END AS segmentation,
+           CAST(CASE WHEN dead THEN 1 ELSE np END AS INT) AS n_pieces,
+           dead AS is_unk
+    FROM step
+    WHERE pos >= length(word)
 """
 
 # winnowing: token poly-hash (31-fold mod 1e9+7) -> gram hash (37-fold over

@@ -137,6 +137,79 @@ def unigram_segment_table(
     )
 
 
+# --------------------------------------------------------------------------
+# WordPiece tokenization (Wu et al. 2016 — the BERT tokenizer)
+# --------------------------------------------------------------------------
+
+#: Literal evaluation vocab shared by the `wordpiece` query and its DuckDB
+#: greedy-replay oracle — the single source of truth both sides render
+#: from. Word-initial pieces bare, continuations '##'-prefixed. 'q', 'x',
+#: 'z' have no bare single and 'j', 'q', 'z' no continuation single, so
+#: words touching them exercise the all-or-nothing [UNK] rule.
+WORDPIECE_VOCAB: tuple[str, ...] = tuple(
+    [c for c in "abcdefghijklmnoprstuvwy"]
+    + ["##" + c for c in "abcdefghiklmnoprstuvwxy"]
+    + ["the", "th", "re", "un", "in", "on", "an", "st", "wh", "no"]
+    + ["##ing", "##tion", "##ion", "##ti", "##ed", "##er", "##es", "##at",
+       "##or", "##en", "##nd", "##ar", "##st", "##th", "##he", "##ly"]
+)
+
+
+def wordpiece_segment_table(
+    words: DataFrame,
+    vocab: "set[str] | tuple[str, ...] | None" = None,
+    *,
+    word_col: str = "word",
+) -> DataFrame:
+    """(word) -> (word, segmentation, n_pieces, is_unk) via greedy
+    longest-match-first WordPiece (kernels/wordpiece.py). ONE Arrow
+    stage; the vocab ships in the closure (broadcast once per executor).
+    Greedy longest-match is decision-free, so the DuckDB oracle replays
+    it with unrolled join+argmax steps and must match exactly."""
+    vset = frozenset(WORDPIECE_VOCAB if vocab is None else vocab)
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.wordpiece import wordpiece_segment
+
+        for pdf in batches:
+            out = {"word": [], "segmentation": [], "n_pieces": [], "is_unk": []}
+            for w in pdf[word_col]:
+                pieces, unk = wordpiece_segment(str(w), vset)
+                out["word"].append(str(w))
+                out["segmentation"].append(" ".join(pieces))
+                out["n_pieces"].append(len(pieces))
+                out["is_unk"].append(unk)
+            yield pd.DataFrame(out)
+
+    return words.mapInPandas(
+        gen, schema="word string, segmentation string, n_pieces int, is_unk boolean"
+    )
+
+
+def train_wordpiece_vocab(
+    docs: DataFrame, *, n_merges: int = 200, top_k_words: int = 20000
+) -> set[str]:
+    """Distributed word count -> bounded driver-side likelihood-gain merge
+    training (kernels/wordpiece.train_wordpiece) — the same coarse-
+    quantizer shape as train_bpe: the corpus-wide work is ONE groupBy,
+    the driver holds only the top-K word list."""
+    from ..kernels.wordpiece import train_wordpiece
+
+    top = (
+        corpus_word_counts(docs)
+        .select(F.regexp_replace("word", "[^a-z]+", "").alias("word"), "cnt")
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(top_k_words)
+        .collect()
+    )
+    return train_wordpiece({r["word"]: int(r["cnt"]) for r in top}, n_merges)
+
+
 def train_unigram(
     docs: DataFrame,
     *,
