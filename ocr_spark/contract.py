@@ -942,6 +942,34 @@ def q_page_links(spark, sf):  # link graph: byte-level anchor extraction
     return extract_page_links(pages_df(spark, sf))
 
 
+#: selector set for the css_select query — each targets a deterministic
+#: region of the synthetic page grammar (sources/pages._html_doc) so the
+#: DuckDB oracle can re-derive every match arithmetically from residues.
+CSS_QUERY_SELECTORS = (
+    "nav li > a",
+    "#content > h2",
+    "footer p a",
+    "h1",
+    "table td",
+    'a[href^="/nav/"]',
+    "#content > p",
+)
+
+
+def q_css_select(spark, sf):  # CSS select() over raw page bytes
+    """REAL path: charset-aware decode + DOM parse + CSS-selector engine
+    (kernels/css_select.py — the BeautifulSoup select() parity surface)
+    over the raw html bytes; 7 selectors spanning combinators (child /
+    descendant), id/attribute matching, and prefix attribute tests. The
+    oracle re-derives every matched element's (match_idx, tag, text) from
+    the corpus-construction residues — nav anchors, section heading,
+    footer links, h1 pair, table cells, and the word-chunked content
+    paragraphs including the cp1252/utf-16 charset extras."""
+    from .operators.dom_query import css_select_table
+
+    return css_select_table(pages_df(spark, sf), CSS_QUERY_SELECTORS)
+
+
 def q_html_tables(spark, sf):  # relational lift of web tables
     """REAL path: charset-aware decode + table/tr/td cell scan over the raw
     html bytes -> (url, table_idx, row_idx, col_idx, cell) grid rows. The
@@ -3050,6 +3078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "page_links": q_page_links,
     "html_tables": q_html_tables,
+    "css_select": q_css_select,
     "anchor_summary": q_anchor_summary,
     "link_hosts": q_link_hosts,
     "pagerank": q_pagerank,
@@ -4305,6 +4334,88 @@ ORACLE_SQL["html_tables"] = f"""
                CAST(col_idx AS INTEGER) AS col_idx, cell
         FROM (SELECT * FROM hdr UNION ALL SELECT * FROM data)
 """
+
+# css_select: every matched element re-derived from the page-grammar
+# residues (sources/pages._html_doc). Content paragraphs are the
+# WORDS_PER_PARA=12 chunks of documents.text (capped at PARAS_PER_DOC=4),
+# plus the charset-extra paragraph on the cp1252 (%20==2) / utf-16
+# (%20==14) flavors; all other selectors hit pure-residue boilerplate.
+from .sources.pages import _CP1252_EXTRA as _CPX
+from .sources.pages import _UTF16_EXTRA as _U16X
+
+ORACLE_SQL["css_select"] = f"""
+        WITH src AS ({{src}}),
+        w AS (
+            SELECT s.url, s.doc_id,
+                   list_filter(string_split_regex(d.text, '\\s+'),
+                               x -> x <> '') AS words
+            FROM src s JOIN documents d USING (doc_id)
+        ),
+        paras AS (
+            SELECT url, doc_id, words,
+                   least(4, CAST((len(words) + 11) // 12 AS INT)) AS npara
+            FROM w
+        ),
+        nav AS (
+            SELECT url, CAST(u.j AS INT) AS match_idx, 'a' AS tag,
+                   'Nav ' || CAST(u.j AS VARCHAR) AS text
+            FROM src, unnest(range(0, 4)) AS u(j)
+        ),
+        h2 AS (
+            SELECT url, 0 AS match_idx, 'h2' AS tag,
+                   'Section ' || CAST(doc_id % 7 AS VARCHAR) AS text
+            FROM paras WHERE npara >= 2
+        ),
+        rel AS (
+            SELECT url, CAST(u.j AS INT) AS match_idx, 'a' AS tag,
+                   'related ' || CAST(u.j AS VARCHAR) AS text
+            FROM src, unnest(range(0, doc_id % 3 + 1)) AS u(j)
+        ),
+        h1 AS (
+            SELECT url, 0 AS match_idx, 'h1' AS tag,
+                   'Site ' || {{host}} AS text FROM src
+            UNION ALL
+            SELECT url, 1 AS match_idx, 'h1' AS tag,
+                   'Document ' || CAST(doc_id AS VARCHAR) || ' heading' AS text
+            FROM src
+        ),
+        td AS (
+            SELECT url, CAST(u.c AS INT) AS match_idx, 'td' AS tag,
+                   CASE u.c WHEN 0 THEN 'key' WHEN 1 THEN 'val'
+                            WHEN 2 THEN 'row0'
+                            WHEN 3 THEN CAST(doc_id % 100 AS VARCHAR)
+                            WHEN 4 THEN 'row1'
+                            ELSE CAST((doc_id + 1) % 100 AS VARCHAR)
+                   END AS text
+            FROM src, unnest(range(0, 6)) AS u(c)
+        ),
+        body_p AS (
+            SELECT url, CAST(u.k AS INT) AS match_idx, 'p' AS tag,
+                   array_to_string(list_slice(words,
+                       CAST(u.k * 12 + 1 AS INT),
+                       CAST(least(u.k * 12 + 12, len(words)) AS INT)),
+                       ' ') AS text
+            FROM paras, unnest(range(0, npara)) AS u(k)
+            UNION ALL
+            SELECT url, npara AS match_idx, 'p' AS tag,
+                   CASE WHEN doc_id % 20 = 2 THEN '{_CPX}'
+                        ELSE '{_U16X}' END AS text
+            FROM paras WHERE doc_id % 20 IN (2, 14)
+        )
+        SELECT url, 'nav li > a' AS selector, match_idx, tag, text FROM nav
+        UNION ALL
+        SELECT url, '#content > h2', match_idx, tag, text FROM h2
+        UNION ALL
+        SELECT url, 'footer p a', match_idx, tag, text FROM rel
+        UNION ALL
+        SELECT url, 'h1', match_idx, tag, text FROM h1
+        UNION ALL
+        SELECT url, 'table td', match_idx, tag, text FROM td
+        UNION ALL
+        SELECT url, 'a[href^="/nav/"]', match_idx, tag, text FROM nav
+        UNION ALL
+        SELECT url, '#content > p', match_idx, tag, text FROM body_p
+""".format(src=_LINK_SRC_SQL, host=_HOST_SQL.format(k="doc_id"))
 
 ORACLE_SQL["anchor_summary"] = f"""
         WITH src AS ({_LINK_SRC_SQL}),
