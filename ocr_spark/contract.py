@@ -888,6 +888,42 @@ def q_snapshot_drift(spark, sf):  # graded change magnitude between snapshots
     return snapshot_drift(snaps)
 
 
+def q_snapshot_diff(spark, sf):  # minimal edit script between snapshots
+    """Myers line diff over a residue-constructed snapshot timeline:
+    snapshot v edits exactly one base line (position (doc_id*13+v*7) % n,
+    revision counter bumped) and appends a line when (doc_id+v) % 3 == 0.
+    The Spark side builds the line arrays with pure Column algebra and
+    diffs them with the GENERIC O(ND) kernel; the oracle re-derives the
+    unique minimal script arithmetically — two independent derivations
+    of every edited line."""
+    from .operators.crawl_history import snapshot_line_diff
+
+    d = _t(spark, sf, "documents")
+    v = F.explode(
+        F.sequence(F.lit(0), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+    ).alias("v")
+    s = d.select("doc_id", v)
+    base = F.expr(
+        "transform(sequence(0, int(3 + doc_id % 4) - 1), i -> concat("
+        " 'para ', cast(i as string), ' rev ', cast(size(filter("
+        "   sequence(0, v), s -> s >= 1"
+        "   and (doc_id * 13 + s * 7) % (3 + doc_id % 4) = i)) as string)))"
+    )
+    appends = F.expr(
+        "transform(filter(sequence(0, v), s -> s >= 1 and (doc_id + s) % 3 = 0),"
+        " s -> concat('appended ', cast(s as string)))"
+    )
+    snaps = s.select(
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) + F.col("v") * 86400).cast("long").alias("warc_epoch"),
+        F.concat(base, appends).alias("lines"),
+    )
+    return snapshot_line_diff(snaps)
+
+
 def q_mirror_clusters(spark, sf):  # mirror farms: components of mirror graph
     """Connected components over the q_mirror_hosts pair graph; the
     oracle computes the same closure with a recursive CTE and takes the
@@ -3065,6 +3101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revisit": q_revisit,
     "redirects": q_redirects,
     "snapshot_drift": q_snapshot_drift,
+    "snapshot_diff": q_snapshot_diff,
     "page_meta": q_page_meta,
     "og_meta": q_og_meta,
     "http_headers": q_http_headers,
@@ -4077,6 +4114,42 @@ ORACLE_SQL: dict[str, str] = {
                CAST(CASE WHEN doc_id % 2 = 0 OR doc_id % 4 = 1 THEN 1
                          ELSE 0 END AS INT) AS n_ld
         FROM u
+    """,
+    # snapshot_diff: the construction applies exactly one base-line edit
+    # per snapshot (+ a conditional append), all lines unique, so the
+    # minimal edit script is UNIQUE as a set and derivable arithmetically
+    "snapshot_diff": """
+        WITH ed AS (
+            SELECT doc_id, u.v AS v,
+                   CAST(3 + doc_id % 4 AS INT) AS n,
+                   CAST((doc_id * 13 + u.v * 7) % (3 + doc_id % 4) AS INT) AS p,
+                   len(list_filter(range(1, u.v + 1),
+                       s -> (doc_id * 13 + s * 7) % (3 + doc_id % 4)
+                            = (doc_id * 13 + u.v * 7) % (3 + doc_id % 4)))
+                       AS cnt,
+                   len(list_filter(range(1, u.v + 1),
+                       s -> (doc_id + s) % 3 = 0)) AS na,
+                   'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(1700000000 + (u.v - 1) * 86400 AS BIGINT) AS ts_from,
+                   CAST(1700000000 + u.v * 86400 AS BIGINT) AS ts_to
+            FROM documents, unnest(range(1, doc_id % 3 + 2)) AS u(v)
+        )
+        SELECT url, ts_from, ts_to, '-' AS op,
+               p AS a_idx, CAST(NULL AS INT) AS b_idx,
+               'para ' || CAST(p AS VARCHAR) || ' rev '
+                   || CAST(cnt - 1 AS VARCHAR) AS line
+        FROM ed
+        UNION ALL
+        SELECT url, ts_from, ts_to, '+',
+               CAST(NULL AS INT), p,
+               'para ' || CAST(p AS VARCHAR) || ' rev ' || CAST(cnt AS VARCHAR)
+        FROM ed
+        UNION ALL
+        SELECT url, ts_from, ts_to, '+',
+               CAST(NULL AS INT), CAST(n + na - 1 AS INT),
+               'appended ' || CAST(v AS VARCHAR)
+        FROM ed WHERE (doc_id + v) % 3 = 0
     """,
     "snapshot_drift": r"""
         WITH snaps AS MATERIALIZED (SELECT
