@@ -1043,6 +1043,19 @@ def q_pagerank(spark, sf):  # fixed-point integer PageRank over host graph
     )
 
 
+def q_hyperball(spark, sf):  # HyperBall harmonic centrality (HLL balls)
+    """Boldi-Vigna 2013 harmonic centrality over the host graph: per-node
+    HLL in-ball counters, one edge-join + register-max merge per round,
+    telescoped integer-exact estimate deltas. The oracle replays every
+    register of every round in DuckDB (the same poly-hash/rho pipeline as
+    the hll_distinct oracle) and must land on the identical milli-scaled
+    centralities — bit-for-bit, because the whole recurrence is integral."""
+    from .operators.link_graph import extract_page_links, host_graph, hyperball_harmonic
+
+    edges = host_graph(extract_page_links(pages_df(spark, sf)))
+    return hyperball_harmonic(edges)
+
+
 def q_trustrank(spark, sf):  # seeded TrustRank over the host graph
     """Gyongyi et al. 2004 trust propagation from a deterministic seed
     whitelist (numeric host suffix divisible by 5); the oracle unrolls
@@ -3119,6 +3132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_summary": q_anchor_summary,
     "link_hosts": q_link_hosts,
     "pagerank": q_pagerank,
+    "hyperball": q_hyperball,
     "trustrank": q_trustrank,
     "hits": q_hits,
     "reciprocity": q_reciprocity,
@@ -4373,6 +4387,66 @@ def _pagerank_oracle_sql(n_iters: int = 5) -> str:
         + f"\nSELECT host, CAST(pr AS BIGINT) AS rank_scaled FROM r{n_iters}"
     )
 
+
+def _hyperball_oracle_sql(rounds: int = 4, m: int = 64) -> str:
+    """Replays operators/link_graph.hyperball_harmonic register by
+    register: r0 = own-key register/rho per host (the hll_distinct oracle
+    pipeline), each round ships src registers to dst and takes the
+    register-wise max, and the harmonic sum telescopes the integer raw
+    estimates. MATERIALIZED everywhere — each level is referenced twice
+    (next level + its estimate)."""
+    from .operators.sketches import _ALPHA_MILLI
+
+    est = (
+        f"CAST((CAST({_ALPHA_MILLI[m]} AS BIGINT) * {m} * {m}"
+        " * CAST(power(2, 31) AS BIGINT))"
+        " // (1000 * (sum(CAST(power(2, 31 - max_rho) AS BIGINT))"
+        f" + ({m} - count(*)) * CAST(power(2, 31) AS BIGINT))) AS BIGINT)"
+    )
+    parts = [
+        f"WITH rel AS ({_LINK_EDGE_SQL})",
+        "edges AS MATERIALIZED (SELECT DISTINCT src_host, dst_host FROM rel"
+        " WHERE src_host <> dst_host)",
+        "nodes AS MATERIALIZED (SELECT src_host AS host FROM edges"
+        " UNION SELECT dst_host FROM edges)",
+        "r0 AS MATERIALIZED (SELECT host,"
+        " CAST(list_reduce(list_prepend(CAST(312994679 AS BIGINT),"
+        "   list_transform(split(host, ''), c -> CAST(ascii(c) AS BIGINT))),"
+        f"  (a, b) -> (a * 37 + b) % 1000000007) % {m} AS INT) AS register,"
+        " CAST(len(list_filter("
+        "   list_transform(range(1, 31), p -> CAST(power(2, p) AS BIGINT)),"
+        "   d -> xor((h2lin * h2lin) % 1000000007,"
+        "            ((h2lin * h2lin) % 1000000007) >> 13) % d = 0))"
+        " + 1 AS INT) AS max_rho"
+        " FROM (SELECT host,"
+        "   list_reduce(list_prepend(CAST(100998283 AS BIGINT),"
+        "     list_transform(split(host, ''), c -> CAST(ascii(c) AS BIGINT))),"
+        "     (a, b) -> (a * 41 + b) % 1000000007) AS h2lin"
+        " FROM nodes))",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT host, register,"
+            " MAX(max_rho) AS max_rho FROM ("
+            f"SELECT host, register, max_rho FROM r{t-1}"
+            " UNION ALL SELECT e.dst_host AS host, r.register, r.max_rho"
+            f" FROM edges e JOIN r{t-1} r ON r.host = e.src_host"
+            ") GROUP BY 1, 2)"
+        )
+    for t in range(rounds + 1):
+        parts.append(f"e{t} AS (SELECT host, {est} AS est FROM r{t} GROUP BY host)")
+    terms = " + ".join(
+        f"((e{t}.est - e{t-1}.est) * 1000) // {t}" for t in range(1, rounds + 1)
+    )
+    joins = " ".join(f"JOIN e{t} ON e{t}.host = n.host" for t in range(rounds + 1))
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT n.host, CAST({terms} AS BIGINT) AS harmonic_milli,"
+        f" e{rounds}.est AS ball_est FROM nodes n {joins}"
+    )
+
+
+ORACLE_SQL["hyperball"] = _hyperball_oracle_sql()
 
 ORACLE_SQL["page_links"] = f"""
         WITH src AS ({_LINK_SRC_SQL}),

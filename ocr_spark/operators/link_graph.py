@@ -475,6 +475,112 @@ def seed_distance_hosts(edges_df, seed_pred, max_hops: int = 4) -> DataFrame:
     return dist
 
 
+def hyperball_harmonic(
+    edges_df: DataFrame, *, m: int = 64, rounds: int = 4
+) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi & Vigna 2013, "In-Core
+    Computation of Geometric Centralities with HyperBall") over distinct
+    (src_host, dst_host) edges -> (host, harmonic_milli, ball_est).
+
+    Each node carries an HLL counter of its IN-ball B(v,t) = {u :
+    dist(u -> v) <= t}; one round ships every edge's src counter to its
+    dst and merges register-wise (the lossless HLL max —
+    sketches.hll_union), so B(v,t) = {v} ∪ ⋃_{w->v} B(w,t-1). Harmonic
+    centrality is the telescoped sum H(v) = Σ_t (|B(v,t)|-|B(v,t-1)|)/t
+    over the integer-exact raw estimates (milli-scaled integral div;
+    register growth makes the estimator monotone, so every delta >= 0).
+
+    This is THE published way to get centralities at web scale: state is
+    m registers per node (not a frontier set), every round is ONE
+    edge⋈registers join + ONE (host,register) max-aggregation — both
+    hash-partitioned equi-ops — and the estimate never needs the exact
+    ball. Fixed ``rounds`` keeps the run DuckDB-replayable; the lineage
+    is truncated by localCheckpoint every 2nd round (the LPA pattern).
+    """
+    from .sketches import (
+        _ALPHA_MILLI,
+        _R_SCALE,
+        _REG_INIT,
+        _REG_MULT,
+        _poly_hash_m,
+        _rho,
+    )
+
+    alpha = _ALPHA_MILLI[m]
+    edges = (
+        edges_df.select("src_host", "dst_host")
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .persist()
+    )
+    regs = nodes.select(
+        "host",
+        (_poly_hash_m(F.col("host"), init=_REG_INIT, mult=_REG_MULT) % m)
+        .cast("int")
+        .alias("register"),
+        _rho(F.col("host")).alias("max_rho"),
+    )
+
+    def estimates(r: DataFrame, t: int) -> DataFrame:
+        s = (
+            F.sum(F.pow(F.lit(2.0), F.lit(_R_SCALE) - F.col("max_rho")).cast("long"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << _R_SCALE).cast("long")
+        ).alias("s")
+        return (
+            r.groupBy("host")
+            .agg(s)
+            .select(
+                "host",
+                F.lit(t).cast("int").alias("t"),
+                F.expr(
+                    f"(cast({alpha} as bigint) * {m} * {m}"
+                    f" * cast({1 << _R_SCALE} as bigint)) div (1000 * s)"
+                ).alias("est"),
+            )
+        )
+
+    ests = [estimates(regs, 0)]
+    for t in range(1, rounds + 1):
+        shipped = edges.join(regs, edges.src_host == regs.host).select(
+            F.col("dst_host").alias("host"), "register", "max_rho"
+        )
+        regs = (
+            regs.unionByName(shipped)
+            .groupBy("host", "register")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+        if t % 2 == 0:
+            regs = regs.localCheckpoint(eager=True)
+        ests.append(estimates(regs, t))
+
+    allest = ests[0]
+    for e in ests[1:]:
+        allest = allest.unionByName(e)
+    w = Window.partitionBy("host").orderBy("t")
+    harmonic = (
+        allest.withColumn("prev", F.lag("est").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "host",
+            F.expr("((est - prev) * 1000) div t").cast("long").alias("term"),
+            "t",
+            "est",
+        )
+        .groupBy("host")
+        .agg(
+            F.sum("term").cast("long").alias("harmonic_milli"),
+            F.max_by("est", "t").cast("long").alias("ball_est"),
+        )
+    )
+    return harmonic
+
+
 def label_propagation(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan et
     al. 2007) made fully deterministic -> (host, community).
