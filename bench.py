@@ -127,6 +127,12 @@ BENCH_QUERIES = [
     "jsonld_entities",
     "microdata",
     "crawl_overlap",
+    "wordpiece",
+    "css_select",
+    "snapshot_diff",
+    "hyperball",
+    "triangles",
+    "zorder",
 ]
 
 

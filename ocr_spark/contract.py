@@ -1056,6 +1056,44 @@ def q_hyperball(spark, sf):  # HyperBall harmonic centrality (HLL balls)
     return hyperball_harmonic(edges)
 
 
+def q_zorder(spark, sf):  # Morton/Z-order layout keys (zone-map clustering)
+    """Bit-interleaved (host-hash, day-bucket) layout keys: fixing a
+    z-value prefix bounds BOTH axes, which is what makes the catalog's
+    commit zone maps selective on host AND time at once. Pure Column bit
+    algebra (64 shift/mask terms, zero exchanges, zero python); the
+    oracle re-derives every z-value with DuckDB list arithmetic."""
+    from .operators.layout import zorder_layout
+    from .operators.sketches import _REG_INIT, _REG_MULT, _poly_hash_m
+
+    d = _t(spark, sf, "documents")
+    host = F.concat(
+        F.lit("host"), (F.col("doc_id") % 50).cast("string"), F.lit(".example")
+    )
+    base = d.select(
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (_poly_hash_m(host, init=_REG_INIT, mult=_REG_MULT) % 65536)
+        .cast("int")
+        .alias("xk"),
+        F.expr("(1700000000 + (doc_id % 365) * 86400) div 86400 % 65536")
+        .cast("int")
+        .alias("yk"),
+    )
+    return zorder_layout(base, "xk", "yk")
+
+
+def q_triangles(spark, sf):  # triangle count / clustering coefficient
+    """Degree-oriented wedge-join triangle counting (Suri & Vassilvitskii
+    2011) over the undirected host graph. The oracle counts the same
+    triangles with a DIFFERENT orientation (lexicographic 3-way join) —
+    two independent derivations; integral clustering coefficient."""
+    from .operators.link_graph import extract_page_links, host_graph, triangle_counts
+
+    return triangle_counts(host_graph(extract_page_links(pages_df(spark, sf))))
+
+
 def q_trustrank(spark, sf):  # seeded TrustRank over the host graph
     """Gyongyi et al. 2004 trust propagation from a deterministic seed
     whitelist (numeric host suffix divisible by 5); the oracle unrolls
@@ -3133,6 +3171,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_hosts": q_link_hosts,
     "pagerank": q_pagerank,
     "hyperball": q_hyperball,
+    "triangles": q_triangles,
+    "zorder": q_zorder,
     "trustrank": q_trustrank,
     "hits": q_hits,
     "reciprocity": q_reciprocity,
@@ -4447,6 +4487,66 @@ def _hyperball_oracle_sql(rounds: int = 4, m: int = 64) -> str:
 
 
 ORACLE_SQL["hyperball"] = _hyperball_oracle_sql()
+
+# zorder: every z-value re-derived with list arithmetic (the same
+# poly-hash pipeline as the hll oracles for the host bucket)
+ORACLE_SQL["zorder"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   'host' || CAST(doc_id % 50 AS VARCHAR) || '.example'
+                       AS hoststr,
+                   (1700000000 + (doc_id % 365) * 86400) // 86400 % 65536
+                       AS yk
+            FROM documents
+        ), h AS (
+            SELECT url, yk,
+                   list_reduce(list_prepend(CAST(312994679 AS BIGINT),
+                       list_transform(split(hoststr, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                       (a, b) -> (a * 37 + b) % 1000000007) % 65536 AS xk
+            FROM d
+        ), z AS (
+            SELECT url, xk, yk,
+                   CAST(list_sum(list_transform(range(0, 16), b ->
+                       ((xk >> CAST(b AS INT)) & 1)
+                           * CAST(power(2, 2 * b) AS BIGINT)
+                       + ((yk >> CAST(b AS INT)) & 1)
+                           * CAST(power(2, 2 * b + 1) AS BIGINT)))
+                       AS BIGINT) AS zval
+            FROM h
+        )
+        SELECT url, CAST(xk AS INT) AS xk, CAST(yk AS INT) AS yk, zval,
+               CAST(zval >> 28 AS INT) AS shard
+        FROM z
+"""
+
+# triangles: exact count via LEXICOGRAPHIC orientation (x<y<z appears as
+# edges (x,y),(y,z),(x,z) exactly once) — independent of the Spark side's
+# degree orientation
+ORACLE_SQL["triangles"] = f"""
+        WITH rel AS ({_LINK_EDGE_SQL}),
+        und AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+                       greatest(src_host, dst_host) AS b
+                FROM rel WHERE src_host <> dst_host),
+        deg AS (SELECT host, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT a AS host FROM und
+                    UNION ALL SELECT b AS host FROM und) GROUP BY 1),
+        tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                    SELECT unnest([v1, v2, v3]) AS host FROM tri) GROUP BY 1)
+        SELECT d.host, d.degree,
+               COALESCE(p.n_triangles, 0) AS n_triangles,
+               CASE WHEN d.degree > 1
+                    THEN (1000 * 2 * COALESCE(p.n_triangles, 0))
+                         // (d.degree * (d.degree - 1))
+                    ELSE 0 END AS clustering_milli
+        FROM deg d LEFT JOIN per p ON p.host = d.host
+"""
 
 ORACLE_SQL["page_links"] = f"""
         WITH src AS ({_LINK_SRC_SQL}),

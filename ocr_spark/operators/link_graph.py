@@ -581,6 +581,81 @@ def hyperball_harmonic(
     return harmonic
 
 
+def triangle_counts(edges_df: DataFrame) -> DataFrame:
+    """Triangle count + local clustering coefficient per host ->
+    (host, degree, n_triangles, clustering_milli).
+
+    The node-iterator-with-degree-orientation algorithm (Schank &
+    Wagner 2005; the MapReduce variant is Suri & Vassilvitskii 2011's
+    web-graph triangle counter): undirected distinct edges are oriented
+    from the lower-(degree, host) endpoint to the higher, which turns
+    the graph into a DAG where every triangle appears EXACTLY once as
+    a -> b, a -> c, b -> c — so counting is two hash equi-joins (wedge
+    build + closure probe), never an all-pairs product, and the wedge
+    fan-out of a hub is bounded by its ORIENTED out-degree ~ O(sqrt(E))
+    instead of its raw degree. That bound is the whole point at crawl
+    scale: the mega-host that breaks naive neighborhood intersection
+    has almost all its edges oriented INTO it.
+
+    clustering_milli = (1000 * 2 * triangles) div (degree * (degree-1)),
+    integral div -> bit-deterministic under any partitioning."""
+    und = (
+        edges_df.select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .unionByName(und.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # orient by (degree, host): lo -> hi
+    e = (
+        und.join(deg.withColumnsRenamed({"host": "a", "degree": "da"}), "a")
+        .join(deg.withColumnsRenamed({"host": "b", "degree": "db"}), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("s")
+        )
+        .select("s.lo", "s.hi")
+    ).persist()
+    # wedges lo -> (hi1, hi2): closed iff hi1 -> hi2 is itself an oriented
+    # edge. Ordered wedge pairs (hi1 != hi2) probe each unordered pair in
+    # both orders, and exactly ONE order can exist in the oriented edge
+    # set, so every triangle closes exactly once.
+    w1 = e.select(F.col("lo").alias("w_lo"), F.col("hi").alias("hi1"))
+    w2 = e.select(F.col("lo").alias("w_lo"), F.col("hi").alias("hi2"))
+    wedges = w1.join(w2, "w_lo").where(F.col("hi1") != F.col("hi2"))
+    tri = wedges.join(
+        e, (wedges.hi1 == e.lo) & (wedges.hi2 == e.hi)
+    ).select(F.col("w_lo").alias("v1"), F.col("hi1").alias("v2"), F.col("hi2").alias("v3"))
+    per_host = (
+        tri.select(F.explode(F.array("v1", "v2", "v3")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return deg.join(per_host, "host", "left").select(
+        "host",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.expr(
+            "case when degree > 1 then (1000 * 2 * coalesce(n_triangles, 0))"
+            " div (degree * (degree - 1)) else 0 end"
+        )
+        .cast("long")
+        .alias("clustering_milli"),
+    )
+
+
 def label_propagation(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan et
     al. 2007) made fully deterministic -> (host, community).
