@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "hyperball",
     "triangles",
     "zorder",
+    "homograph",
 ]
 
 

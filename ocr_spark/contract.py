@@ -1056,6 +1056,44 @@ def q_hyperball(spark, sf):  # HyperBall harmonic centrality (HLL balls)
     return hyperball_harmonic(edges)
 
 
+def q_homograph(spark, sf):  # IDN homograph pairs (TR#39 skeletons)
+    """Cross-script lookalike host detection: NFC + confusable-fold
+    skeletons, bucketed self-join. The corpus carries Cyrillic-substituted
+    variants (о/ѕ/е for o/s/e) and a precomposed-vs-decomposed accent pair
+    per residue class. The oracle folds with DuckDB's ICU nfc_normalize —
+    a genuinely INDEPENDENT Unicode normalization implementation vs the
+    Spark side's Python unicodedata — plus the same literal confusable
+    map (operators.urls.CONFUSABLES, one source of truth)."""
+    from .operators.urls import homograph_pairs
+
+    d = _t(spark, sf, "documents")
+    base = F.concat(
+        F.lit("host"), (F.col("doc_id") % 50).cast("string"), F.lit(".example")
+    )
+    rows = [d.select(base.alias("host"))]
+    for res, src, dst in ((1, "o", "о"), (2, "s", "ѕ"), (3, "e", "е")):
+        rows.append(
+            d.where(F.col("doc_id") % 4 == res).select(
+                F.translate(base, src, dst).alias("host")
+            )
+        )
+    tail = F.concat((F.col("doc_id") % 50).cast("string"), F.lit(".example"))
+    rows.append(
+        d.where(F.col("doc_id") % 10 == 5).select(
+            F.concat(F.lit("caf\u00e9-"), tail).alias("host")
+        )
+    )
+    rows.append(
+        d.where(F.col("doc_id") % 10 == 5).select(
+            F.concat(F.lit("cafe\u0301-"), tail).alias("host")
+        )
+    )
+    hosts = rows[0]
+    for r in rows[1:]:
+        hosts = hosts.unionByName(r)
+    return homograph_pairs(hosts)
+
+
 def q_zorder(spark, sf):  # Morton/Z-order layout keys (zone-map clustering)
     """Bit-interleaved (host-hash, day-bucket) layout keys: fixing a
     z-value prefix bounds BOTH axes, which is what makes the catalog's
@@ -3173,6 +3211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hyperball": q_hyperball,
     "triangles": q_triangles,
     "zorder": q_zorder,
+    "homograph": q_homograph,
     "trustrank": q_trustrank,
     "hits": q_hits,
     "reciprocity": q_reciprocity,
@@ -4487,6 +4526,38 @@ def _hyperball_oracle_sql(rounds: int = 4, m: int = 64) -> str:
 
 
 ORACLE_SQL["hyperball"] = _hyperball_oracle_sql()
+
+# homograph: skeleton re-derived with DuckDB's ICU nfc_normalize (an
+# independent Unicode implementation vs python unicodedata) + the shared
+# literal confusable map
+from .operators.urls import CONFUSABLES as _CONF
+
+_SKEL_SQL = "lower(nfc_normalize(host))"
+for _bad, _good in _CONF:
+    _SKEL_SQL = f"replace({_SKEL_SQL}, '{_bad}', '{_good}')"
+
+ORACLE_SQL["homograph"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   'host' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host
+            FROM documents
+        ), hosts AS (
+            SELECT host FROM base
+            UNION ALL SELECT replace(host, 'o', 'о') FROM base WHERE doc_id % 4 = 1
+            UNION ALL SELECT replace(host, 's', 'ѕ') FROM base WHERE doc_id % 4 = 2
+            UNION ALL SELECT replace(host, 'e', 'е') FROM base WHERE doc_id % 4 = 3
+            UNION ALL SELECT 'caf' || chr(233) || '-'
+                || CAST(doc_id % 50 AS VARCHAR) || '.example'
+                FROM documents WHERE doc_id % 10 = 5
+            UNION ALL SELECT 'cafe' || chr(769) || '-'
+                || CAST(doc_id % 50 AS VARCHAR) || '.example'
+                FROM documents WHERE doc_id % 10 = 5
+        ), sk AS (
+            SELECT DISTINCT host, {_SKEL_SQL} AS skeleton FROM hosts
+        )
+        SELECT a.host AS host_a, b.host AS host_b, a.skeleton
+        FROM sk a JOIN sk b ON a.skeleton = b.skeleton AND a.host < b.host
+"""
 
 # zorder: every z-value re-derived with list arithmetic (the same
 # poly-hash pipeline as the hll oracles for the host bucket)

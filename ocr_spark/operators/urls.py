@@ -388,3 +388,71 @@ def domain_quality_prior(
         "prior_milli",
         (F.col("q_milli") - F.col("prior_milli")).cast("long").alias("delta_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# IDN homograph detection (Unicode TR#39 confusables, NFC skeletons)
+# --------------------------------------------------------------------------
+
+#: single source of truth for the confusable fold, shared verbatim with the
+#: DuckDB oracle: the common Cyrillic lookalikes of Latin lowercase (the
+#: pairs every registrar blocklist starts from, Unicode TR#39 confusables)
+CONFUSABLES: tuple[tuple[str, str], ...] = (
+    ("а", "a"),  # а CYRILLIC A
+    ("е", "e"),  # е CYRILLIC IE
+    ("о", "o"),  # о CYRILLIC O
+    ("р", "p"),  # р CYRILLIC ER
+    ("с", "c"),  # с CYRILLIC ES
+    ("х", "x"),  # х CYRILLIC HA
+    ("у", "y"),  # у CYRILLIC U
+    ("і", "i"),  # і CYRILLIC-UKRAINIAN I
+    ("ѕ", "s"),  # ѕ CYRILLIC DZE
+    ("ј", "j"),  # ј CYRILLIC JE
+    ("ԛ", "q"),  # ԛ CYRILLIC QA
+    ("ԝ", "w"),  # ԝ CYRILLIC WE
+)
+
+
+def host_skeleton(host: str) -> str:
+    """TR#39-style skeleton: NFC normalize (folds decomposed accents the
+    way every IDN registry compares labels), lowercase, then the
+    confusable fold. Two hosts with equal skeletons but different raw
+    strings are a homograph pair — the phishing shape IDN enabled."""
+    import unicodedata
+
+    s = unicodedata.normalize("NFC", host).lower()
+    for bad, good in CONFUSABLES:
+        s = s.replace(bad, good)
+    return s
+
+
+def homograph_pairs(hosts_df: DataFrame, host_col: str = "host") -> DataFrame:
+    """(host) -> (host_a, host_b, skeleton) for every pair of DISTINCT
+    hosts sharing a skeleton, host_a < host_b.
+
+    Scale shape: skeletons in ONE Arrow stage (python unicodedata — the
+    NFC tables Spark lacks JVM-side); candidate generation is a bucketed
+    self-equi-join on the skeleton key, never all-pairs — the same
+    LSH-bucket shape as the dedup family. Skeleton groups are tiny by
+    construction (lookalike families), so the join fans out O(group^2)
+    on bounded groups."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            hs = [str(h) for h in pdf[host_col]]
+            yield pd.DataFrame(
+                {"host": hs, "skeleton": [host_skeleton(h) for h in hs]}
+            )
+
+    sk = (
+        hosts_df.select(F.col(host_col))
+        .mapInPandas(gen, schema="host string, skeleton string")
+        .distinct()
+    )
+    a = sk.select(F.col("host").alias("host_a"), "skeleton")
+    b = sk.select(F.col("host").alias("host_b"), "skeleton")
+    return a.join(b, "skeleton").where(F.col("host_a") < F.col("host_b")).select(
+        "host_a", "host_b", "skeleton"
+    )
