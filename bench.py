@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "triangles",
     "zorder",
     "homograph",
+    "kcore",
+    "textrank",
 ]
 
 

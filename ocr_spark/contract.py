@@ -1122,6 +1122,54 @@ def q_zorder(spark, sf):  # Morton/Z-order layout keys (zone-map clustering)
     return zorder_layout(base, "xk", "yk")
 
 
+def q_kcore(spark, sf):  # k-core membership by synchronous peeling
+    """Seidman k-core (k=2) over the undirected host graph: fixed-round
+    synchronous peel, broadcast survivor semi-joins. The oracle replays
+    every round's restricted-degree table in DuckDB."""
+    from .operators.link_graph import extract_page_links, host_graph, kcore_hosts
+
+    return kcore_hosts(host_graph(extract_page_links(pages_df(spark, sf))))
+
+
+def q_textrank(spark, sf):  # TextRank keywords (PageRank on word graph)
+    """Mihalcea & Tarau 2004: PageRank over the word co-occurrence graph
+    (adjacent lowercased a-z tokens, both directions = undirected). Runs
+    the SAME fixed-point integer pagerank_hosts kernel as the host graph
+    — one operator, two graphs — so ranks are bit-deterministic and the
+    oracle replays the unrolled recurrence over an SQL-re-derived edge
+    set."""
+    from .operators.link_graph import pagerank_hosts
+
+    d = _t(spark, sf, "documents")
+    toks = d.where(F.col("doc_id") < 2000).select(
+        F.expr(
+            "filter(split(regexp_replace(lower(text), '[^a-z]+', ' '), ' '),"
+            " x -> x <> '')"
+        ).alias("ws")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "filter(transform(ws, (w, i) -> case when i + 1 < size(ws)"
+                " then struct(w as a, element_at(ws, i + 2) as b) end),"
+                " p -> p is not null)"
+            )
+        ).alias("p")
+    )
+    edges = (
+        pairs.select(F.col("p.a").alias("src_host"), F.col("p.b").alias("dst_host"))
+        .where(F.col("src_host") != F.col("dst_host"))
+    )
+    und = edges.unionByName(
+        edges.select(
+            F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
+        )
+    )
+    return pagerank_hosts(und, n_iters=4).select(
+        F.col("host").alias("word"), F.col("rank").alias("rank_scaled")
+    )
+
+
 def q_triangles(spark, sf):  # triangle count / clustering coefficient
     """Degree-oriented wedge-join triangle counting (Suri & Vassilvitskii
     2011) over the undirected host graph. The oracle counts the same
@@ -3212,6 +3260,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangles": q_triangles,
     "zorder": q_zorder,
     "homograph": q_homograph,
+    "kcore": q_kcore,
+    "textrank": q_textrank,
     "trustrank": q_trustrank,
     "hits": q_hits,
     "reciprocity": q_reciprocity,
@@ -4558,6 +4608,88 @@ ORACLE_SQL["homograph"] = f"""
         SELECT a.host AS host_a, b.host AS host_b, a.skeleton
         FROM sk a JOIN sk b ON a.skeleton = b.skeleton AND a.host < b.host
 """
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
+    """Replays operators/link_graph.kcore_hosts round by round: restrict
+    edges to survivors, recount degrees, peel < k."""
+    parts = [
+        f"WITH rel AS ({_LINK_EDGE_SQL})",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src_host, dst_host) AS a,"
+        " greatest(src_host, dst_host) AS b FROM rel"
+        " WHERE src_host <> dst_host)",
+        "a0 AS MATERIALIZED (SELECT a AS host FROM und"
+        " UNION SELECT b AS host FROM und)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT host,"
+            " CAST(count(*) AS BIGINT) AS core_degree FROM ("
+            f"SELECT e.a AS host FROM und e JOIN a{r-1} x ON x.host = e.a"
+            f" JOIN a{r-1} y ON y.host = e.b"
+            f" UNION ALL SELECT e.b AS host FROM und e"
+            f" JOIN a{r-1} x ON x.host = e.a JOIN a{r-1} y ON y.host = e.b"
+            ") GROUP BY 1)"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT host FROM d{r}"
+            f" WHERE core_degree >= {k})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT host, core_degree FROM d{rounds} WHERE core_degree >= {k}"
+    )
+
+
+ORACLE_SQL["kcore"] = _kcore_oracle_sql()
+
+#: word co-occurrence edge set for the textrank oracle (both directions,
+#: matching q_textrank's Column program; DuckDB list lambdas are 1-based)
+_WORD_EDGE_SQL = """
+        SELECT p.a AS src_host, p.b AS dst_host FROM (
+            SELECT unnest(list_filter(list_transform(ws, (w, i) ->
+                       CASE WHEN i < len(ws)
+                            THEN {'a': w, 'b': ws[i + 1]} END),
+                   p -> p IS NOT NULL)) AS p
+            FROM (SELECT list_filter(string_split_regex(lower(text),
+                             '[^a-z]+'), x -> x <> '') AS ws
+                  FROM documents WHERE doc_id < 2000)
+        ) WHERE p.a <> p.b
+"""
+
+
+def _textrank_oracle_sql(n_iters: int = 4) -> str:
+    """The pagerank recurrence replay (same arithmetic as the pagerank
+    oracle) over the word co-occurrence graph, undirected via both-ways
+    edges."""
+    parts = [
+        f"WITH dir AS ({_WORD_EDGE_SQL})",
+        "rel AS (SELECT src_host, dst_host FROM dir UNION ALL"
+        " SELECT dst_host, src_host FROM dir)",
+        "edges AS MATERIALIZED (SELECT DISTINCT src_host, dst_host FROM rel"
+        " WHERE src_host <> dst_host)",
+        "nodes AS MATERIALIZED (SELECT src_host AS host FROM edges"
+        " UNION SELECT dst_host FROM edges)",
+        "outdeg AS MATERIALIZED (SELECT src_host, count(*) AS outdeg"
+        " FROM edges GROUP BY src_host)",
+        "r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT n.host, "
+            "CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT e.dst_host AS host, SUM(r.pr // o.outdeg) AS s "
+            "FROM edges e JOIN outdeg o ON e.src_host = o.src_host "
+            f"JOIN r{i-1} r ON r.host = e.src_host "
+            "GROUP BY e.dst_host) s ON s.host = n.host)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT host AS word, CAST(pr AS BIGINT) AS rank_scaled FROM r{n_iters}"
+    )
+
+
+ORACLE_SQL["textrank"] = _textrank_oracle_sql()
 
 # zorder: every z-value re-derived with list arithmetic (the same
 # poly-hash pipeline as the hll oracles for the host bucket)

@@ -57,3 +57,34 @@ def test_deterministic_under_repartition(spark):
         )
     )
     assert a == b
+
+
+def test_kcore_peels_pendants_and_cascades(spark):
+    from ocr_spark.operators.link_graph import kcore_hosts
+
+    # ring a-b-c-a survives k=2; pendant chain d-e hangs off c and peels
+    # in CASCADE (e first, then d)
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    got = {r.host: r.core_degree for r in kcore_hosts(edges(spark, pairs)).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_empty_when_forest(spark):
+    from ocr_spark.operators.link_graph import kcore_hosts
+
+    # a tree has no 2-core at all
+    pairs = [("r", "x"), ("r", "y"), ("x", "z")]
+    assert kcore_hosts(edges(spark, pairs)).collect() == []
+
+
+def test_textrank_hub_word_ranks_highest(spark):
+    from ocr_spark.operators.link_graph import pagerank_hosts
+
+    # star co-occurrence: 'hub' adjacent to many distinct words
+    e = []
+    for i in range(8):
+        e += [("hub", f"w{i}"), (f"w{i}", "hub")]
+    ranks = {
+        r.host: r.rank for r in pagerank_hosts(edges(spark, e), n_iters=4).collect()
+    }
+    assert ranks["hub"] == max(ranks.values())
