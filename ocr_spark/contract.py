@@ -1122,6 +1122,17 @@ def q_zorder(spark, sf):  # Morton/Z-order layout keys (zone-map clustering)
     return zorder_layout(base, "xk", "yk")
 
 
+def q_walks(spark, sf):  # hash-derandomized DeepWalk corpus
+    """Perozzi et al. 2014 walk corpus over the host graph with HASH-
+    derandomized step choice (polyhash(cur#start#w#t) % outdeg over the
+    lexicographically indexed adjacency): byte-identical under any
+    partitioning, and the oracle replays every step with unrolled
+    joins + the same portable poly hash."""
+    from .operators.link_graph import extract_page_links, host_graph, random_walks
+
+    return random_walks(host_graph(extract_page_links(pages_df(spark, sf))))
+
+
 def q_kcore(spark, sf):  # k-core membership by synchronous peeling
     """Seidman k-core (k=2) over the undirected host graph: fixed-round
     synchronous peel, broadcast survivor semi-joins. The oracle replays
@@ -3262,6 +3273,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "homograph": q_homograph,
     "kcore": q_kcore,
     "textrank": q_textrank,
+    "walks": q_walks,
     "trustrank": q_trustrank,
     "hits": q_hits,
     "reciprocity": q_reciprocity,
@@ -4641,6 +4653,46 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
 
 
 ORACLE_SQL["kcore"] = _kcore_oracle_sql()
+
+
+def _walks_oracle_sql(walk_len: int = 4, walks_per_node: int = 2) -> str:
+    """Replays operators/link_graph.random_walks step by step: same
+    lexicographic adjacency index, same poly-hash step choice."""
+    parts = [
+        f"WITH rel AS ({_LINK_EDGE_SQL})",
+        "edges AS MATERIALIZED (SELECT DISTINCT src_host, dst_host FROM rel"
+        " WHERE src_host <> dst_host)",
+        "adj AS MATERIALIZED (SELECT src_host, dst_host, row_number() OVER"
+        " (PARTITION BY src_host ORDER BY dst_host) - 1 AS idx FROM edges)",
+        "deg AS MATERIALIZED (SELECT src_host, count(*) AS outdeg"
+        " FROM edges GROUP BY 1)",
+        "nodes AS (SELECT src_host AS host FROM edges"
+        " UNION SELECT dst_host FROM edges)",
+        "s0 AS (SELECT host, u.w AS walk_no, host AS cur, host AS walk"
+        f" FROM nodes, unnest(range(0, {walks_per_node})) AS u(w))",
+    ]
+    for t in range(1, walk_len):
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT s.host, s.walk_no,"
+            " a.dst_host AS cur,"
+            " CASE WHEN a.dst_host IS NOT NULL"
+            " THEN s.walk || '>' || a.dst_host ELSE s.walk END AS walk"
+            f" FROM s{t-1} s"
+            " LEFT JOIN deg d ON d.src_host = s.cur"
+            " LEFT JOIN adj a ON a.src_host = s.cur AND a.idx ="
+            " (list_reduce(list_prepend(CAST(312994679 AS BIGINT),"
+            " list_transform(split(s.cur || '#' || s.host || '#'"
+            f" || CAST(s.walk_no AS VARCHAR) || '#{t}', ''),"
+            " c -> CAST(ascii(c) AS BIGINT))),"
+            " (x, y) -> (x * 37 + y) % 1000000007)) % d.outdeg)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT host, CAST(walk_no AS INT) AS walk_no, walk FROM s{walk_len - 1}"
+    )
+
+
+ORACLE_SQL["walks"] = _walks_oracle_sql()
 
 #: word co-occurrence edge set for the textrank oracle (both directions,
 #: matching q_textrank's Column program; DuckDB list lambdas are 1-based)

@@ -702,6 +702,84 @@ def kcore_hosts(edges_df: DataFrame, *, k: int = 2, rounds: int = 6) -> DataFram
     return deg.where(F.col("core_degree") >= k).select("host", "core_degree")
 
 
+def random_walks(
+    edges_df: DataFrame, *, walk_len: int = 4, walks_per_node: int = 2
+) -> DataFrame:
+    """DeepWalk-style walk corpus (Perozzi et al. 2014) -> one row per
+    walk: (host, walk_no, walk) with ``walk`` the '>'-joined visited
+    sequence. The step choice is HASH-derandomized: from node ``cur`` at
+    step ``t`` of walk (start, w), the next neighbor is
+    ``polyhash(cur#start#w#t) % outdeg(cur)`` over the lexicographically
+    indexed adjacency — i.i.d.-looking but a pure function of the graph,
+    so walks are byte-identical under any partitioning AND the DuckDB
+    oracle replays every step (a seeded RNG would make neither true).
+    Dead ends truncate the walk.
+
+    Scale shape: adjacency indexing is ONE row_number window on the edge
+    partitioning; each step is two hash equi-joins (degree lookup +
+    (node, idx) probe), unrolled ``walk_len - 1`` times — no frontier
+    blowup, state is one row per active walk. This is the standard
+    pre-embedding stage (DeepWalk/node2vec corpora at graph scale)."""
+    edges = (
+        edges_df.select("src_host", "dst_host")
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+    adj = edges.withColumn(
+        "idx",
+        F.row_number().over(Window.partitionBy("src_host").orderBy("dst_host")) - 1,
+    ).persist()
+    deg = adj.groupBy("src_host").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    from .sketches import _REG_INIT, _REG_MULT, _poly_hash_m
+
+    wno = F.explode(F.array(*[F.lit(i) for i in range(walks_per_node)])).alias(
+        "walk_no"
+    )
+    state = nodes.select(
+        F.col("host"), wno
+    ).select(
+        "host", "walk_no", F.col("host").alias("cur"), F.col("host").alias("walk")
+    )
+    for t in range(1, walk_len):
+        key = F.concat_ws(
+            "#", F.col("cur"), F.col("host"), F.col("walk_no").cast("string"),
+            F.lit(str(t)),
+        )
+        s = state.join(deg, state.cur == deg.src_host, "left").select(
+            "host",
+            "walk_no",
+            "cur",
+            "walk",
+            F.when(
+                F.col("outdeg").isNotNull(),
+                _poly_hash_m(key, init=_REG_INIT, mult=_REG_MULT)
+                % F.col("outdeg"),
+            ).alias("nxt_idx"),
+        )
+        stepped = s.join(
+            adj,
+            (s.cur == adj.src_host) & (s.nxt_idx == adj.idx),
+            "left",
+        ).select(
+            "host",
+            "walk_no",
+            F.col("dst_host").alias("cur"),
+            F.when(
+                F.col("dst_host").isNotNull(),
+                F.concat(F.col("walk"), F.lit(">"), F.col("dst_host")),
+            )
+            .otherwise(F.col("walk"))
+            .alias("walk"),
+        )
+        state = stepped
+    return state.select("host", F.col("walk_no").cast("int").alias("walk_no"), "walk")
+
+
 def label_propagation(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan et
     al. 2007) made fully deterministic -> (host, community).

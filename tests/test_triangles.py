@@ -88,3 +88,35 @@ def test_textrank_hub_word_ranks_highest(spark):
         r.host: r.rank for r in pagerank_hosts(edges(spark, e), n_iters=4).collect()
     }
     assert ranks["hub"] == max(ranks.values())
+
+
+def test_random_walks_follow_edges_and_truncate(spark):
+    from ocr_spark.operators.link_graph import random_walks
+
+    pairs = [("a", "b"), ("b", "c")]  # c is a dead end
+    got = random_walks(edges(spark, pairs), walk_len=4).collect()
+    adjacency = {"a": {"b"}, "b": {"c"}}
+    for r in got:
+        hops = r.walk.split(">")
+        assert hops[0] == r.host
+        for u, v in zip(hops, hops[1:]):
+            assert v in adjacency.get(u, set()), r.walk
+    # walks from a reach c and stop (a>b>c); walks from c are just 'c'
+    assert {r.walk for r in got if r.host == "a"} == {"a>b>c"}
+    assert {r.walk for r in got if r.host == "c"} == {"c"}
+
+
+def test_random_walks_deterministic(spark):
+    from ocr_spark.operators.link_graph import random_walks
+
+    pairs = [(f"h{i}", f"h{(i * 5 + 1) % 9}") for i in range(30)]
+    a = sorted(map(tuple, random_walks(edges(spark, pairs)).collect()))
+    b = sorted(
+        map(
+            tuple,
+            random_walks(edges(spark, pairs).repartition(6, "dst_host")).collect(),
+        )
+    )
+    assert a == b
+    # two walks per start node
+    assert len(a) == 2 * len({x for p in pairs for x in p})
