@@ -4621,7 +4621,7 @@ ORACLE_SQL["homograph"] = f"""
         FROM sk a JOIN sk b ON a.skeleton = b.skeleton AND a.host < b.host
 """
 
-def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
+def _kcore_oracle_sql(k: int = 2, rounds: int = 4) -> str:
     """Replays operators/link_graph.kcore_hosts round by round: restrict
     edges to survivors, recount degrees, peel < k."""
     parts = [

@@ -656,7 +656,7 @@ def triangle_counts(edges_df: DataFrame) -> DataFrame:
     )
 
 
-def kcore_hosts(edges_df: DataFrame, *, k: int = 2, rounds: int = 6) -> DataFrame:
+def kcore_hosts(edges_df: DataFrame, *, k: int = 2, rounds: int = 4) -> DataFrame:
     """k-core membership by synchronous peeling (Seidman 1983; the
     distributed formulation is Montresor et al. 2013): each round drops
     every node whose degree WITHIN the surviving subgraph is < k, for a
@@ -666,8 +666,8 @@ def kcore_hosts(edges_df: DataFrame, *, k: int = 2, rounds: int = 6) -> DataFram
     final in-core degree: (host, core_degree).
 
     Scale shape per round: one semi-join of edges against the surviving
-    node set (broadcast — the node list shrinks monotonically) + one
-    degree aggregation. State is one bit per node; no frontier
+    node set (tiny and monotonically shrinking — AQE broadcasts it) +
+    one degree aggregation. State is one bit per node; no frontier
     materialization. The spam-farm use: link rings that inflate
     PageRank sit in dense cores, while legitimate long-tail hosts peel
     out at k=2."""
@@ -685,20 +685,35 @@ def kcore_hosts(edges_df: DataFrame, *, k: int = 2, rounds: int = 6) -> DataFram
         .union(und.select(F.col("b").alias("host")))
         .distinct()
     )
+    # `alive` feeds TWO joins per round, so an un-truncated lineage
+    # doubles every round (2^rounds plan copies — measured 112 s at
+    # sf0.1); an EAGER localCheckpoint per round pins the tiny survivor
+    # set instead (sub-second jobs). Peeling only ever REMOVES nodes, so an unchanged
+    # survivor COUNT means an unchanged set means a fixed point — the
+    # remaining rounds are idempotent and are skipped exactly (the
+    # fixed-round oracle replays them; they change nothing).
+    alive = alive.localCheckpoint(eager=True)
+    n_alive = alive.count()
     deg = None
-    for r in range(rounds):
-        e = und.join(
-            F.broadcast(alive.withColumnRenamed("host", "a")), "a"
-        ).join(F.broadcast(alive.withColumnRenamed("host", "b")), "b")
+    for _ in range(rounds):
+        e = und.join(alive.withColumnRenamed("host", "a"), "a").join(
+            alive.withColumnRenamed("host", "b"), "b"
+        )
         deg = (
             e.select(F.col("a").alias("host"))
             .unionByName(e.select(F.col("b").alias("host")))
             .groupBy("host")
             .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         )
-        alive = deg.where(F.col("core_degree") >= k).select("host")
-        if (r + 1) % 2 == 0:
-            alive = alive.localCheckpoint(eager=True)
+        alive = (
+            deg.where(F.col("core_degree") >= k)
+            .select("host")
+            .localCheckpoint(eager=True)
+        )
+        n_now = alive.count()
+        if n_now == n_alive:
+            break
+        n_alive = n_now
     return deg.where(F.col("core_degree") >= k).select("host", "core_degree")
 
 
