@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "homograph",
     "kcore",
     "textrank",
+    "walks",
 ]
 
 

@@ -250,6 +250,67 @@ class ManifestTable:
         self._save_manifest(manifest)
         return cid
 
+    def delete_where(self, spark, predicate) -> int | None:
+        """Iceberg DELETE FROM, copy-on-write flavor: drop every row where
+        ``predicate`` (a Column or SQL string) is TRUE — the
+        right-to-be-forgotten path a crawl table cannot ship without.
+
+        Scale shape — touch only what matched, like ``merge``: one scan
+        finds which commits hold matching rows (parquet predicate pushdown
+        prunes it to the predicate's columns); UNAFFECTED commits keep
+        their files verbatim; the affected commits' surviving rows land as
+        ONE new commit whose manifest entry ``replaces`` them. SQL NULL
+        semantics: only pred IS TRUE deletes (FALSE and NULL survive), so
+        a predicate over a schema-evolved column leaves pre-evolution rows
+        alone. The deleted rows remain visible to ``read(as_of=...)``
+        until ``expire()`` — HARD removal (GDPR) is delete_where +
+        expire(). Returns the new commit id, or None when nothing matched.
+        """
+        from pyspark.sql import functions as F
+
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit = F.coalesce(pred, F.lit(False))
+        manifest = self._load_manifest()
+        vis = self._visible(manifest)
+        if not vis:
+            return None
+        keyed = None
+        for s in vis:
+            part = (
+                spark.read.parquet(s["path"])
+                .withColumn("_cid", F.lit(s["commit_id"]))
+            )
+            keyed = (
+                part
+                if keyed is None
+                else keyed.unionByName(part, allowMissingColumns=True)
+            )
+        hit_ids = {
+            r["_cid"] for r in keyed.where(hit).select("_cid").distinct().collect()
+        }
+        affected = [s for s in vis if s["commit_id"] in hit_ids]
+        if not affected:
+            return None
+        cid = self.next_commit_id()
+        survivors = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[s["path"] for s in affected])
+            .where(~hit)
+        )
+        path = os.path.join(self.data_dir, f"commit={cid}")
+        survivors.write.mode("overwrite").parquet(path)
+        manifest.append(
+            {
+                "commit_id": cid,
+                "path": path,
+                "ts": time.time(),
+                "op": "delete",
+                "replaces": sorted(s["commit_id"] for s in affected),
+            }
+        )
+        self._save_manifest(manifest)
+        return cid
+
     def read_changes(self, spark, since: int, until: int | None = None):
         """Iceberg incremental (append) scan: rows ADDED by commits with
         ``since < commit_id <= until`` — the consumption contract that lets
@@ -280,11 +341,11 @@ class ManifestTable:
             op = s.get("op", "merge" if s.get("replaces") else "append")
             if op == "append":
                 paths.append(s["path"])
-            elif op == "merge":
+            elif op in ("merge", "delete"):
                 raise ValueError(
                     f"read_changes: commit {s['commit_id']} is an overwrite "
-                    "(merge); its append-delta is not derivable from the "
-                    "snapshot — consume merges via read(as_of=...) diffs"
+                    f"({op}); its append-delta is not derivable from the "
+                    "snapshot — consume overwrites via read(as_of=...) diffs"
                 )
             # op == "compact": rewrite only, skip
         if not paths:

@@ -106,6 +106,15 @@ def main():
         default=8,
         help="output file count for --compact",
     )
+    ap.add_argument(
+        "--delete-where",
+        metavar="SQL_PRED",
+        help="maintenance mode: copy-on-write DELETE from the extracted AND "
+        "lineage tables where this SQL predicate holds (e.g. "
+        "\"url like 'https://badhost.example/%%'\"), then expire the "
+        "replaced snapshots — the hard-removal (GDPR) path; deleted urls "
+        "also leave lineage so a re-crawl re-extracts them",
+    )
     args = ap.parse_args()
 
     from ocr_spark.plans.pipeline import run_extract_job
@@ -121,6 +130,19 @@ def main():
                 cid = tbl.compact(spark, target_partitions=args.compact_partitions)
                 expired = tbl.expire() if cid is not None else []
                 print(f"compacted {name}: commit={cid} expired={expired}")
+            return
+        if args.delete_where:
+            for name in ("extracted", "lineage"):
+                tbl = ManifestTable(os.path.join(args.output, name))
+                if not tbl.exists():
+                    continue
+                try:
+                    cid = tbl.delete_where(spark, args.delete_where)
+                except Exception as ex:  # predicate column absent here
+                    print(f"deleted from {name}: skipped ({str(ex).splitlines()[0][:80]})")
+                    continue
+                expired = tbl.expire() if cid is not None else []
+                print(f"deleted from {name}: commit={cid} expired={expired}")
             return
         if args.synth_sf:
             pages = pages_df(spark, args.synth_sf)

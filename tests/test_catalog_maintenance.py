@@ -287,3 +287,51 @@ def test_zone_map_pruning(spark, tmp_path):
     got2 = tbl2.read_pruned(spark, "url", "m0", "mz")
     assert {f.split("commit=")[1][0] for f in got2.inputFiles()} == {"1"}
     assert sorted(r.url for r in got2.collect()) == ["m1", "m9"]
+
+
+def test_delete_where_rewrites_only_affected_commits(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    tbl = _mk(spark, tmp_path)  # commits 0,1,2 with ids c*100+i
+    cid = tbl.delete_where(spark, F.col("id").between(100, 101))
+    assert cid == 3
+    ids = _ids(spark, tbl.read(spark))
+    assert 100 not in ids and 101 not in ids
+    assert len(ids) == 10
+    # untouched commits keep their files; only commit 1 was replaced
+    entry = [s for s in tbl.snapshots if s["commit_id"] == cid][0]
+    assert entry["op"] == "delete" and entry["replaces"] == [1]
+    # time travel still shows the deleted rows until expire()
+    assert 100 in _ids(spark, tbl.read(spark, as_of=2))
+    expired = tbl.expire()
+    assert 1 in expired
+    assert 100 not in _ids(spark, tbl.read(spark))
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    n = len(tbl.snapshots)
+    assert tbl.delete_where(spark, "id > 100000") is None
+    assert len(tbl.snapshots) == n
+
+
+def test_delete_where_sql_string_and_null_semantics(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path / "tbl"))
+    tbl.append(spark.createDataFrame([(1, "a")], "id long, v string"), 0)
+    # schema evolution: commit 1 adds a 'flag' column
+    tbl.append(
+        spark.createDataFrame([(2, "b", True), (3, "c", False)],
+                              "id long, v string, flag boolean"), 1
+    )
+    cid = tbl.delete_where(spark, "flag")
+    assert cid is not None
+    ids = _ids(spark, tbl.read(spark))
+    # pred NULL on the pre-evolution row -> survives; only flag=TRUE dies
+    assert ids == [1, 3]
+
+
+def test_read_changes_refuses_delete_commits(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.delete_where(spark, "id = 0")
+    with pytest.raises(ValueError, match="overwrite"):
+        tbl.read_changes(spark, since=-1)
