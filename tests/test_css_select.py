@@ -130,3 +130,26 @@ def test_css_select_plan_single_python_stage(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 2  # pages synthesis + selector stage
     assert plan.count("Exchange") == 1  # the documented pages_df repartition
+
+
+def test_selector_fuzz_never_crashes_unexpectedly():
+    """Arbitrary selector strings either parse or raise SelectorError —
+    never any other exception; parsed ones evaluate without error."""
+    from hypothesis import given, settings, strategies as st
+
+    from ocr_spark.kernels.css_select import SelectorError, css_select, parse_selector
+    from ocr_spark.kernels.html_extract import parse_dom
+
+    root = parse_dom(DOC)
+    alphabet = "abp #.>+~*[]=\"'h1:(),-_x"
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=1, max_size=24))
+    def run(sel):
+        try:
+            groups = parse_selector(sel)
+        except SelectorError:
+            return
+        css_select(root, groups)  # must not raise on any parsed selector
+
+    run()
