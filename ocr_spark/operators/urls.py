@@ -414,13 +414,18 @@ CONFUSABLES: tuple[tuple[str, str], ...] = (
 
 
 def host_skeleton(host: str) -> str:
-    """TR#39-style skeleton: NFC normalize (folds decomposed accents the
-    way every IDN registry compares labels), lowercase, then the
-    confusable fold. Two hosts with equal skeletons but different raw
-    strings are a homograph pair — the phishing shape IDN enabled."""
+    """TR#39-style skeleton: punycode-decode ``xn--`` labels (RFC 3492 —
+    IDN hosts arrive ACE-encoded in crawl URLs, so the famous
+    all-Cyrillic xn--80ak6aa92e.com must fold to apple.com's skeleton),
+    NFC normalize (folds decomposed accents the way every IDN registry
+    compares labels), lowercase, then the confusable fold. Two hosts
+    with equal skeletons but different raw strings are a homograph
+    pair — the phishing shape IDN enabled."""
     import unicodedata
 
-    s = unicodedata.normalize("NFC", host).lower()
+    from ..kernels.punycode import idn_to_unicode
+
+    s = unicodedata.normalize("NFC", idn_to_unicode(host)).lower()
     for bad, good in CONFUSABLES:
         s = s.replace(bad, good)
     return s
