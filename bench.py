@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "kcore",
     "textrank",
     "walks",
+    "ip_asn",
 ]
 
 

@@ -1094,6 +1094,29 @@ def q_homograph(spark, sf):  # IDN homograph pairs (TR#39 skeletons)
     return homograph_pairs(hosts)
 
 
+def q_ip_asn(spark, sf):  # bucketed range join (IP -> ASN enrichment)
+    """The interval-join problem Spark plans as a nested loop: enrich a
+    synthetic server-IP column against 512 non-overlapping ASN blocks.
+    The operator prefix-buckets both sides and hash-equi-joins (explode
+    fan-out <= width/2^20 + 1) — never |points| x |ranges|; a plan test
+    asserts no nested-loop/cartesian node. The oracle runs the naive
+    BETWEEN join in DuckDB — same rows, different algorithm."""
+    from .operators.range_join import bucketed_range_join
+
+    d = _t(spark, sf, "documents")
+    points = d.select(
+        "doc_id", F.expr("(doc_id * 2654435761) % 4294967296").alias("ip")
+    )
+    ranges = spark.range(512).select(
+        F.expr("id * 8388608").alias("lo"),
+        F.expr("id * 8388608 + (id * 2654435761) % 8388608").alias("hi"),
+        F.expr("cast(64500 + id % 97 as int)").alias("asn"),
+    )
+    return bucketed_range_join(
+        points, ranges, point_col="ip", bucket_bits=20, how="left"
+    ).select("doc_id", "ip", "asn")
+
+
 def q_zorder(spark, sf):  # Morton/Z-order layout keys (zone-map clustering)
     """Bit-interleaved (host-hash, day-bucket) layout keys: fixing a
     z-value prefix bounds BOTH axes, which is what makes the catalog's
@@ -3274,6 +3297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore": q_kcore,
     "textrank": q_textrank,
     "walks": q_walks,
+    "ip_asn": q_ip_asn,
     "trustrank": q_trustrank,
     "hits": q_hits,
     "reciprocity": q_reciprocity,
@@ -4588,6 +4612,21 @@ def _hyperball_oracle_sql(rounds: int = 4, m: int = 64) -> str:
 
 
 ORACLE_SQL["hyperball"] = _hyperball_oracle_sql()
+
+# ip_asn: the NAIVE interval join — same rows as the bucketed equi-join
+ORACLE_SQL["ip_asn"] = """
+        WITH points AS (
+            SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS ip
+            FROM documents
+        ), ranges AS (
+            SELECT r * 8388608 AS lo,
+                   r * 8388608 + (r * 2654435761) % 8388608 AS hi,
+                   CAST(64500 + r % 97 AS INT) AS asn
+            FROM (SELECT unnest(range(0, 512)) AS r)
+        )
+        SELECT p.doc_id, p.ip, r.asn
+        FROM points p LEFT JOIN ranges r ON p.ip BETWEEN r.lo AND r.hi
+"""
 
 # homograph: skeleton re-derived with DuckDB's ICU nfc_normalize (an
 # independent Unicode implementation vs python unicodedata) + the shared
