@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "textrank",
     "walks",
     "ip_asn",
+    "profile",
 ]
 
 

@@ -1094,6 +1094,18 @@ def q_homograph(spark, sf):  # IDN homograph pairs (TR#39 skeletons)
     return homograph_pairs(hosts)
 
 
+def q_profile(spark, sf):  # one-pass table profiling (data-quality summary)
+    """Per-column nulls / exact distincts / native-order min-max of the
+    documents table in ONE scan (single wide agg + stack unpivot — never
+    a per-column job loop). The oracle re-derives each column's row with
+    plain per-column SQL aggregates."""
+    from .operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf, "documents"), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def q_ip_asn(spark, sf):  # bucketed range join (IP -> ASN enrichment)
     """The interval-join problem Spark plans as a nested loop: enrich a
     synthetic server-IP column against 512 non-overlapping ASN blocks.
@@ -3298,6 +3310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "textrank": q_textrank,
     "walks": q_walks,
     "ip_asn": q_ip_asn,
+    "profile": q_profile,
     "trustrank": q_trustrank,
     "hits": q_hits,
     "reciprocity": q_reciprocity,
@@ -4612,6 +4625,23 @@ def _hyperball_oracle_sql(rounds: int = 4, m: int = 64) -> str:
 
 
 ORACLE_SQL["hyperball"] = _hyperball_oracle_sql()
+
+# profile: per-column aggregates re-derived independently
+_PROFILE_COL_SQL = """
+        SELECT '{c}' AS "column",
+               (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+               CAST((SELECT count(*) FROM documents) - count({c}) AS BIGINT)
+                   AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str
+        FROM documents
+"""
+
+ORACLE_SQL["profile"] = " UNION ALL ".join(
+    _PROFILE_COL_SQL.format(c=c)
+    for c in ("doc_id", "text", "lang", "source", "n_chars")
+)
 
 # ip_asn: the NAIVE interval join — same rows as the bucketed equi-join
 ORACLE_SQL["ip_asn"] = """
