@@ -531,3 +531,58 @@ def video_fingerprint(
             )
 
     return df.mapInPandas(gen, schema=VFP_SCHEMA)
+
+
+ANNOTATE_SCHEMA = "url string, n_boxes int, width int, height int, annotated binary"
+
+
+def annotate_detections(pages_df: DataFrame, *, url_col: str = "url", blob_col: str = "html") -> DataFrame:
+    """Detection-overlay sink: for every image-flavor page (PNG/JPEG
+    magic), decode, detect word boxes by ink-projection profiles
+    (kernels/pixel_ocr.detect_words), stroke them in red
+    (kernels/draw.draw_boxes) and re-encode as PNG — the reference's
+    `ImageSaver` annotated-output callback
+    (/root/reference/models/detection/base_detector.py:177-200) as a
+    Spark stage. Non-image rows emit nothing; undecodable image bytes
+    degrade to no row, never a task failure.
+
+    ONE narrow Arrow stage, zero exchanges; output PNGs are
+    byte-deterministic (numpy strokes + own encoder), so annotated
+    artifacts pass the same digest-stability bar as extracted text."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.draw import draw_boxes
+        from ..kernels.imagecodec import jpeg_decode, png_decode, png_encode
+        from ..kernels.pixel_ocr import detect_words
+
+        for pdf in batches:
+            out = {"url": [], "n_boxes": [], "width": [], "height": [], "annotated": []}
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                try:
+                    b = bytes(blob) if blob is not None else b""
+                    if b[:4] == b"\x89PNG":
+                        img = png_decode(b)
+                    elif b[:2] == b"\xff\xd8":
+                        img = jpeg_decode(b)
+                    else:
+                        continue
+                    gray = img if img.ndim == 2 else img.mean(axis=2).astype("uint8")
+                    h, w = gray.shape[:2]
+                    boxes_px = detect_words(gray)
+                    rel = [
+                        (x0 / w, y0 / h, x1 / w, y1 / h)
+                        for x0, y0, x1, y1 in boxes_px
+                    ]
+                    png = png_encode(draw_boxes(gray, rel))
+                    out["url"].append(url)
+                    out["n_boxes"].append(len(boxes_px))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["annotated"].append(png)
+                except Exception:
+                    continue
+            yield pd.DataFrame(out, columns=["url", "n_boxes", "width", "height", "annotated"])
+
+    return pages_df.select(url_col, blob_col).mapInPandas(gen, schema=ANNOTATE_SCHEMA)
