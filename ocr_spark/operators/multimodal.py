@@ -586,3 +586,32 @@ def annotate_detections(pages_df: DataFrame, *, url_col: str = "url", blob_col: 
             yield pd.DataFrame(out, columns=["url", "n_boxes", "width", "height", "annotated"])
 
     return pages_df.select(url_col, blob_col).mapInPandas(gen, schema=ANNOTATE_SCHEMA)
+
+
+def export_annotated(pages_df: DataFrame, out_dir: str) -> DataFrame:
+    """Executor-written annotated-PNG export (the `ImageSaver` callback's
+    file sink): one content-addressed ``<sha16(url)>.png`` per image
+    page, written inside the Arrow stage (no driver collect of image
+    bytes); returns the manifest (file, url, n_boxes). Idempotent —
+    re-runs overwrite the same names with identical bytes."""
+    import hashlib as _hl
+    import os as _os
+
+    ann = annotate_detections(pages_df)
+
+    def gen(batches):
+        import pandas as pd
+
+        _os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            files = []
+            for url, png in zip(pdf["url"], pdf["annotated"]):
+                name = _hl.sha256(str(url).encode()).hexdigest()[:16] + ".png"
+                with open(_os.path.join(out_dir, name), "wb") as f:
+                    f.write(bytes(png))
+                files.append(name)
+            yield pd.DataFrame(
+                {"file": files, "url": pdf["url"], "n_boxes": pdf["n_boxes"]}
+            )
+
+    return ann.mapInPandas(gen, schema="file string, url string, n_boxes int")

@@ -107,6 +107,13 @@ def main():
         help="output file count for --compact",
     )
     ap.add_argument(
+        "--save-annotated",
+        metavar="DIR",
+        help="after the commit, write detection-overlay PNGs for every "
+        "image-flavor input page into DIR (executor-written, "
+        "content-addressed) — the reference's ImageSaver callback",
+    )
+    ap.add_argument(
         "--delete-where",
         metavar="SQL_PRED",
         help="maintenance mode: copy-on-write DELETE from the extracted AND "
@@ -205,6 +212,14 @@ def main():
             )
             n = spark.read.parquet(args.sidecar_meta).count()
             print(f"sidecar_meta rows={n}")
+        if args.save_annotated:
+            from ocr_spark.operators.multimodal import export_annotated
+
+            manifest = export_annotated(pages, args.save_annotated).collect()
+            print(
+                f"annotated files={len(manifest)} "
+                f"boxes={sum(r.n_boxes for r in manifest)}"
+            )
         if args.export_cdx:
             from ocr_spark.sources.cdx import export_cdxj
 
