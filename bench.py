@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "walks",
     "ip_asn",
     "profile",
+    "annotate_meta",
 ]
 
 

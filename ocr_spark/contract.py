@@ -1094,6 +1094,22 @@ def q_homograph(spark, sf):  # IDN homograph pairs (TR#39 skeletons)
     return homograph_pairs(hosts)
 
 
+def q_annotate_meta(spark, sf):  # annotated-detection sink metadata
+    """REAL path: codec decode -> ink-projection word detection -> box
+    overlay -> PNG re-encode, projected to (url, n_boxes, width, height).
+    The oracle re-derives every value from the render-geometry residues
+    (pixel_ocr.render_text_image: pitch 6, margin 2, line gap 3, scale
+    2/3 by residue; 3 lines x 4 words per image page, inter-word gaps
+    always >= the 5*scale split threshold, so n_boxes == 12) — the
+    detection side is proven byte-exact by the flagship goldens, this
+    pins the SINK's geometry independently."""
+    from .operators.multimodal import annotate_detections
+
+    return annotate_detections(pages_df(spark, sf)).select(
+        "url", "n_boxes", "width", "height"
+    )
+
+
 def q_profile(spark, sf):  # one-pass table profiling (data-quality summary)
     """Per-column nulls / exact distincts / native-order min-max of the
     documents table in ONE scan (single wide agg + stack unpivot — never
@@ -3311,6 +3327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "walks": q_walks,
     "ip_asn": q_ip_asn,
     "profile": q_profile,
+    "annotate_meta": q_annotate_meta,
     "trustrank": q_trustrank,
     "hits": q_hits,
     "reciprocity": q_reciprocity,
@@ -4625,6 +4642,33 @@ def _hyperball_oracle_sql(rounds: int = 4, m: int = 64) -> str:
 
 
 ORACLE_SQL["hyperball"] = _hyperball_oracle_sql()
+
+# annotate_meta: render-geometry replay (pixel_ocr.render_text_image:
+# 5x7 glyphs, pitch 6, letter gap 1, line gap 3, margin 2; width =
+# (maxlen*6 + 3) * scale, height = 31 * scale; 3 lines x 4 words -> 12
+# boxes, inter-word gaps 7*scale >= the 5*scale split threshold)
+ORACLE_SQL["annotate_meta"] = f"""
+        WITH img AS (
+            SELECT doc_id,
+                   'https://' || {_HOST_SQL.format(k='doc_id')}
+                       || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+                   CAST(CASE WHEN (doc_id // 20) % 4 = 1 THEN 2
+                        ELSE 2 + doc_id % 2 END AS BIGINT) AS s
+            FROM documents WHERE doc_id % 20 = 8
+        ), lens AS (
+            SELECT url, s,
+                   list_max(list_transform(range(0, 3), k ->
+                       CAST(list_sum(list_transform(range(0, 4), j ->
+                           length(ws[CAST((4 * k + j) % len(ws) AS INT) + 1])
+                       )) + 3 AS BIGINT))) AS maxlen
+            FROM img
+        )
+        SELECT url, CAST(12 AS INT) AS n_boxes,
+               CAST((maxlen * 6 + 3) * s AS INT) AS width,
+               CAST(31 * s AS INT) AS height
+        FROM lens
+"""
 
 # profile: per-column aggregates re-derived independently
 _PROFILE_COL_SQL = """
