@@ -1094,6 +1094,34 @@ def q_homograph(spark, sf):  # IDN homograph pairs (TR#39 skeletons)
     return homograph_pairs(hosts)
 
 
+#: shard roster for the rendezvous query — shared literal with the oracle
+RENDEZVOUS_SHARDS = tuple(f"node{i:02d}" for i in range(16))
+
+
+def q_rendezvous(spark, sf):  # HRW sharding + minimal-movement evidence
+    """Rendezvous hashing of every url against 16 shards AND against the
+    15-shard roster with node15 decommissioned: ``moved`` flags the keys
+    whose assignment changed. The defining guarantee — only node15's own
+    keys move — is checked by the oracle re-deriving both argmaxes and
+    by a test asserting moved == (shard_a == 'node15')."""
+    from .operators.layout import rendezvous_shard
+
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"),
+    )
+    base = d.select(url.alias("url"))
+    a = rendezvous_shard(F.col("url"), RENDEZVOUS_SHARDS)
+    b = rendezvous_shard(F.col("url"), RENDEZVOUS_SHARDS[:-1])
+    return base.select(
+        "url",
+        a.alias("shard_a"),
+        b.alias("shard_b"),
+        (a != b).alias("moved"),
+    )
+
+
 def q_annotate_meta(spark, sf):  # annotated-detection sink metadata
     """REAL path: codec decode -> ink-projection word detection -> box
     overlay -> PNG re-encode, projected to (url, n_boxes, width, height).
@@ -3328,6 +3356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ip_asn": q_ip_asn,
     "profile": q_profile,
     "annotate_meta": q_annotate_meta,
+    "rendezvous": q_rendezvous,
     "trustrank": q_trustrank,
     "hits": q_hits,
     "reciprocity": q_reciprocity,
@@ -4642,6 +4671,40 @@ def _hyperball_oracle_sql(rounds: int = 4, m: int = 64) -> str:
 
 
 ORACLE_SQL["hyperball"] = _hyperball_oracle_sql()
+
+# rendezvous: both argmaxes re-derived with the same portable poly hash
+# (shard-prefixed, then squared mod p — see rendezvous_shard's docstring
+# for why both are load-bearing)
+def _rendezvous_argmax_sql(shards) -> str:
+    lst = "[" + ", ".join(f"'{s}'" for s in shards) + "]"
+    return (
+        f"list_reduce(list_transform({lst}, s -> "
+        "{'h': list_reduce(list_prepend(CAST(312994679 AS BIGINT), "
+        "list_transform(split(s || '#' || url, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        "(x, y) -> (x * 37 + y) % 1000000007) "
+        "* list_reduce(list_prepend(CAST(312994679 AS BIGINT), "
+        "list_transform(split(s || '#' || url, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        "(x, y) -> (x * 37 + y) % 1000000007) % 1000000007, 's': s}), "
+        "(a, b) -> CASE WHEN b.h > a.h OR (b.h = a.h AND b.s > a.s) "
+        "THEN b ELSE a END).s"
+    )
+
+
+ORACLE_SQL["rendezvous"] = f"""
+        WITH u AS (
+            SELECT 'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                   || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        ), x AS (
+            SELECT url,
+                   {_rendezvous_argmax_sql(RENDEZVOUS_SHARDS)} AS shard_a,
+                   {_rendezvous_argmax_sql(RENDEZVOUS_SHARDS[:-1])} AS shard_b
+            FROM u
+        )
+        SELECT url, shard_a, shard_b, shard_a <> shard_b AS moved FROM x
+"""
 
 # annotate_meta: render-geometry replay (pixel_ocr.render_text_image:
 # 5x7 glyphs, pitch 6, letter gap 1, line gap 3, margin 2; width =
