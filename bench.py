@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "winnow_pairs",
     "incremental_dedup",
+    "sa_dups",
     "minhash_pairs",
     "simhash_pairs",
     "image_dups",

@@ -451,6 +451,64 @@ def q_dup_spans(spark, sf):  # Lee et al. duplicated-span REMOVAL
     return dup_span_removal(messy, n=5)
 
 
+def _sa_docs(spark, sf):
+    """Shared input for the suffix-array queries: 400 docs clamped to a
+    '#'-free alphabet, every 3rd doc carrying a boilerplate sentence (so
+    cross-doc duplicated substrings exist by construction), each closed
+    by the unique terminator '#doc_id#' that makes all suffixes
+    distinct."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    boiler = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit(" free shipping on orders over fifty dollars today"),
+    ).otherwise(F.lit(""))
+    s = F.concat(
+        F.regexp_replace(F.lower(F.substring(F.col("text"), 1, 240)), "[^a-z ]", ""),
+        boiler,
+        F.lit("#"),
+        F.col("doc_id").cast("string"),
+        F.lit("#"),
+    )
+    return d.select("doc_id", s.alias("s"))
+
+
+def q_suffix_rank(spark, sf):  # distributed suffix array (prefix doubling)
+    """Manber–Myers prefix doubling on Spark: O(log maxlen) rounds, each
+    one (doc, pos+k) equi-join plus one two-pass global dense rank —
+    suffix STRINGS are never materialized, only (doc, pos, rank) ints.
+    The oracle sorts the actual suffix substrings; DENSE ranks must
+    agree position-for-position (the only ties are sub-5-char
+    terminator-tail suffixes shared across docs)."""
+    from .operators.suffix import suffix_array
+
+    sa = suffix_array(_sa_docs(spark, sf), id_col="doc_id", text_col="s")
+    return sa.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), F.col("rnk").alias("rnk")
+    )
+
+
+def q_sa_dups(spark, sf):  # exact duplicated substrings via SA adjacency
+    """Lee et al. 2021 read-out: suffixes adjacent in suffix-array order
+    that share an exact 25-char prefix = every duplicated >=25-char
+    substring occurrence, found with zero all-pairs work. The oracle
+    re-derives the SA by sorting suffix strings and replays the
+    adjacency + prefix check."""
+    from .operators.suffix import adjacent_dup_grams, suffix_array
+
+    docs = _sa_docs(spark, sf)
+    sa = suffix_array(docs, id_col="doc_id", text_col="s")
+    return adjacent_dup_grams(
+        docs, sa, gram_len=25, id_col="doc_id", text_col="s"
+    ).select(
+        "doc_a",
+        F.col("pos_a").cast("long").alias("pos_a"),
+        "doc_b",
+        F.col("pos_b").cast("long").alias("pos_b"),
+        "gram",
+        "cross_doc",
+    )
+
+
 def q_decontaminate(spark, sf):  # benchmark n-gram decontamination
     """Benchmark passages are synthesized from every 97th doc's chars
     21..140; docs sharing any word 8-gram with a passage are flagged.
@@ -3321,6 +3379,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm": q_bigram_lm,
     "ngram_lm": q_ngram_lm,
     "dup_spans": q_dup_spans,
+    "suffix_rank": q_suffix_rank,
+    "sa_dups": q_sa_dups,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "compression_ratio": q_compression_ratio,
@@ -4705,6 +4765,57 @@ ORACLE_SQL["rendezvous"] = f"""
         )
         SELECT url, shard_a, shard_b, shard_a <> shard_b AS moved FROM x
 """
+
+# suffix_rank / sa_dups: the oracle materializes every suffix STRING and
+# sorts it (fine at 400 docs); Spark must reproduce the identical order
+# via prefix doubling without ever building a suffix string. dense_rank,
+# not rank: suffixes that lie entirely inside the terminator tail
+# ('0#', '#', '23#'...) collide across docs, and prefix doubling yields
+# dense semantics for ties. Every tie is < 5 chars (any >=5-char suffix
+# reaches its doc's unique '#doc_id#' tail), so the 25-gram dup filter
+# never sees one.
+_SA_ORACLE_BASE = """
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_replace(lower(substr(text, 1, 240)), '[^a-z ]', '', 'g')
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' free shipping on orders over fifty dollars today'
+                           ELSE '' END
+                   || '#' || CAST(doc_id AS VARCHAR) || '#' AS s
+            FROM documents WHERE doc_id < 400
+        ), p AS (
+            SELECT doc_id, unnest(generate_series(1, length(s))) AS pos, s FROM d
+        ), sa AS (
+            SELECT doc_id, pos, s,
+                   dense_rank() OVER (ORDER BY substr(s, CAST(pos AS INT))) AS rnk
+            FROM p
+        )
+"""
+
+ORACLE_SQL["suffix_rank"] = (
+    _SA_ORACLE_BASE
+    + """
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(rnk AS BIGINT) AS rnk
+        FROM sa
+"""
+)
+
+ORACLE_SQL["sa_dups"] = (
+    _SA_ORACLE_BASE
+    + """
+        , pr AS (
+            SELECT a.doc_id AS doc_a, CAST(a.pos AS BIGINT) AS pos_a,
+                   b.doc_id AS doc_b, CAST(b.pos AS BIGINT) AS pos_b,
+                   substr(a.s, CAST(a.pos AS INT), 25) AS gram,
+                   substr(b.s, CAST(b.pos AS INT), 25) AS gram_b
+            FROM sa a JOIN sa b ON b.rnk = a.rnk + 1
+        )
+        SELECT doc_a, pos_a, doc_b, pos_b, gram,
+               doc_a <> doc_b AS cross_doc
+        FROM pr
+        WHERE length(gram) = 25 AND gram = gram_b
+"""
+)
 
 # annotate_meta: render-geometry replay (pixel_ocr.render_text_image:
 # 5x7 glyphs, pitch 6, letter gap 1, line gap 3, margin 2; width =
