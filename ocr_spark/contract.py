@@ -1419,6 +1419,20 @@ def q_jaccard_pairs(spark, sf):  # near-dup: 3-gram-shingle Jaccard (exact, pref
     return dedup_ops.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
+def q_containment(spark, sf):  # asymmetric containment (quote/excerpt pages)
+    """Every 13th doc spawns a derived 'excerpt page' (doc_id + 100000,
+    chars 20..179 of the source) so high-containment/low-Jaccard pairs
+    exist by construction; containment_pairs must find excerpt->source
+    (and any incidental) pairs exactly. The oracle runs the naive
+    all-pairs form over the same unioned corpus."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    quotes = d.where(F.col("doc_id") % 13 == 2).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 20, 160).alias("text"),
+    )
+    return dedup_ops.containment_pairs(d.unionByName(quotes), threshold=0.7)
+
+
 def q_winnow(spark, sf):  # winnowing fingerprints (Schleimer 2003 / MOSS)
     """Local document fingerprints: token 4-gram hashes, rightmost
     minimum per window of 4, distinct (pos, fp) per doc.  One narrow
@@ -3353,6 +3367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid": q_langid,
     "repetition": q_repetition,
     "jaccard_pairs": q_jaccard_pairs,
+    "containment": q_containment,
     "winnow": q_winnow,
     "winnow_pairs": q_winnow_pairs,
     "incremental_dedup": q_incremental_dedup,
@@ -4790,6 +4805,36 @@ _SA_ORACLE_BASE = """
                    dense_rank() OVER (ORDER BY substr(s, CAST(pos AS INT))) AS rnk
             FROM p
         )
+"""
+
+# containment: naive all-pairs over the unioned (base + excerpt) corpus;
+# the Spark side's probe-prefix filtering must lose nothing.
+ORACLE_SQL["containment"] = """
+        WITH alldocs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, substr(text, 20, 160) AS text
+            FROM documents WHERE doc_id % 13 = 2
+        ), toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM alldocs
+        ), sh0 AS (
+            SELECT doc_id, list_aggregate(t[i:i+2], 'string_agg', ' ') AS sh
+            FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        ), sh AS (
+            SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(shared * 1.0 / sa.n, 6) AS containment
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        WHERE round(shared * 1.0 / sa.n, 6) >= 0.7
 """
 
 ORACLE_SQL["suffix_rank"] = (

@@ -252,6 +252,81 @@ def ngram_jaccard_pairs(
     return _verify_pairs(cand, sets, threshold)
 
 
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.7,
+    shingle: int = 3,
+    cache: bool = True,
+) -> DataFrame:
+    """EXACT asymmetric set-CONTAINMENT pairs: every (doc_a, doc_b,
+    containment) with doc_a != doc_b and
+    ``containment = |S_a ∩ S_b| / |S_a| >= threshold`` — "a is (mostly)
+    contained in b", the quote-page / wrapper-page / syndicated-excerpt
+    detector that symmetric Jaccard misses by construction (a 30-word
+    quote inside a 500-word article has Jaccard ~0.06 but containment
+    ~1.0).
+
+    Probe-side prefix filtering: |S_a ∩ S_b| >= ceil(t*n_a) means S_a
+    cannot miss B on ALL of its first (n_a - ceil(t*n_a) + 1) rarest
+    shingles (rank by global document frequency, rarest first — any
+    global order is recall-safe; rarest-first minimizes join fan-out).
+    Only the PROBE side prunes: containment puts no constraint on where
+    A's shingles sit inside B, so the index side carries its full
+    posting list — one corpus-postings exchange, the same price the
+    df-attach join already pays (Zipf-headed keys on the index side
+    meet a rare-biased probe side, so hot keys produce ~no output and
+    AQE splits what remains). Size prune: n_b >= t*n_a (the
+    intersection can't exceed n_b); no upper bound exists — that
+    asymmetry IS the operator.
+
+    Verification is exact per candidate pair via the doc-level arrays
+    (array_intersect), same shape as `_verify_pairs`. The DuckDB oracle
+    runs the naive all-pairs form — identical output."""
+    sets = shingle_arrays(docs, shingle=shingle)
+    if cache:
+        from pyspark import StorageLevel
+
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sets.select("doc_id", F.explode("shs").alias("sh"), "n")
+
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, "sh").withColumn(
+        "rk", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh"))
+    )
+    probe = ranked.where(
+        F.col("rk")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+    ).select(F.col("doc_id").alias("doc_a"), "sh", F.col("n").alias("na"))
+    index = sh.select(F.col("doc_id").alias("doc_b"), "sh", F.col("n").alias("nb"))
+    cand = (
+        probe.join(index, "sh")
+        .where(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("nb") >= F.lit(threshold) * F.col("na") - F.lit(1e-9))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    shared = F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(shared / F.col("na"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def cross_corpus_jaccard_dedup(
     new_docs: DataFrame,
     old_docs: DataFrame,

@@ -1,0 +1,87 @@
+"""Asymmetric set-containment pairs: the quote-inside-article case
+Jaccard misses, exactness vs a python brute force (probe-prefix filter
+loses nothing), and the asymmetry itself."""
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+
+ARTICLE = (
+    "the committee met on tuesday to review the annual budget and after "
+    "a long discussion about infrastructure spending the members voted "
+    "to approve the proposal with minor amendments to the transit plan "
+    "and a final report will be published next month for public comment"
+)
+QUOTE = "the members voted to approve the proposal with minor amendments"
+
+
+def _docs(spark):
+    rows = [
+        (1, ARTICLE),
+        (2, "completely different text about gardening tips for growing "
+            "tomatoes in raised beds during a dry summer season"),
+        (3, QUOTE + " a reader wrote"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingles(text, n=3):
+    t = text.strip().split(" ")
+    return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+
+def test_quote_found_by_containment_not_jaccard(spark):
+    docs = _docs(spark)
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(docs, threshold=0.7).collect()
+    }
+    assert (3, 1) in cont  # the quote page is contained in the article
+    assert (1, 3) not in cont  # ...but not vice versa: asymmetry
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    assert (3, 1) not in jac and (1, 3) not in jac  # Jaccard misses it
+
+
+def test_exact_vs_brute_force(spark):
+    # vocab small enough to create incidental overlaps; brute force in
+    # python is the ground truth the prefix filter must reproduce
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = {}
+    for did in range(20):
+        words = [vocab[(did * 7 + i * i) % len(vocab)] for i in range(12)]
+        texts[did] = " ".join(words)
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    t = 0.6
+    expect = {}
+    for a, ta in texts.items():
+        for b, tb in texts.items():
+            if a == b:
+                continue
+            sa, sb = _shingles(ta), _shingles(tb)
+            if not sa:
+                continue
+            c = round(len(sa & sb) / len(sa), 6)
+            if c >= t:
+                expect[(a, b)] = c
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(docs, threshold=t).collect()
+    }
+    assert got == expect
+
+
+def test_identical_docs_contain_each_other(spark):
+    docs = spark.createDataFrame(
+        [(1, ARTICLE), (2, ARTICLE)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
