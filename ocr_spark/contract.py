@@ -1433,6 +1433,62 @@ def q_containment(spark, sf):  # asymmetric containment (quote/excerpt pages)
     return dedup_ops.containment_pairs(d.unionByName(quotes), threshold=0.7)
 
 
+def _trap_urls(spark, sf):
+    """Synthetic crawl-frontier URLs: a calendar trap (/cal/y/m/id), a
+    hex-id product route (/p/{8-hex}), a low-cardinality facet (/tag/k),
+    a static page, and a query string carrying one session param (fresh
+    md5 per URL) plus one real facet (page=0..9)."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    host = F.concat(F.lit("h"), (k % 5).cast("string"), F.lit(".example"))
+    hx = F.lpad(F.lower(F.hex(k)), 8, "0")
+    path = (
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("/cal/"),
+                (k % 30 + 2000).cast("string"),
+                F.lit("/"),
+                (k % 12).cast("string"),
+                F.lit("/"),
+                ks,
+            ),
+        )
+        .when(k % 4 == 1, F.concat(F.lit("/p/"), hx))
+        .when(k % 4 == 2, F.concat(F.lit("/tag/"), (k % 7).cast("string")))
+        .otherwise(F.lit("/about"))
+    )
+    q = F.concat(
+        F.lit("?sess="),
+        F.md5(ks.cast("binary")),
+        F.lit("&page="),
+        (k % 10).cast("string"),
+    )
+    return d.select(F.concat(F.lit("https://"), host, path, q).alias("url"))
+
+
+def q_url_templates(spark, sf):  # crawler-trap detection via URL templates
+    """Structural template mining over the trap-frontier URLs: the
+    calendar trap collapses to /cal/{d}/{d}/{d} with n_paths == n_urls
+    (every URL distinct — the trap signature), the facet route to
+    /tag/{d} with 7 paths, /about to itself with 1. The oracle replays
+    the two regex passes and both aggregates."""
+    from .operators.urls import url_path_templates
+
+    return url_path_templates(_trap_urls(spark, sf))
+
+
+def q_param_mining(spark, sf):  # data-driven session-param discovery
+    """Per (host, param) distinct-value ratios over the same URLs: sess
+    hits ratio_milli = 1000 (fresh md5 per URL -> strip candidate),
+    page stays low (real facet). Learns what url_canon's static
+    tracking list hard-codes."""
+    from .operators.urls import query_param_stats
+
+    return query_param_stats(_trap_urls(spark, sf))
+
+
 def q_winnow(spark, sf):  # winnowing fingerprints (Schleimer 2003 / MOSS)
     """Local document fingerprints: token 4-gram hashes, rightmost
     minimum per window of 4, distinct (pos, fp) per doc.  One narrow
@@ -3368,6 +3424,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition": q_repetition,
     "jaccard_pairs": q_jaccard_pairs,
     "containment": q_containment,
+    "url_templates": q_url_templates,
+    "param_mining": q_param_mining,
     "winnow": q_winnow,
     "winnow_pairs": q_winnow_pairs,
     "incremental_dedup": q_incremental_dedup,
@@ -4806,6 +4864,71 @@ _SA_ORACLE_BASE = """
             FROM p
         )
 """
+
+# url_templates / param_mining: the oracle reconstructs the same trap
+# frontier closed-form and replays the regex template passes / the
+# query-string explode with DuckDB's independent regex engine.
+_TRAP_URLS_SQL = """
+        WITH u AS (
+            SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+                || CASE WHEN doc_id % 4 = 0 THEN
+                        '/cal/' || CAST(doc_id % 30 + 2000 AS VARCHAR)
+                        || '/' || CAST(doc_id % 12 AS VARCHAR)
+                        || '/' || CAST(doc_id AS VARCHAR)
+                   WHEN doc_id % 4 = 1 THEN
+                        '/p/' || lpad(lower(to_hex(doc_id)), 8, '0')
+                   WHEN doc_id % 4 = 2 THEN
+                        '/tag/' || CAST(doc_id % 7 AS VARCHAR)
+                   ELSE '/about' END
+                || '?sess=' || md5(CAST(doc_id AS VARCHAR))
+                || '&page=' || CAST(doc_id % 10 AS VARCHAR) AS url
+            FROM documents
+        )
+"""
+
+ORACLE_SQL["url_templates"] = (
+    _TRAP_URLS_SQL
+    + """
+        , parts AS (
+            SELECT lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                   regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+            FROM u
+        )
+        SELECT host,
+               regexp_replace(regexp_replace(path, '[0-9a-f]{8,}', '{h}', 'g'),
+                              '[0-9]+', '{d}', 'g') AS template,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT path) AS BIGINT) AS n_paths
+        FROM parts GROUP BY 1, 2
+"""
+)
+
+ORACLE_SQL["param_mining"] = (
+    _TRAP_URLS_SQL
+    + """
+        , kv AS (
+            SELECT lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                   unnest(string_split(
+                       regexp_extract(url, '\\?([^#]*)', 1), '&')) AS kvp
+            FROM u
+        ), vals AS (
+            SELECT host, split_part(kvp, '=', 1) AS param,
+                   CASE WHEN instr(kvp, '=') > 0
+                        THEN substr(kvp, instr(kvp, '=') + 1)
+                        ELSE '' END AS v
+            FROM kv WHERE kvp <> ''
+        )
+        SELECT host, param,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT v) AS BIGINT) AS n_values,
+               CAST(floor(1000.0 * count(DISTINCT v) / count(*)) AS BIGINT)
+                   AS ratio_milli
+        FROM vals GROUP BY 1, 2
+"""
+)
 
 # containment: naive all-pairs over the unioned (base + excerpt) corpus;
 # the Spark side's probe-prefix filtering must lose nothing.

@@ -461,3 +461,71 @@ def homograph_pairs(hosts_df: DataFrame, host_col: str = "host") -> DataFrame:
     return a.join(b, "skeleton").where(F.col("host_a") < F.col("host_b")).select(
         "host_a", "host_b", "skeleton"
     )
+
+
+def url_path_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Structural URL-template mining -> one row per (host, template)
+    with ``n_urls`` and ``n_paths`` (distinct concrete paths): the
+    crawler-trap / infinite-URL-space detector (calendar traps, session
+    paths, faceted search). A template whose distinct-path count
+    explodes while its content yield stays flat is a trap; at crawl
+    scale this aggregate is THE fetch-budget gate per site, and it
+    doubles as a URL-level dedup key (one canonical fetch per template
+    when the site stamps ids into paths).
+
+    Template rules (documented contract, replayed verbatim by the
+    DuckDB oracle): >=8-char lowercase-hex runs -> ``{h}`` (ids,
+    digests, uuids-sans-dashes), then digit runs -> ``{d}``. Pure
+    Column algebra (two regexp_replace passes + one groupBy on
+    (host, template) — hash-distributed, no hot key beyond a site's own
+    template count)."""
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    template = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{h}"), r"[0-9]+", "{d}"
+    )
+    return (
+        df.select(host.alias("host"), path.alias("_path"), template.alias("template"))
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("_path").cast("long").alias("n_paths"),
+        )
+    )
+
+
+def query_param_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """DATA-DRIVEN strip-param discovery -> one row per (host, param)
+    with occurrence count, distinct-value count, and the distinct ratio
+    in integer milli units: a param whose ratio sits near 1000 at high
+    count is a session id / cache buster (every URL carries a fresh
+    value), a near-zero ratio is a real facet. This LEARNS what
+    `canonical_url`'s static tracking-param list hard-codes, so a crawl
+    can canonicalize hosts it has never seen curated rules for.
+
+    One explode over the query string + one (host, param) groupBy;
+    ratio kept integral (floor milli) so engines hash identically."""
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    pairs = df.select(
+        host.alias("host"), F.explode(F.split(query, "&")).alias("_kv")
+    ).where(F.col("_kv") != "")
+    param = F.substring_index(F.col("_kv"), "=", 1)
+    value = F.when(
+        F.instr(F.col("_kv"), "=") > 0,
+        F.expr("substring(_kv, instr(_kv, '=') + 1)"),
+    ).otherwise(F.lit(""))
+    return (
+        pairs.select("host", param.alias("param"), value.alias("_v"))
+        .groupBy("host", "param")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("_v").cast("long").alias("n_values"),
+        )
+        .withColumn(
+            "ratio_milli",
+            F.floor(F.lit(1000) * F.col("n_values") / F.col("n")).cast("long"),
+        )
+    )

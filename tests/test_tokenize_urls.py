@@ -333,3 +333,55 @@ def test_domain_prior_groups_by_etld1_and_broadcasts(spark):
     # the join back must be broadcast: pages never shuffle on domain
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_url_path_templates_trap_signature(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.urls import url_path_templates
+
+    rows = (
+        [(f"https://trap.example/cal/20{i%30:02d}/{i%12}/{i}?x=1",) for i in range(60)]
+        + [(f"https://trap.example/tag/{i%3}",) for i in range(60)]
+        + [("https://trap.example/about",)] * 5
+        + [(f"https://shop.example/p/{i:08x}",) for i in range(4)]
+    )
+    got = {
+        (r["host"], r["template"]): (r["n_urls"], r["n_paths"])
+        for r in url_path_templates(
+            spark.createDataFrame(rows, "url string")
+        ).collect()
+    }
+    # trap: every concrete path distinct under one template
+    assert got[("trap.example", "/cal/{d}/{d}/{d}")] == (60, 60)
+    # facet: many urls, few paths
+    assert got[("trap.example", "/tag/{d}")] == (60, 3)
+    assert got[("trap.example", "/about")] == (5, 1)
+    # 8-hex ids collapse to {h}
+    assert got[("shop.example", "/p/{h}")] == (4, 4)
+
+
+def test_query_param_stats_finds_session_param(spark):
+    from ocr_spark.operators.urls import query_param_stats
+
+    rows = [
+        (f"https://a.example/x?sess=s{i}&page={i % 3}&flag",) for i in range(30)
+    ]
+    got = {
+        (r["host"], r["param"]): (r["n"], r["n_values"], r["ratio_milli"])
+        for r in query_param_stats(
+            spark.createDataFrame(rows, "url string")
+        ).collect()
+    }
+    assert got[("a.example", "sess")] == (30, 30, 1000)  # strip candidate
+    assert got[("a.example", "page")] == (30, 3, 100)  # real facet
+    assert got[("a.example", "flag")] == (30, 1, 33)  # valueless param
+
+
+def test_url_template_ops_zero_python(spark):
+    from ocr_spark.operators.urls import query_param_stats, url_path_templates
+
+    df = spark.createDataFrame([("https://a.example/p/1?x=2",)], "url string")
+    for op in (url_path_templates, query_param_stats):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "BatchEvalPython" not in plan
