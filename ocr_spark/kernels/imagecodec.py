@@ -301,10 +301,6 @@ def _extend(v: int, n: int) -> int:
     return v - ((1 << n) - 1) if n and v < (1 << (n - 1)) else v
 
 
-def _AC_EXTRA(sym: int) -> int:
-    return sym & 0xF
-
-
 _PEEK_CACHE: dict = {}
 
 
@@ -356,66 +352,22 @@ def _destuff_segments(scan: bytes) -> list[bytes]:
     return segs
 
 
-class _SegReader:
-    """16-bit-peek bit reader over a destuffed entropy segment.
+def _seg_windows(seg: bytes) -> tuple[list[int], int]:
+    """Destuffed entropy segment -> (u32 window list, bit limit).
 
-    Reading past the data (+ one byte of legal final padding) raises
-    CodecError — the zero padding would otherwise decode as valid Huffman
-    symbols FOREVER, turning a truncated/corrupt scan into a hang."""
-
-    __slots__ = ("data", "bitpos", "limit")
-
-    def __init__(self, seg: bytes):
-        self.data = seg + b"\x00\x00\x00\x00"
-        self.bitpos = 0
-        self.limit = len(seg) * 8 + 8
-
-    def peek16(self) -> int:
-        i = self.bitpos >> 3
-        chunk = int.from_bytes(self.data[i : i + 4], "big")
-        return (chunk >> (16 - (self.bitpos & 7))) & 0xFFFF
-
-    def read_bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        v = self.peek16() >> (16 - n)
-        self.bitpos += n
-        if self.bitpos > self.limit:
-            raise CodecError("truncated entropy data")
-        return v
-
-    def decode(self, table: np.ndarray) -> int:
-        e = int(table[self.peek16()])
-        if e == 0:
-            raise CodecError("bad Huffman code")
-        self.bitpos += e >> 8
-        if self.bitpos > self.limit:
-            raise CodecError("truncated entropy data")
-        return e & 0xFF
-
-    def decode_with_extra(self, table: np.ndarray, extra_of) -> tuple[int, int]:
-        """Fused symbol + value-bits read: when code_len + n_extra fits the
-        16-bit window both come from ONE peek (the JPEG fast path)."""
-        p = self.peek16()
-        e = int(table[p])
-        if e == 0:
-            raise CodecError("bad Huffman code")
-        length = e >> 8
-        sym = e & 0xFF
-        n = extra_of(sym)
-        if n == 0:
-            self.bitpos += length
-        elif length + n <= 16:
-            self.bitpos += length + n
-            if self.bitpos > self.limit:
-                raise CodecError("truncated entropy data")
-            return sym, (p >> (16 - length - n)) & ((1 << n) - 1)
-        else:
-            self.bitpos += length
-            return sym, self.read_bits(n)
-        if self.bitpos > self.limit:
-            raise CodecError("truncated entropy data")
-        return sym, 0
+    ``u32[i]`` holds bytes i..i+3 big-endian, so the 16-bit Huffman peek
+    at bit position bp is ``(u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF``
+    — one list index + two int ops, all LOCAL in the decode loop (the
+    previous per-symbol method-call reader was the top tottime line of
+    the whole extraction profile). The 256-byte zero pad keeps every
+    intra-block read in bounds; the limit (+8 bits of legal final
+    padding) is enforced once per block — the zero padding would
+    otherwise decode as valid Huffman symbols forever on truncated
+    scans, and the block loop is bounded so the per-block check cannot
+    hang."""
+    arr = np.frombuffer(seg + b"\x00" * 256, dtype=np.uint8).astype(np.uint32)
+    u32 = ((arr[:-3] << 24) | (arr[1:-2] << 16) | (arr[2:-1] << 8) | arr[3:]).tolist()
+    return u32, len(seg) * 8 + 8
 
 
 def jpeg_decode(blob: bytes) -> np.ndarray:
@@ -503,49 +455,91 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
         sc.update(by_id[sc["id"]])
 
     segments = _destuff_segments(scan)
+    # peek tables as python LISTS: numpy scalar indexing boxes per symbol
+    # and was measurably slower in this loop
+    dc_lists = {th: t.tolist() for th, t in huff_dc.items()}
+    ac_lists = {th: t.tolist() for th, t in huff_ac.items()}
     seg_idx = 0
-    reader = _SegReader(segments[0])
+    u32, limit = _seg_windows(segments[0])
+    bp = 0
     dc_pred = {c["id"]: 0 for c in comps}
     mcu_count = 0
     # entropy-decode into plain python coefficient rows first; the
     # dequantize + un-zigzag + IDCT then runs as ONE batched einsum per
-    # component (the per-block numpy round trips dominated otherwise)
+    # component (the per-block numpy round trips dominated otherwise).
+    # The bit reader is inlined with local ints — no object, no method
+    # calls — because this loop runs once per Huffman SYMBOL.
     pending: dict = {c["id"]: {"coefs": [], "pos": []} for c in comps}
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 seg_idx += 1
-                reader = _SegReader(
+                u32, limit = _seg_windows(
                     segments[seg_idx] if seg_idx < len(segments) else b""
                 )
+                bp = 0
                 dc_pred = {c["id"]: 0 for c in comps}
             for sc in scan_comps:
-                dc_table = huff_dc[sc["dc"]]
-                ac_table = huff_ac[sc["ac"]]
+                dcl = dc_lists[sc["dc"]]
+                acl = ac_lists[sc["ac"]]
+                cid = sc["id"]
                 for by in range(sc["v"]):
                     for bx in range(sc["h"]):
                         coefs = [0] * 64
-                        t_sym, raw = reader.decode_with_extra(dc_table, lambda s: s)
-                        dc_pred[sc["id"]] += _extend(raw, t_sym)
-                        coefs[0] = dc_pred[sc["id"]]
+                        p = (u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+                        e = dcl[p]
+                        if e == 0:
+                            raise CodecError("bad Huffman code")
+                        length = e >> 8
+                        n = e & 0xFF  # DC symbol IS the extra-bit count
+                        if n == 0:
+                            bp += length
+                        elif length + n <= 16:
+                            raw = (p >> (16 - length - n)) & ((1 << n) - 1)
+                            bp += length + n
+                            dc_pred[cid] += _extend(raw, n)
+                        else:
+                            bp += length
+                            raw = (u32[bp >> 3] >> (16 - (bp & 7)) & 0xFFFF) >> (
+                                16 - n
+                            )
+                            bp += n
+                            dc_pred[cid] += _extend(raw, n)
+                        coefs[0] = dc_pred[cid]
                         k = 1
                         while k < 64:
-                            rs, raw = reader.decode_with_extra(
-                                ac_table, _AC_EXTRA
-                            )
+                            p = (u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+                            e = acl[p]
+                            if e == 0:
+                                raise CodecError("bad Huffman code")
+                            length = e >> 8
+                            rs = e & 0xFF
                             if rs == 0x00:  # EOB
+                                bp += length
                                 break
                             if rs == 0xF0:  # ZRL
+                                bp += length
                                 k += 16
                                 continue
+                            n = rs & 0xF
+                            if length + n <= 16:
+                                raw = (p >> (16 - length - n)) & ((1 << n) - 1)
+                                bp += length + n
+                            else:
+                                bp += length
+                                raw = (
+                                    u32[bp >> 3] >> (16 - (bp & 7)) & 0xFFFF
+                                ) >> (16 - n)
+                                bp += n
                             k += rs >> 4
                             if k > 63:
                                 break
-                            s = rs & 0xF
-                            coefs[k] = _extend(raw, s)
+                            coefs[k] = _extend(raw, n)
                             k += 1
-                        pending[sc["id"]]["coefs"].append(coefs)
-                        pending[sc["id"]]["pos"].append(
+                        if bp > limit:
+                            raise CodecError("truncated entropy data")
+                        pending[cid]["coefs"].append(coefs)
+                        pending[cid]["pos"].append(
                             ((my * sc["v"] + by) * 8, (mx * sc["h"] + bx) * 8)
                         )
             mcu_count += 1
