@@ -85,3 +85,32 @@ def test_identical_docs_contain_each_other(spark):
         for r in containment_pairs(docs, threshold=0.9).collect()
     }
     assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_probe_prefix_is_strictly_smaller(spark):
+    # the probe side indexes only each doc's (n - ceil(t*n) + 1) rarest
+    # shingles — the recall-safe bound that keeps the candidate join off
+    # the full posting cross product
+    from pyspark.sql import Window
+
+    from ocr_spark.contract import _t
+    from ocr_spark.operators.dedup import shingle_sets
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    sh = shingle_sets(docs)
+    full = sh.count()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh")),
+        )
+        .join(sizes, "doc_id")
+    )
+    t = 0.7
+    probe = ranked.where(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n") - F.lit(1e-9)) + 1
+    ).count()
+    assert probe < 0.45 * full, (probe, full)
