@@ -370,8 +370,27 @@ def _seg_windows(seg: bytes) -> tuple[list[int], int]:
     return u32, len(seg) * 8 + 8
 
 
+def _entropy_end(blob: bytes, start: int) -> int:
+    """First byte offset at/after `start` holding a REAL marker (not byte
+    stuffing 0xFF00, not RST0-7, not 0xFF fill) — the end of one scan's
+    entropy-coded data in a multi-scan (progressive) stream."""
+    i, n = start, len(blob)
+    while True:
+        j = blob.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            return n
+        m = blob[j + 1]
+        if m == 0xFF:  # fill byte
+            i = j + 1
+        elif m == 0x00 or 0xD0 <= m <= 0xD7:
+            i = j + 2
+        else:
+            return j
+
+
 def jpeg_decode(blob: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (H, W, 3) or (H, W) uint8."""
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG bytes -> (H, W, 3)
+    or (H, W) uint8."""
     if blob[:2] != b"\xff\xd8":
         raise CodecError("not a JPEG")
     pos = 2
@@ -382,6 +401,8 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
     restart_interval = 0
     scan = None
     scan_comps = None
+    progressive = False
+    prog_scans: list[dict] = []
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             pos += 1
@@ -403,6 +424,8 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
                 else:
                     tbl = np.frombuffer(payload[p : p + 128], dtype=">u2").astype(np.int32)
                     p += 128
+                if tbl.size != 64:
+                    raise CodecError("truncated DQT")
                 qt[tq] = tbl
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             h_img, w_img = struct.unpack(">HH", payload[1:5])
@@ -411,8 +434,14 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
             for i in range(n_comp):
                 cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
-        elif marker == 0xC2:
-            raise CodecError("progressive JPEG (SOF2) not supported")
+        elif marker == 0xC2:  # SOF2 progressive
+            progressive = True
+            h_img, w_img = struct.unpack(">HH", payload[1:5])
+            n_comp = payload[5]
+            comps = []
+            for i in range(n_comp):
+                cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(payload):
@@ -420,21 +449,48 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
                 bits = list(payload[p + 1 : p + 17])
                 n = sum(bits)
                 values = list(payload[p + 17 : p + 17 + n])
+                if len(bits) < 16 or len(values) < n:
+                    raise CodecError("truncated DHT")
                 table = _build_peek_table(bits, values)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
-            n_sc = payload[0]
+            n_sc = payload[0] if payload else 0
+            if len(payload) < 4 + 2 * n_sc:
+                raise CodecError("truncated SOS header")
             scan_comps = []
             for i in range(n_sc):
                 cid, tabs = payload[1 + 2 * i : 3 + 2 * i]
                 scan_comps.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0xF})
-            scan = blob[pos + 2 + seg_len :]
-            break
+            if not progressive:
+                scan = blob[pos + 2 + seg_len :]
+                break
+            # progressive: collect this scan's params + entropy slice and
+            # keep walking (DHT/DRI may be redefined between scans, so the
+            # table refs are snapshotted per scan here)
+            ss, se = payload[1 + 2 * n_sc], payload[2 + 2 * n_sc]
+            ahal = payload[3 + 2 * n_sc]
+            start = pos + 2 + seg_len
+            end = _entropy_end(blob, start)
+            prog_scans.append(
+                {
+                    "comps": scan_comps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "dri": restart_interval,
+                    "dc": {sc["dc"]: huff_dc.get(sc["dc"]) for sc in scan_comps},
+                    "ac": {sc["ac"]: huff_ac.get(sc["ac"]) for sc in scan_comps},
+                    "data": blob[start:end],
+                }
+            )
+            pos = end
+            continue
         pos += 2 + seg_len
-    if comps is None or scan is None:
+    if comps is None or (scan is None and not prog_scans):
         raise CodecError("missing SOF/SOS")
     # sanity cap: a corrupt header claiming huge dimensions must not turn
     # into a multi-GB allocation + a 56M-iteration python loop (one bad
@@ -446,6 +502,11 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
     vmax = max(c["v"] for c in comps)
     mcux = -(-w_img // (8 * hmax))
     mcuy = -(-h_img // (8 * vmax))
+    if progressive:
+        planes = _decode_progressive_scans(
+            prog_scans, comps, qt, h_img, w_img, hmax, vmax, mcux, mcuy
+        )
+        return _assemble_planes(planes, comps, h_img, w_img, hmax, vmax)
     planes = {
         c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
         for c in comps
@@ -558,6 +619,12 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
         for b, (y0, x0) in enumerate(rows["pos"]):
             plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[b]
 
+    return _assemble_planes(planes, comps, h_img, w_img, hmax, vmax)
+
+
+def _assemble_planes(planes, comps, h_img, w_img, hmax, vmax) -> np.ndarray:
+    """Shared decode tail: chroma upsample, crop to image dims, YCbCr ->
+    RGB (ITU-R BT.601, the JFIF matrix)."""
     out_planes = []
     for c in comps:
         p = planes[c["id"]]
@@ -572,6 +639,226 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(rgb.round(), 0, 255).astype(np.uint8)
+
+
+class _ProgBits:
+    """Bit reader for progressive scans: same u32-window representation
+    as the baseline loop, but behind methods — progressive images run a
+    fraction of the corpus and each scan touches each coefficient once,
+    so clarity wins here."""
+
+    __slots__ = ("u32", "limit", "bp")
+
+    def __init__(self, seg: bytes):
+        self.u32, self.limit = _seg_windows(seg)
+        self.bp = 0
+
+    def check(self):
+        if self.bp > self.limit:
+            raise CodecError("truncated entropy data")
+
+    def decode(self, table: list[int]) -> int:
+        bp = self.bp
+        e = table[(self.u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+        if e == 0:
+            raise CodecError("bad Huffman code")
+        self.bp = bp + (e >> 8)
+        return e & 0xFF
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        bp = self.bp
+        v = ((self.u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF) >> (16 - n)
+        self.bp = bp + n
+        return v
+
+    def bit(self) -> int:
+        bp = self.bp
+        v = ((self.u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF) >> 15
+        self.bp = bp + 1
+        return v
+
+
+def _decode_progressive_scans(
+    scans, comps, qt, h_img, w_img, hmax, vmax, mcux, mcuy
+) -> dict:
+    """SOF2 scan sequence -> float planes. Coefficients accumulate across
+    scans in zigzag int arrays per component (spectral-selection bands
+    fill k-ranges; successive approximation fills bit Al upward: first
+    pass stores value << Al, refinement passes OR/add 1 << Al per
+    G.1.2.3 / libjpeg decode_mcu_AC_refine); one batched IDCT per
+    component at the end, same einsum as the baseline path."""
+    by_id = {c["id"]: c for c in comps}
+    gdims = {c["id"]: (mcuy * c["v"], mcux * c["h"]) for c in comps}
+    # python nested lists: the per-coefficient scatter below is pure int
+    # work and numpy scalar writes box every access
+    coef = {
+        cid: [[0] * 64 for _ in range(gh * gw)] for cid, (gh, gw) in gdims.items()
+    }
+    # non-interleaved (single-component) scan dims per B.2.3
+    ndims = {}
+    for c in comps:
+        cw = -(-w_img * c["h"] // hmax)
+        ch = -(-h_img * c["v"] // vmax)
+        ndims[c["id"]] = (-(-ch // 8), -(-cw // 8))
+
+    for scan in scans:
+        if any(sc["id"] not in by_id for sc in scan["comps"]):
+            raise CodecError("scan references unknown component")
+        sc_comps = [dict(sc, **by_id[sc["id"]]) for sc in scan["comps"]]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        dri = scan["dri"]
+        segments = _destuff_segments(scan["data"])
+        seg_idx = 0
+        rdr = _ProgBits(segments[0])
+        eobrun = 0
+        dc_pred = {sc["id"]: 0 for sc in sc_comps}
+
+        def restart():
+            nonlocal seg_idx, rdr, eobrun, dc_pred
+            seg_idx += 1
+            rdr = _ProgBits(segments[seg_idx] if seg_idx < len(segments) else b"")
+            eobrun = 0
+            dc_pred = {sc["id"]: 0 for sc in sc_comps}
+
+        if ss == 0:  # DC scan (interleaved when >1 comp)
+            if se != 0:
+                raise CodecError("bad progressive DC scan band")
+            dc_lists = {}
+            if ah == 0:
+                for sc in sc_comps:
+                    tbl = scan["dc"][sc["dc"]]
+                    if tbl is None:
+                        raise CodecError("missing DC table")
+                    dc_lists[sc["dc"]] = tbl.tolist()
+            interleaved = len(sc_comps) > 1
+            if interleaved:
+                units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+            else:
+                sc0 = sc_comps[0]
+                bh, bw = ndims[sc0["id"]]
+                units = [(by, bx) for by in range(bh) for bx in range(bw)]
+            for n_unit, (uy, ux) in enumerate(units):
+                if dri and n_unit and n_unit % dri == 0:
+                    restart()
+                for sc in sc_comps:
+                    cid = sc["id"]
+                    gh, gw = gdims[cid]
+                    if interleaved:
+                        blocks = [
+                            (uy * sc["v"] + by, ux * sc["h"] + bx)
+                            for by in range(sc["v"])
+                            for bx in range(sc["h"])
+                        ]
+                    else:
+                        blocks = [(uy, ux)]
+                    for by, bx in blocks:
+                        row = coef[cid][by * gw + bx]
+                        if ah == 0:  # DC first
+                            n = rdr.decode(dc_lists[sc["dc"]])
+                            dc_pred[cid] += _extend(rdr.bits(n), n)
+                            row[0] = dc_pred[cid] << al
+                        else:  # DC refinement: one raw bit
+                            if rdr.bit():
+                                row[0] |= 1 << al
+                        rdr.check()
+        else:  # AC scan: exactly one component (B.2.3)
+            if len(sc_comps) != 1:
+                raise CodecError("interleaved progressive AC scan")
+            sc = sc_comps[0]
+            cid = sc["id"]
+            gh, gw = gdims[cid]
+            bh, bw = ndims[cid]
+            tbl = scan["ac"][sc["ac"]]
+            if tbl is None:
+                raise CodecError("missing AC table")
+            acl = tbl.tolist()
+            p1 = 1 << al
+            m1 = -1 << al
+            n_unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if dri and n_unit and n_unit % dri == 0:
+                        restart()
+                    n_unit += 1
+                    row = coef[cid][by * gw + bx]
+                    if ah == 0:  # AC first pass (G.1.2.2)
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = rdr.decode(acl)
+                            r, s = rs >> 4, rs & 15
+                            if s:
+                                k += r
+                                v = _extend(rdr.bits(s), s) << al
+                                if k > se:  # corrupt run; bits consumed
+                                    break
+                                row[k] = v
+                                k += 1
+                            elif r == 15:
+                                k += 16
+                            else:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += rdr.bits(r)
+                                break
+                        rdr.check()
+                    else:  # AC refinement (G.1.2.3 / decode_mcu_AC_refine)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = rdr.decode(acl)
+                                r, s = rs >> 4, rs & 15
+                                val = 0
+                                if s:
+                                    val = p1 if rdr.bit() else m1
+                                elif r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += rdr.bits(r)
+                                    break
+                                while k <= se:
+                                    c = row[k]
+                                    if c:
+                                        if rdr.bit() and not (c & p1):
+                                            row[k] = c + (p1 if c > 0 else m1)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    row[k] = val
+                                k += 1
+                        if eobrun:
+                            while k <= se:
+                                c = row[k]
+                                if c and rdr.bit() and not (c & p1):
+                                    row[k] = c + (p1 if c > 0 else m1)
+                                k += 1
+                            eobrun -= 1
+                        rdr.check()
+
+    # dequantize + un-zigzag + batched IDCT per component (baseline tail)
+    planes = {}
+    for c in comps:
+        cid = c["id"]
+        if c["tq"] not in qt:
+            raise CodecError("missing quantization table")
+        gh, gw = gdims[cid]
+        zz = np.asarray(coef[cid], dtype=np.float64) * qt[c["tq"]][None, :]
+        blocks = np.zeros((gh * gw, 64))
+        blocks[:, _ZIGZAG] = zz
+        spatial = (
+            np.einsum("ij,njk,kl->nil", _A.T, blocks.reshape(-1, 8, 8), _A) + 128.0
+        )
+        planes[cid] = (
+            spatial.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        )
+    return planes
 
 
 class _BitWriter:
@@ -699,6 +986,198 @@ def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
                     writer.write(length, code)
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _quant_grids(img: np.ndarray, quality: int):
+    """Shared progressive-encode front end: color transform, batched
+    forward DCT, zigzag gather, quantize. Returns (gray, h, w, grids,
+    q_tables) with grids[i] an int64 (bh, bw, 64) zigzag-coefficient
+    array — identical math to the baseline encoder's per-block loop, so
+    a progressive re-encode of the same image reconstructs the SAME
+    coefficients (the round-trip equality test leans on this)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    q_luma = _quality_scale(_QT_LUMA, quality)[_ZIGZAG]
+    q_chroma = _quality_scale(_QT_CHROMA, quality)[_ZIGZAG]
+    pad_h, pad_w = -h % 8, -w % 8
+    grids = []
+    for ci, p in enumerate(planes):
+        q = q_luma if ci == 0 else q_chroma
+        pp = np.pad(p, ((0, pad_h), (0, pad_w)), mode="edge") - 128.0
+        bh, bw = pp.shape[0] // 8, pp.shape[1] // 8
+        blocks = pp.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coef = np.einsum("ij,njk,kl->nil", _A, blocks, _A.T)
+        zz = coef.reshape(-1, 64)[:, _ZIGZAG]
+        grids.append(np.round(zz / q).astype(np.int64).reshape(bh, bw, 64))
+    return gray, h, w, grids, (q_luma, q_chroma)
+
+
+def jpeg_encode_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W, 3) or (H, W) uint8 -> PROGRESSIVE JPEG (SOF2, 4:4:4,
+    Annex K tables), the libjpeg-style script: interleaved DC first pass
+    at Al=1, DC refinement, per-component AC spectral bands 1-5 and 6-63
+    at Al=1, then per-component AC refinement (Ah=1, Al=0) with
+    position-ordered correction bits (G.1.2.3). EOB runs are emitted as
+    EOB0 only — the Annex K AC tables define no EOBn>0 symbols; decoder
+    EOBRUN>1 handling is pinned by a handcrafted-table fixture in
+    tests."""
+    gray, h, w, grids, _q = _quant_grids(img, quality)
+    n_comp = 1 if gray else 3
+    enc_dc = [_build_huffman_encode(*_DC_LUMA), _build_huffman_encode(*_DC_CHROMA)]
+    enc_ac = [_build_huffman_encode(*_AC_LUMA), _build_huffman_encode(*_AC_CHROMA)]
+    q_luma = _quality_scale(_QT_LUMA, quality)[_ZIGZAG]
+    q_chroma = _quality_scale(_QT_CHROMA, quality)[_ZIGZAG]
+
+    out = bytearray(b"\xff\xd8")
+    for tq, tbl in enumerate([q_luma] + ([q_chroma] if not gray else [])):
+        payload = bytes([tq]) + bytes(int(tbl[i]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([n_comp])
+    for i in range(n_comp):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    for tc, tables in ((0, [_DC_LUMA, _DC_CHROMA]), (1, [_AC_LUMA, _AC_CHROMA])):
+        for th, (bits, values) in enumerate(tables[: (1 if gray else 2)]):
+            payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+            out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos_header(comp_specs, ss, se, ah, al):
+        sos = bytes([len(comp_specs)])
+        for cid, tdc, tac in comp_specs:
+            sos += bytes([cid, (tdc << 4) | tac])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    def put_signed(writer, table, runsize_prefix, value):
+        """run/size symbol + the value bits of a signed coefficient."""
+        cat = _cat(value)
+        length, code = table[(runsize_prefix << 4) | cat]
+        writer.write(length, code)
+        if cat:
+            writer.write(cat, value if value >= 0 else value + (1 << cat) - 1)
+
+    # --- scan 1: DC first, Al=1, interleaved -----------------------------
+    out += sos_header([(i + 1, 0 if i == 0 else 1, 0) for i in range(n_comp)], 0, 0, 0, 1)
+    wtr = _BitWriter()
+    bh, bw = grids[0].shape[:2]
+    dc_pred = [0] * n_comp
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(n_comp):
+                t = 0 if ci == 0 else 1
+                dc = int(grids[ci][by, bx, 0]) >> 1  # arithmetic shift (Al=1)
+                diff = dc - dc_pred[ci]
+                dc_pred[ci] = dc
+                put_signed(wtr, enc_dc[t], 0, diff)
+    wtr.flush()
+    out += wtr.out
+
+    # --- scan 2: DC refinement, Ah=1 Al=0 (one raw bit per block) --------
+    out += sos_header([(i + 1, 0, 0) for i in range(n_comp)], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(n_comp):
+                wtr.write(1, int(grids[ci][by, bx, 0]) & 1)
+    wtr.flush()
+    out += wtr.out
+
+    # --- AC spectral bands, first pass at Al=1, one component per scan ---
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(n_comp):
+            t = 0 if ci == 0 else 1
+            out += sos_header([(ci + 1, 0, t)], ss, se, 0, 1)
+            wtr = _BitWriter()
+            for by in range(bh):
+                for bx in range(bw):
+                    row = grids[ci][by, bx]
+                    run = 0
+                    for k in range(ss, se + 1):
+                        v = int(row[k])
+                        tshift = (v if v >= 0 else -v) >> 1
+                        if tshift == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            length, code = enc_ac[t][0xF0]
+                            wtr.write(length, code)
+                            run -= 16
+                        put_signed(
+                            wtr, enc_ac[t], run, tshift if v >= 0 else -tshift
+                        )
+                        run = 0
+                    if run:
+                        length, code = enc_ac[t][0x00]  # EOB0
+                        wtr.write(length, code)
+            wtr.flush()
+            out += wtr.out
+
+    # --- AC refinement, Ah=1 Al=0, one component per scan ----------------
+    for ci in range(n_comp):
+        t = 0 if ci == 0 else 1
+        out += sos_header([(ci + 1, 0, t)], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                row = grids[ci][by, bx]
+                # libjpeg encode_mcu_AC_refine discipline: the zero run
+                # counts ONLY zero-history positions; already-significant
+                # coefs buffer a correction bit without breaking the run;
+                # ZRLs are emitted on reaching ANY nonzero coef (so
+                # buffered bits never straddle a ZRL's 16-zero walk) and
+                # only while a newly-significant coef still follows
+                # (k <= last_new) — trailing runs fold into the EOB.
+                last_new = 0
+                for k in range(1, 64):
+                    if abs(int(row[k])) == 1:
+                        last_new = k
+                run = 0
+                pending: list[int] = []
+                for k in range(1, 64):
+                    v = int(row[k])
+                    a = v if v >= 0 else -v
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= last_new:
+                        length, code = enc_ac[t][0xF0]
+                        wtr.write(length, code)
+                        run -= 16
+                        for b in pending:
+                            wtr.write(1, b)
+                        pending = []
+                    if a > 1:  # already significant: correction bit
+                        pending.append(a & 1)
+                        continue
+                    # newly significant (|v| == 1): run/1 + sign + bits
+                    length, code = enc_ac[t][(run << 4) | 1]
+                    wtr.write(length, code)
+                    wtr.write(1, 1 if v > 0 else 0)
+                    for b in pending:
+                        wtr.write(1, b)
+                    pending = []
+                    run = 0
+                if run or pending:
+                    length, code = enc_ac[t][0x00]  # EOB0
+                    wtr.write(length, code)
+                    for b in pending:
+                        wtr.write(1, b)
+        wtr.flush()
+        out += wtr.out
+
     out += b"\xff\xd9"
     return bytes(out)
 

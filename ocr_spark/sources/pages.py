@@ -292,7 +292,7 @@ def _image_doc(doc_id: int, words: list[str]):
     projections and RECOGNIZE glyphs by template matching
     (kernels/pixel_ocr.py) — no fixture logits anywhere on this route.
     Expected text is the font-sanitized rendition by construction."""
-    from ..kernels.imagecodec import jpeg_encode, png_encode
+    from ..kernels.imagecodec import jpeg_encode, jpeg_encode_progressive, png_encode
     from ..kernels.pixel_ocr import render_text_image, sanitize_for_font
 
     lines = []
@@ -303,10 +303,16 @@ def _image_doc(doc_id: int, words: list[str]):
     clean = [sanitize_for_font(l) for l in lines]
     # JPEG for 1 in 4 image docs (its pure-Python entropy decode costs
     # ~10 ms/page — measured floor; PNG is ~0.2 ms), fixed scale 2; PNG
-    # varies scale 2/3 to keep exercising the detector's scale inference
+    # varies scale 2/3 to keep exercising the detector's scale inference.
+    # Half the JPEG docs are PROGRESSIVE (SOF2) — most real web JPEGs
+    # are — and both encoders quantize to identical coefficients, so the
+    # expected text (and the flagship byte-identity digest) is unchanged.
     if (doc_id // 20) % 4 == 1:
         img = render_text_image(lines, scale=2)
-        blob = jpeg_encode(img, quality=90)
+        if (doc_id // 20) % 8 == 1:
+            blob = jpeg_encode_progressive(img, quality=90)
+        else:
+            blob = jpeg_encode(img, quality=90)
     else:
         img = render_text_image(lines, scale=2 + doc_id % 2)
         blob = png_encode(img)

@@ -113,13 +113,14 @@ def test_jpeg_non_multiple_of_8_dims():
     assert np.abs(back.astype(float) - img.astype(float)).mean() < 3.0
 
 
-def test_jpeg_rejects_progressive_and_junk():
+def test_jpeg_rejects_junk_and_masqueraded_sof2():
     with pytest.raises(ic.CodecError):
         ic.jpeg_decode(b"not a jpeg")
     blob = bytearray(ic.jpeg_encode(_grad(8, 8)))
     i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # masquerade as progressive
-    with pytest.raises(ic.CodecError, match="progressive"):
+    blob[i + 1] = 0xC2  # baseline scan masquerading as progressive:
+    # its SOS band (Ss=0, Se=63) is illegal for a SOF2 DC scan
+    with pytest.raises(ic.CodecError):
         ic.jpeg_decode(bytes(blob))
 
 
@@ -264,3 +265,140 @@ def test_jpeg_encoder_dqt_is_zigzag_ordered():
     payload = blob[i + 5 : i + 5 + 64]
     expected = ic._QT_LUMA[ic._ZIGZAG]  # quality 50 = table as-is
     assert list(payload) == [int(v) for v in expected]
+
+
+# -- progressive JPEG (SOF2) ------------------------------------------------
+
+def test_progressive_matches_baseline_reconstruction():
+    """The progressive encoder quantizes to the SAME coefficients as the
+    baseline encoder, so decode(progressive) must be pixel-identical to
+    decode(baseline) — every scan type in the script (interleaved DC
+    first Al=1, DC refine, AC spectral bands at Al=1, AC refine) has to
+    reconstruct exactly for this to hold."""
+    for img in (_grad(24, 17), _grad(8, 8), _grad(40, 33)):
+        base = ic.jpeg_decode(ic.jpeg_encode(img, quality=85))
+        prog = ic.jpeg_decode(ic.jpeg_encode_progressive(img, quality=85))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_grayscale_and_qualities():
+    g = _grad(19, 26)[..., 0] if _grad(19, 26).ndim == 3 else _grad(19, 26)
+    g = np.asarray(g, dtype=np.uint8)
+    for q in (50, 85, 95):
+        base = ic.jpeg_decode(ic.jpeg_encode(g, quality=q))
+        prog = ic.jpeg_decode(ic.jpeg_encode_progressive(g, quality=q))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_truncated_raises():
+    blob = ic.jpeg_encode_progressive(_grad(24, 24))
+    with pytest.raises(ic.CodecError):
+        ic.jpeg_decode(blob[: len(blob) // 2] + b"\xff\xd9")
+
+
+def test_progressive_eobrun_multi_block():
+    """Handcrafted single-component progressive stream whose AC scan uses
+    EOBRUN > 1 (EOB2 covering four 8x8 blocks) through a custom DHT that
+    defines the EOBn symbol Annex K lacks — pins the decoder's EOB-run
+    accounting, which the in-repo encoder never exercises (it emits EOB0
+    only)."""
+    import struct
+
+    h = w = 16  # 2x2 blocks, one component
+    # DC table: symbols 0..3 (categories); AC table: EOB2 (0x20) + one
+    # real coef symbol (0x01) + ZRL, all short canonical codes
+    dc_bits = [0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = [0, 1, 2, 3]
+    ac_bits = [0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x20, 0x01]  # EOB0, EOB2, (run 0, size 1)
+    enc_dc = ic._build_huffman_encode(dc_bits, dc_vals)
+    enc_ac = ic._build_huffman_encode(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    q = bytes([0]) + bytes([1] * 64)  # identity quantizer
+    out += b"\xff\xdb" + struct.pack(">H", len(q) + 2) + q
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        p = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(p) + 2) + p
+
+    def sos(specs, ss, se, ah, al):
+        s = bytes([len(specs)])
+        for cid, td, ta in specs:
+            s += bytes([cid, (td << 4) | ta])
+        s += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(s) + 2) + s
+
+    # DC scan (Al=0): DC values 2, 2, 2, 2 -> diffs 2, 0, 0, 0
+    out += sos([(1, 0, 0)], 0, 0, 0, 0)
+    wtr = ic._BitWriter()
+    ln, code = enc_dc[2]
+    wtr.write(ln, code)
+    wtr.write(2, 2)  # value bits for +2
+    for _ in range(3):
+        ln, code = enc_dc[0]
+        wtr.write(ln, code)
+    wtr.flush()
+    out += wtr.out
+
+    # AC scan 1..63 (Al=0): block0 has coef +1 at k=1 then EOB2 covering
+    # blocks 1 and 2 entirely; block 3 gets its own EOB0
+    out += sos([(1, 0, 0)], 1, 63, 0, 0)
+    wtr = ic._BitWriter()
+    ln, code = enc_ac[0x01]
+    wtr.write(ln, code)
+    wtr.write(1, 1)  # +1
+    ln, code = enc_ac[0x20]  # EOB2: eobrun = (1<<2)-1 = 3 -> this block's
+    wtr.write(ln, code)  # remainder + blocks 1 and 2
+    wtr.write(2, 0)  # 2 extra eobrun bits = 0
+    ln, code = enc_ac[0x00]  # EOB0 for block 3
+    wtr.write(ln, code)
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+
+    img = ic.jpeg_decode(bytes(out))
+    assert img.shape == (16, 16)
+    # every block: DC=2 -> flat 132 contribution; block 0 adds the k=1
+    # basis (horizontal cosine); blocks 1-3 are exactly flat
+    flat = np.full((8, 8), 0.0)
+    zz = np.zeros(64)
+    zz[0] = 2
+    blk = np.zeros(64)
+    blk[ic._ZIGZAG] = zz
+    flat_px = (ic._A.T @ blk.reshape(8, 8) @ ic._A) + 128.0
+    exp_flat = np.clip(flat_px.round(), 0, 255).astype(np.uint8)
+    assert np.array_equal(img[8:, 8:], exp_flat)
+    assert np.array_equal(img[:8, 8:], exp_flat)
+    assert np.array_equal(img[8:, :8], exp_flat)
+    zz[1] = 1
+    blk = np.zeros(64)
+    blk[ic._ZIGZAG] = zz
+    b0 = np.clip(((ic._A.T @ blk.reshape(8, 8) @ ic._A) + 128.0).round(), 0, 255)
+    assert np.array_equal(img[:8, :8], b0.astype(np.uint8))
+
+
+def test_progressive_decoder_never_hangs_on_fuzz():
+    import time
+
+    rng = np.random.RandomState(77)
+    base = ic.jpeg_encode_progressive(_grad(24, 32), quality=80)
+    t0 = time.time()
+    for i in range(60):
+        k = i % 3
+        if k == 0:
+            blob = bytes(rng.randint(0, 256, size=rng.randint(4, 400), dtype=np.uint8))
+        elif k == 1:
+            blob = base[: rng.randint(2, len(base))]
+        else:
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randint(0, len(b))] ^= 1 << rng.randint(0, 8)
+            blob = bytes(b)
+        try:
+            out = ic.jpeg_decode(blob)
+            assert out.dtype == np.uint8
+        except ic.CodecError:
+            pass
+    assert time.time() - t0 < 30.0
