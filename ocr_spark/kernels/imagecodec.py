@@ -893,11 +893,58 @@ def _cat(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
-    """(H, W, 3) or (H, W) uint8 -> baseline JPEG (4:4:4, Annex K tables)."""
+def _encode_block(writer, block, q, enc_dc_t, enc_ac_t, pred: int) -> int:
+    """Forward-DCT, quantize, and Huffman-emit ONE 8x8 block (level-
+    shifted input); returns the new DC predictor. Factored so the 4:2:0
+    MCU walk and the 4:4:4 walk share bit-exact emission."""
+    coef = _A @ block @ _A.T
+    zz = coef.reshape(-1)[_ZIGZAG]
+    quant = np.round(zz / q).astype(np.int64)
+    dc = int(quant[0])
+    diff = dc - pred
+    cat = _cat(diff)
+    length, code = enc_dc_t[cat]
+    writer.write(length, code)
+    if cat:
+        writer.write(cat, diff if diff >= 0 else diff + (1 << cat) - 1)
+    run = 0
+    for k in range(1, 64):
+        v = int(quant[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = enc_ac_t[0xF0]
+            writer.write(length, code)
+            run -= 16
+        cat = _cat(v)
+        length, code = enc_ac_t[(run << 4) | cat]
+        writer.write(length, code)
+        writer.write(cat, v if v >= 0 else v + (1 << cat) - 1)
+        run = 0
+    if run:
+        length, code = enc_ac_t[0x00]  # EOB
+        writer.write(length, code)
+    return dc
+
+
+def jpeg_encode(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(H, W, 3) or (H, W) uint8 -> baseline JPEG (Annex K tables).
+
+    subsampling="444" (default, byte-stable with prior releases) keeps
+    full-resolution chroma; "420" emits the dominant real-web layout —
+    Y sampled 2x2 per MCU, Cb/Cr 2x2-mean-downsampled, 16x16-pixel MCUs
+    interleaved Y0..Y3 Cb Cr."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub420 = subsampling == "420" and not gray
+    if sub420:
+        return _jpeg_encode_420(img, quality)
     if gray:
         planes = [img.astype(np.float64)]
     else:
@@ -952,38 +999,68 @@ def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
                 t = 0 if ci == 0 else 1
                 q = q_luma if ci == 0 else q_chroma
                 block = padded[ci][my : my + 8, mx : mx + 8] - 128.0
-                coef = _A @ block @ _A.T
-                zz = coef.reshape(-1)[_ZIGZAG]
-                quant = np.round(zz / q).astype(np.int64)
-                # DC
-                diff = int(quant[0]) - dc_pred[ci]
-                dc_pred[ci] = int(quant[0])
-                cat = _cat(diff)
-                length, code = enc_dc[t][cat]
-                writer.write(length, code)
-                if cat:
-                    v = diff if diff >= 0 else diff + (1 << cat) - 1
-                    writer.write(cat, v)
-                # AC
-                run = 0
-                for k in range(1, 64):
-                    v = int(quant[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        length, code = enc_ac[t][0xF0]
-                        writer.write(length, code)
-                        run -= 16
-                    cat = _cat(v)
-                    length, code = enc_ac[t][(run << 4) | cat]
-                    writer.write(length, code)
-                    bits_v = v if v >= 0 else v + (1 << cat) - 1
-                    writer.write(cat, bits_v)
-                    run = 0
-                if run:
-                    length, code = enc_ac[t][0x00]  # EOB
-                    writer.write(length, code)
+                dc_pred[ci] = _encode_block(
+                    writer, block, q, enc_dc[t], enc_ac[t], dc_pred[ci]
+                )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_encode_420(img: np.ndarray, quality: int) -> bytes:
+    """4:2:0 baseline: Y at (2,2) sampling, chroma 2x2-mean-downsampled,
+    16x16-pixel MCUs emitted Y0 Y1 Y2 Y3 Cb Cr."""
+    h, w = img.shape[:2]
+    pad_h, pad_w = -h % 16, -w % 16
+    rgb = np.pad(
+        img.astype(np.float64), ((0, pad_h), (0, pad_w), (0, 0)), mode="edge"
+    )
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ph, pw = y.shape
+    cbd = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    crd = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    q_luma = _quality_scale(_QT_LUMA, quality)[_ZIGZAG]
+    q_chroma = _quality_scale(_QT_CHROMA, quality)[_ZIGZAG]
+    enc_dc = [_build_huffman_encode(*_DC_LUMA), _build_huffman_encode(*_DC_CHROMA)]
+    enc_ac = [_build_huffman_encode(*_AC_LUMA), _build_huffman_encode(*_AC_CHROMA)]
+
+    out = bytearray(b"\xff\xd8")
+    for tq, tbl in enumerate([q_luma, q_chroma]):
+        payload = bytes([tq]) + bytes(int(tbl[i]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    sof += bytes([1, 0x22, 0])  # Y: h=v=2
+    sof += bytes([2, 0x11, 1])  # Cb
+    sof += bytes([3, 0x11, 1])  # Cr
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for tc, tables in ((0, [_DC_LUMA, _DC_CHROMA]), (1, [_AC_LUMA, _AC_CHROMA])):
+        for th, (bits, values) in enumerate(tables):
+            payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+            out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(0, ph, 16):
+        for mx in range(0, pw, 16):
+            for by in (0, 8):
+                for bx in (0, 8):
+                    blk = y[my + by : my + by + 8, mx + bx : mx + bx + 8] - 128.0
+                    preds[0] = _encode_block(
+                        writer, blk, q_luma, enc_dc[0], enc_ac[0], preds[0]
+                    )
+            cy, cx = my // 2, mx // 2
+            for ci, plane in ((1, cbd), (2, crd)):
+                blk = plane[cy : cy + 8, cx : cx + 8] - 128.0
+                preds[ci] = _encode_block(
+                    writer, blk, q_chroma, enc_dc[1], enc_ac[1], preds[ci]
+                )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"

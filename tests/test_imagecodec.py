@@ -402,3 +402,39 @@ def test_progressive_decoder_never_hangs_on_fuzz():
         except ic.CodecError:
             pass
     assert time.time() - t0 < 30.0
+
+
+# -- 4:2:0 chroma subsampling ------------------------------------------------
+
+def test_jpeg_420_roundtrip_and_exact_constant_chroma():
+    # general image: decode close (chroma is lossy by design)
+    img = _grad(24, 40)
+    back = ic.jpeg_decode(ic.jpeg_encode(img, quality=95, subsampling="420"))
+    assert back.shape == img.shape
+    assert np.abs(back.astype(float) - img.astype(float)).mean() < 6.0
+
+    # constant-chroma image: 2x2 mean downsampling is LOSSLESS, so the
+    # 4:2:0 decode must equal the 4:4:4 decode exactly — pins the
+    # decoder's subsampled-MCU walk and upsample path bit-for-bit
+    g = _grad(16, 16, c=1)
+    const = np.stack([g, g, g], axis=-1)  # gray content -> Cb=Cr=128
+    d444 = ic.jpeg_decode(ic.jpeg_encode(const, quality=90))
+    d420 = ic.jpeg_decode(ic.jpeg_encode(const, quality=90, subsampling="420"))
+    assert np.array_equal(d444, d420)
+
+
+def test_jpeg_420_non_multiple_of_16():
+    img = _grad(19, 27)
+    back = ic.jpeg_decode(ic.jpeg_encode(img, quality=95, subsampling="420"))
+    assert back.shape == (19, 27, 3)
+    assert np.abs(back.astype(float) - img.astype(float)).mean() < 8.0
+
+
+def test_jpeg_444_bytes_unchanged_by_refactor():
+    # the default path must stay byte-stable across the _encode_block
+    # refactor (the corpus and all committed fixtures depend on it)
+    img = _grad(13, 21)
+    blob = ic.jpeg_encode(img, quality=90)
+    assert blob == ic.jpeg_encode(img, quality=90, subsampling="444")
+    with pytest.raises(ValueError):
+        ic.jpeg_encode(img, subsampling="422")
