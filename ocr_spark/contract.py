@@ -435,6 +435,20 @@ def q_ngram_lm(spark, sf):  # corpus-trained stupid-backoff bigram LM score
     return stupid_backoff_score(d, uni, bi, n)
 
 
+def q_nb_classifier(spark, sf):  # trained Naive Bayes quality filter
+    """Multinomial NB trained ON-CLUSTER against the doc_id%7==0 'target
+    domain' slice (the CCNet looks-like-Wikipedia shape), scoring every
+    doc with Laplace-smoothed milli-log-odds. The oracle re-derives the
+    class counts, the quantized per-word weights, the OOV/prior
+    constants, and every doc score."""
+    from .operators.lm import nb_train_score
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.substring(F.col("text"), 1, 300).alias("text")
+    )
+    return nb_train_score(d, F.col("doc_id") % 7 == 0)
+
+
 def q_dup_spans(spark, sf):  # Lee et al. duplicated-span REMOVAL
     """Same messy input as ngram_spans; removes every token covered by a
     cross-doc duplicated 5-gram and returns the rebuilt text per doc."""
@@ -3451,6 +3465,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_embed": q_hash_embed,
     "bigram_lm": q_bigram_lm,
     "ngram_lm": q_ngram_lm,
+    "nb_classifier": q_nb_classifier,
     "dup_spans": q_dup_spans,
     "suffix_rank": q_suffix_rank,
     "sa_dups": q_sa_dups,
@@ -4863,6 +4878,60 @@ _SA_ORACLE_BASE = """
                    dense_rank() OVER (ORDER BY substr(s, CAST(pos AS INT))) AS rnk
             FROM p
         )
+"""
+
+# nb_classifier: full re-derivation — class-conditional counts, pruned
+# vocab, the floor(1000*ln(...)) quantized weights, OOV/prior constants,
+# and every doc's score must all match bit-for-bit.
+ORACLE_SQL["nb_classifier"] = r"""
+        WITH d AS (SELECT doc_id, substr(text, 1, 300) AS text FROM documents),
+        tk AS (SELECT doc_id, doc_id % 7 = 0 AS y,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               w -> w <> '') AS t
+               FROM d),
+        words AS (SELECT u.w AS w, y FROM tk, unnest(t) AS u(w)),
+        cnt_all AS (
+            SELECT w,
+                   CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+                   CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+            FROM words GROUP BY 1
+        ),
+        scal AS (SELECT COALESCE(SUM(cpos), 0) AS npos,
+                        COALESCE(SUM(cneg), 0) AS nneg FROM cnt_all),
+        dcnt AS (SELECT greatest(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END), 1) AS dpos,
+                        greatest(SUM(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END), 1) AS dneg
+                 FROM d),
+        model AS (SELECT * FROM cnt_all WHERE cpos + cneg >= 2),
+        vv AS (SELECT COUNT(*) AS v FROM model),
+        consts AS (
+            SELECT CAST(npos + v AS DOUBLE) AS dp,
+                   CAST(nneg + v AS DOUBLE) AS dn,
+                   CAST(floor(ln(1.0 / CAST(npos + v AS DOUBLE)) * 1000) AS BIGINT)
+                 - CAST(floor(ln(1.0 / CAST(nneg + v AS DOUBLE)) * 1000) AS BIGINT)
+                       AS oov,
+                   CAST(floor(ln(CAST(dpos AS DOUBLE) / CAST(dneg AS DOUBLE)) * 1000)
+                        AS BIGINT) AS prior
+            FROM scal, vv, dcnt
+        ),
+        mw AS (
+            SELECT w,
+                   CAST(floor(ln(CAST(cpos + 1 AS DOUBLE) / dp) * 1000) AS BIGINT)
+                 - CAST(floor(ln(CAST(cneg + 1 AS DOUBLE) / dn) * 1000) AS BIGINT)
+                       AS delta
+            FROM model, consts
+        ),
+        probe AS (SELECT doc_id, u.w AS w FROM tk, unnest(t) AS u(w)),
+        terms AS (
+            SELECT p.doc_id, COALESCE(m.delta, c.oov) AS term
+            FROM probe p LEFT JOIN mw m ON p.w = m.w CROSS JOIN consts c
+        ),
+        agg AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(term) AS s
+                FROM terms GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_tokens, 0) AS INT) AS n_tokens,
+               CAST(COALESCE(a.s, 0) + c.prior AS BIGINT) AS nb_milli,
+               (COALESCE(a.s, 0) + c.prior) > 0 AS label
+        FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id CROSS JOIN consts c
 """
 
 # url_templates / param_mining: the oracle reconstructs the same trap

@@ -187,3 +187,101 @@ def stupid_backoff_score(
             ).alias("sb_per_bigram_milli"),
         )
     )
+
+
+def nb_train_score(
+    docs: DataFrame,
+    target_pred,
+    *,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes quality filter TRAINED ON-CLUSTER — the
+    actual CCNet/GPT-3 shape (train looks-like-target vs rest, score the
+    whole corpus), where `quality_classifier` covers only the fixed-
+    weight inference half.
+
+    Training is two aggregations over the exploded token table: per-word
+    class-conditional counts (pruned at ``min_count`` on the combined
+    count) and one scalar row (class token totals, doc counts). Weights
+    are Laplace-smoothed per-class milli-log-likelihoods, quantized
+    ``floor(1000 * ln((c+1)/(N+V)))`` each side — the same engine-exact
+    float discipline as ``stupid_backoff_score`` (the ONE ln is applied
+    to a ratio of exact integers, so DuckDB reproduces every term).
+
+    Scoring joins the exploded corpus against the BROADCAST model table
+    (pruned vocab — model-sized, never corpus-sized); unseen words take
+    the constant OOV delta; zero-token docs survive via a null sentinel
+    (no join-back). Output: (id, n_tokens, nb_milli, label) with
+    ``label = nb_milli > 0``.
+
+    Scale: one explode + two hash aggregations to train, one broadcast
+    join + one groupBy(id) to score — no corpus-keyed shuffle other than
+    the per-doc aggregation the answer itself requires."""
+    base = docs.select(
+        F.col(id_col), F.col(text_col).alias("_t"), target_pred.alias("_y")
+    )
+    toks = _tokens(F.col("_t"))
+    words = base.select(F.explode(toks).alias("w"), "_y")
+    counts_all = words.groupBy("w").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("long").alias("cpos"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).cast("long").alias("cneg"),
+    )
+    scal = counts_all.agg(
+        F.coalesce(F.sum("cpos"), F.lit(0)).alias("npos"),
+        F.coalesce(F.sum("cneg"), F.lit(0)).alias("nneg"),
+    ).collect()[0]
+    npos, nneg = int(scal["npos"]), int(scal["nneg"])
+    dc = base.agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("dpos"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("dneg"),
+    ).collect()[0]
+    dpos, dneg = max(int(dc["dpos"]), 1), max(int(dc["dneg"]), 1)
+
+    model = counts_all.filter(F.col("cpos") + F.col("cneg") >= min_count)
+    v = model.count()
+    denom_pos = float(npos + v)
+    denom_neg = float(nneg + v)
+
+    def _milli(num_col, denom: float):
+        return F.floor(
+            F.log(num_col.cast("double") / F.lit(denom)) * F.lit(1000)
+        ).cast("long")
+
+    model_w = model.select(
+        "w",
+        (_milli(F.col("cpos") + 1, denom_pos) - _milli(F.col("cneg") + 1, denom_neg)).alias(
+            "delta"
+        ),
+    )
+    import math
+
+    oov = int(math.floor(math.log(1.0 / denom_pos) * 1000)) - int(
+        math.floor(math.log(1.0 / denom_neg) * 1000)
+    )
+    prior = int(math.floor(math.log(float(dpos) / float(dneg)) * 1000))
+
+    # zero-token docs emit one null sentinel so they survive the groupBy
+    probe_toks = F.when(F.size(toks) > 0, toks).otherwise(
+        F.array(F.lit(None).cast("string"))
+    )
+    probe = base.select(id_col, F.explode(probe_toks).alias("w"))
+    joined = probe.join(F.broadcast(model_w), "w", "left")
+    term = F.when(
+        F.col("w").isNotNull(),
+        F.coalesce(F.col("delta"), F.lit(oov).cast("long")),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("w").alias("n_tokens"),
+            (F.coalesce(F.sum(term), F.lit(0)) + F.lit(prior)).alias("nb_milli"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("nb_milli").cast("long").alias("nb_milli"),
+            (F.col("nb_milli") > 0).alias("label"),
+        )
+    )

@@ -78,3 +78,36 @@ def test_model_joins_are_broadcast(spark):
     # three model joins, all broadcast — the probe side never shuffles on a
     # gram key; its only exchange is the final doc_id groupBy
     assert plan.count("BroadcastHashJoin") == 3
+
+
+def test_nb_train_score_separates_and_handles_edges(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.lm import nb_train_score
+
+    rows = (
+        [(i, "alpha beta gamma alpha beta") for i in range(0, 20, 2)]  # target
+        + [(i, "delta epsilon zeta delta zeta") for i in range(1, 20, 2)]
+        + [(100, "alpha beta alpha"), (101, "delta zeta zeta"), (102, "   ")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in nb_train_score(docs, F.col("doc_id") % 2 == 0).collect()
+    }
+    assert len(out) == 23  # every doc survives, including the blank one
+    assert out[100].label is True  # pure target vocabulary
+    assert out[101].label is False  # pure background vocabulary
+    blank = out[102]
+    assert blank.n_tokens == 0
+    # a zero-token doc scores exactly the class prior
+    import math
+
+    dpos = 11  # evens 0..18 plus 100 and 102
+    dneg = 12  # wait: odds 1..19 (10) plus 101 -> 11; recompute below
+    # derive the prior exactly as the operator does
+    ys = [(did % 2 == 0) for did, _ in rows]
+    dpos = max(sum(ys), 1)
+    dneg = max(len(ys) - sum(ys), 1)
+    prior = math.floor(math.log(dpos / dneg) * 1000)
+    assert blank.nb_milli == prior
