@@ -1194,6 +1194,39 @@ def q_rendezvous(spark, sf):  # HRW sharding + minimal-movement evidence
     )
 
 
+#: fetcher roster for the fetch-plan query — shared literal with the oracle
+FETCHER_ROSTER = tuple(f"fetcher{i:02d}" for i in range(12))
+
+
+def q_fetch_plan(spark, sf):  # frontier -> fetcher-shard assignment (HRW)
+    """The reason crawlers use rendezvous hashing: every host routes to
+    exactly ONE of 12 fetchers (politeness becomes a local property of
+    that fetcher, no cross-fetcher coordination), and decommissioning a
+    fetcher moves only its own hosts. Output: (fetcher, host, n_urls,
+    fetcher_total) — the oracle replays the HRW argmax per host and both
+    aggregates."""
+    from .operators.layout import rendezvous_shard
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    host = F.concat(
+        F.lit("host"), (F.col("doc_id") % 97).cast("string"), F.lit(".example.com")
+    )
+    assigned = d.select(
+        host.alias("host"),
+        rendezvous_shard(host, FETCHER_ROSTER).alias("fetcher"),
+    )
+    per = assigned.groupBy("fetcher", "host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
+    )
+    w = Window.partitionBy("fetcher")
+    return per.select(
+        "fetcher",
+        "host",
+        "n_urls",
+        F.sum("n_urls").over(w).cast("long").alias("fetcher_total"),
+    )
+
+
 def q_annotate_meta(spark, sf):  # annotated-detection sink metadata
     """REAL path: codec decode -> ink-projection word detection -> box
     overlay -> PNG re-encode, projected to (url, n_boxes, width, height).
@@ -3505,6 +3538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile": q_profile,
     "annotate_meta": q_annotate_meta,
     "rendezvous": q_rendezvous,
+    "fetch_plan": q_fetch_plan,
     "trustrank": q_trustrank,
     "hits": q_hits,
     "reciprocity": q_reciprocity,
@@ -4823,22 +4857,40 @@ ORACLE_SQL["hyperball"] = _hyperball_oracle_sql()
 # rendezvous: both argmaxes re-derived with the same portable poly hash
 # (shard-prefixed, then squared mod p — see rendezvous_shard's docstring
 # for why both are load-bearing)
-def _rendezvous_argmax_sql(shards) -> str:
+def _rendezvous_argmax_sql(shards, key: str = "url") -> str:
     lst = "[" + ", ".join(f"'{s}'" for s in shards) + "]"
+    poly = (
+        "list_reduce(list_prepend(CAST(312994679 AS BIGINT), "
+        f"list_transform(split(s || '#' || {key}, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        "(x, y) -> (x * 37 + y) % 1000000007)"
+    )
     return (
         f"list_reduce(list_transform({lst}, s -> "
-        "{'h': list_reduce(list_prepend(CAST(312994679 AS BIGINT), "
-        "list_transform(split(s || '#' || url, ''), "
-        "c -> CAST(ascii(c) AS BIGINT))), "
-        "(x, y) -> (x * 37 + y) % 1000000007) "
-        "* list_reduce(list_prepend(CAST(312994679 AS BIGINT), "
-        "list_transform(split(s || '#' || url, ''), "
-        "c -> CAST(ascii(c) AS BIGINT))), "
-        "(x, y) -> (x * 37 + y) % 1000000007) % 1000000007, 's': s}), "
+        "{'h': " + poly + " * " + poly + " % 1000000007, 's': s}), "
         "(a, b) -> CASE WHEN b.h > a.h OR (b.h = a.h AND b.s > a.s) "
         "THEN b ELSE a END).s"
     )
 
+
+ORACLE_SQL["fetch_plan"] = f"""
+        WITH u AS (
+            SELECT 'host' || CAST(doc_id % 97 AS VARCHAR) || '.example.com'
+                   AS host
+            FROM documents
+        ), a AS (
+            SELECT host,
+                   {_rendezvous_argmax_sql(FETCHER_ROSTER, key="host")} AS fetcher
+            FROM u
+        ), per AS (
+            SELECT fetcher, host, CAST(count(*) AS BIGINT) AS n_urls
+            FROM a GROUP BY 1, 2
+        )
+        SELECT fetcher, host, n_urls,
+               CAST(SUM(n_urls) OVER (PARTITION BY fetcher) AS BIGINT)
+                   AS fetcher_total
+        FROM per
+"""
 
 ORACLE_SQL["rendezvous"] = f"""
         WITH u AS (
