@@ -435,6 +435,34 @@ def q_ngram_lm(spark, sf):  # corpus-trained stupid-backoff bigram LM score
     return stupid_backoff_score(d, uni, bi, n)
 
 
+def q_script_mix(spark, sf):  # Unicode-script histogram + dominant script
+    """Docs are salted with repeated Cyrillic/Han/Greek/Arabic snippets by
+    residue so every script bucket and the tiebreak both occur; counts
+    come from one regexp_count per explicit codepoint range (identical
+    class in Java regex and RE2), dominant from a struct-greatest argmax
+    the oracle replays."""
+    from .operators.text_analysis import script_mix
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    salted = F.concat(
+        F.substring(F.col("text"), 1, 120),
+        F.when(
+            k % 4 == 1, F.expr("repeat(' привет мир', CAST(doc_id % 40 AS INT) + 1)")
+        )
+        .when(k % 4 == 2, F.expr("repeat(' 你好世界', CAST(doc_id % 20 AS INT) + 1)"))
+        .when(
+            k % 4 == 3,
+            F.expr("repeat(' γειά σου', CAST(doc_id % 7 AS INT) + 1)"),
+        )
+        .otherwise(
+            F.when(k % 8 == 0, F.expr("repeat(' مرحبا', CAST(doc_id % 9 AS INT) + 1)"))
+            .otherwise(F.lit(""))
+        ),
+    )
+    return script_mix(d.select("doc_id", salted.alias("text")))
+
+
 def q_nb_classifier(spark, sf):  # trained Naive Bayes quality filter
     """Multinomial NB trained ON-CLUSTER against the doc_id%7==0 'target
     domain' slice (the CCNet looks-like-Wikipedia shape), scoring every
@@ -3499,6 +3527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm": q_bigram_lm,
     "ngram_lm": q_ngram_lm,
     "nb_classifier": q_nb_classifier,
+    "script_mix": q_script_mix,
     "dup_spans": q_dup_spans,
     "suffix_rank": q_suffix_rank,
     "sa_dups": q_sa_dups,
@@ -4930,6 +4959,44 @@ _SA_ORACLE_BASE = """
                    dense_rank() OVER (ORDER BY substr(s, CAST(pos AS INT))) AS rnk
             FROM p
         )
+"""
+
+# script_mix: per-range counts via the length-delta form (RE2), dominant
+# via the same struct-greatest argmax.
+ORACLE_SQL["script_mix"] = """
+        WITH s AS (
+            SELECT doc_id,
+                   substr(text, 1, 120) ||
+                   CASE
+                     WHEN doc_id % 4 = 1 THEN repeat(' привет мир', CAST(doc_id % 40 AS INT) + 1)
+                     WHEN doc_id % 4 = 2 THEN repeat(' 你好世界', CAST(doc_id % 20 AS INT) + 1)
+                     WHEN doc_id % 4 = 3 THEN repeat(' γειά σου', CAST(doc_id % 7 AS INT) + 1)
+                     WHEN doc_id % 8 = 0 THEN repeat(' مرحبا', CAST(doc_id % 9 AS INT) + 1)
+                     ELSE '' END AS text
+            FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS latin,
+                   CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS cyrillic,
+                   CAST(length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS greek,
+                   CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT) AS han,
+                   CAST(length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS BIGINT) AS arabic
+            FROM s
+        )
+        , d AS (
+            SELECT *, list_reduce(
+                       [{'c': latin, 's': 'latin'},
+                        {'c': cyrillic, 's': 'cyrillic'},
+                        {'c': greek, 's': 'greek'},
+                        {'c': han, 's': 'han'},
+                        {'c': arabic, 's': 'arabic'}],
+                       (a, b) -> CASE WHEN b.c > a.c OR (b.c = a.c AND b.s > a.s)
+                                      THEN b ELSE a END) AS dom
+            FROM c
+        )
+        SELECT doc_id, latin, cyrillic, greek, han, arabic,
+               CASE WHEN dom.c > 0 THEN dom.s ELSE 'none' END AS dominant
+        FROM d
 """
 
 # nb_classifier: full re-derivation — class-conditional counts, pruned

@@ -313,3 +313,39 @@ def ct_classify(
         .where(F.col("rk") == 1)
         .select("doc_id", "true_lang", "pred_lang", F.col("distance").cast("long").alias("distance"))
     )
+
+
+#: Unicode script ranges for the mix report — explicit codepoint ranges,
+#: not \p{Script} classes, so Java regex (Spark) and RE2 (DuckDB oracle)
+#: compile the IDENTICAL character class.
+SCRIPT_RANGES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("han", "一-鿿"),
+    ("arabic", "؀-ۿ"),
+)
+
+
+def script_mix(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode SCRIPT histogram + dominant script — the
+    router in front of language-specific pipeline stages (word-shingle
+    dedup and whitespace tokenization silently degrade on CJK/Arabic
+    text, so a crawl needs this gate before both). Counts are
+    regexp_count per explicit range (zero python, zero exchanges);
+    ``dominant`` is the struct-greatest argmax with the script NAME as
+    the deterministic tiebreak, 'none' when no script chars at all."""
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(f"[{rng}]")).cast("long")
+        for name, rng in SCRIPT_RANGES
+    }
+    dom = F.greatest(
+        *[F.struct(c.alias("c"), F.lit(n).alias("s")) for n, c in counts.items()]
+    )
+    return df.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in counts.items()],
+        F.when(dom.getField("c") > 0, dom.getField("s"))
+        .otherwise(F.lit("none"))
+        .alias("dominant"),
+    )
