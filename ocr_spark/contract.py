@@ -435,6 +435,31 @@ def q_ngram_lm(spark, sf):  # corpus-trained stupid-backoff bigram LM score
     return stupid_backoff_score(d, uni, bi, n)
 
 
+def q_jaccard_cjk(spark, sf):  # char-shingle near-dup over unsegmented text
+    """Whitespace-free Han documents (groups of 10 share a 40-char base
+    drawn from a 10-glyph alphabet; each doc appends a short per-doc
+    tail) are near-dup-paired with CHARACTER 6-grams — word shingles see
+    one 'token' per doc here and find nothing. Same exact prefix-filter
+    machinery, unit='char'; the oracle runs naive all-pairs over the
+    same substring grams."""
+    d = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") < 100)
+    alph = "日月火水木金土山川田"
+    # pseudo-random per-GROUP glyph sequence (a cyclic index would make
+    # every group's gram set identical — all pairs would match)
+    base = F.expr(
+        "array_join(transform(sequence(1, 40), i -> "
+        f"substring('{alph}', CAST(((doc_id div 10) * 31 + i * 17) % 97 % 10 AS INT) + 1, 1)), '')"
+    )
+    tail = F.expr(
+        f"repeat(substring('{alph}', CAST(doc_id % 10 AS INT) + 1, 1), "
+        "CAST(doc_id % 4 AS INT))"
+    )
+    docs = d.select("doc_id", F.concat(base, tail).alias("text"))
+    return dedup_ops.ngram_jaccard_pairs(
+        docs, threshold=0.5, shingle=6, unit="char"
+    )
+
+
 def q_script_mix(spark, sf):  # Unicode-script histogram + dominant script
     """Docs are salted with repeated Cyrillic/Han/Greek/Arabic snippets by
     residue so every script bucket and the tiebreak both occur; counts
@@ -3528,6 +3553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_lm": q_ngram_lm,
     "nb_classifier": q_nb_classifier,
     "script_mix": q_script_mix,
+    "jaccard_cjk": q_jaccard_cjk,
     "dup_spans": q_dup_spans,
     "suffix_rank": q_suffix_rank,
     "sa_dups": q_sa_dups,
@@ -4959,6 +4985,38 @@ _SA_ORACLE_BASE = """
                    dense_rank() OVER (ORDER BY substr(s, CAST(pos AS INT))) AS rnk
             FROM p
         )
+"""
+
+# jaccard_cjk: naive all-pairs over the same character 6-grams.
+ORACLE_SQL["jaccard_cjk"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   list_aggregate(list_transform(range(1, 41),
+                       i -> substr('日月火水木金土山川田',
+                                   CAST((doc_id // 10 * 31 + i * 17) % 97 % 10 AS INT) + 1, 1)),
+                       'string_agg', '')
+                   || repeat(substr('日月火水木金土山川田',
+                                    CAST(doc_id % 10 AS INT) + 1, 1),
+                             CAST(doc_id % 4 AS INT)) AS text
+            FROM documents WHERE doc_id < 100
+        ), sh AS (
+            SELECT DISTINCT doc_id, substr(text, CAST(u.i AS INT), 6) AS sh
+            FROM d, unnest(range(1, length(text) - 4)) AS u(i)
+            WHERE length(text) >= 6
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 6) >= 0.5
 """
 
 # script_mix: per-range counts via the length-delta form (RE2), dominant

@@ -100,6 +100,32 @@ def shingle_arrays(docs: DataFrame, *, shingle: int = 3) -> DataFrame:
     )
 
 
+def char_shingle_arrays(docs: DataFrame, *, width: int = 6) -> DataFrame:
+    """(doc_id, shs, n) with DISTINCT CHARACTER ``width``-grams — the set
+    representation for scripts whitespace tokenization can't segment
+    (CJK, Thai, unsegmented Arabic): word shingles over such text
+    degenerate to whole-line grams and near-dup recall collapses. Same
+    output contract as `shingle_arrays`, so every consumer (prefix
+    filtering, verification, MinHash) composes unchanged. Route with
+    `text_analysis.script_mix` (dominant in {han, ...} -> char grams)."""
+    from ..plans.session import widen
+
+    n_pos = F.length("text") - width + 1
+    grams = F.when(
+        n_pos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.col("text").substr(i, F.lit(width)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        widen(docs)
+        .where(F.length("text") >= width)
+        .select("doc_id", F.array_distinct(grams).alias("shs"))
+        .withColumn("n", F.size("shs").cast("int"))
+    )
+
+
 def shingle_sets(docs: DataFrame, *, shingle: int = 3) -> DataFrame:
     """(doc_id, sh) distinct word-``shingle``-gram postings for consumers
     that need a global per-shingle view (document frequencies, SimHash bit
@@ -161,6 +187,7 @@ def ngram_jaccard_pairs(
     prefix_filter: bool = True,
     hot_df_threshold: int | None = None,
     cache: bool = True,
+    unit: str = "word",
 ) -> DataFrame:
     """EXACT n-gram-shingle Jaccard near-dup pairs: every (doc_a, doc_b,
     jaccard) with doc_a < doc_b and Jaccard >= threshold.
@@ -188,9 +215,17 @@ def ngram_jaccard_pairs(
     disk at scale, recomputed on executor loss. Caller may unpersist via
     spark.catalog.clearCache() after the action.
 
+    unit="word" (default) shingles whitespace tokens; unit="char" uses
+    CHARACTER ``shingle``-grams (`char_shingle_arrays`) for scripts
+    whitespace can't segment — everything downstream (prefix filter,
+    size prune, verify) is representation-agnostic and unchanged.
+
     The DuckDB oracle runs the naive all-pairs form — identical output.
     """
-    sets = shingle_arrays(docs, shingle=shingle)
+    if unit == "char":
+        sets = char_shingle_arrays(docs, width=shingle)
+    else:
+        sets = shingle_arrays(docs, shingle=shingle)
     if cache:
         from pyspark import StorageLevel
 

@@ -114,3 +114,21 @@ def test_probe_prefix_is_strictly_smaller(spark):
         F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n") - F.lit(1e-9)) + 1
     ).count()
     assert probe < 0.45 * full, (probe, full)
+
+
+def test_char_shingles_catch_unsegmented_near_dups(spark):
+    """Word shingles see one 'token' per CJK doc (no whitespace) and find
+    nothing; char shingles pair the near-identical docs."""
+    a = "日月火水木金土山川田" * 5
+    rows = [(1, a), (2, a + "日日日"), (3, "田川山土金木水火月日" * 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    word = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert word == []  # degenerate: <3 word tokens per doc
+    char = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, shingle=6, unit="char"
+        ).collect()
+    }
+    assert (1, 2) in char and char[(1, 2)] > 0.8
+    assert (1, 3) not in char  # reversed glyph order shares no 6-gram run
