@@ -25,6 +25,8 @@ def widen(df, min_parts: int | None = None):
     carries >= cores partitions and this returns the input unchanged (no
     exchange added to the 100 TB plan).
     """
+    if df.isStreaming:  # micro-batch sizing is the source's job; df.rdd
+        return df  # would throw on a streaming plan anyway
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

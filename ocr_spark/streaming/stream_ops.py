@@ -508,3 +508,152 @@ def run_windowed_demo(spark, batches, *, checkpoint_dir: str, lateness="30 minut
     for r in rows:  # later update for a window overwrites the earlier one
         emitted[(str(r.window_start), r.event_type)] = r.n_events
     return emitted
+
+
+MINHASH_STATE_SCHEMA = "docs array<long>, sigs array<string>"
+MINHASH_OUT_SCHEMA = "doc_id long, band int, match_doc long, agree_milli long"
+
+
+def minhash_dedup_stateful(
+    docs_df,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    max_state: int = 2048,
+):
+    """Streaming NEAR-dup gate: every incoming doc LSH-probes the stream's
+    HISTORY. The batch `minhash_lsh_pairs` machinery is reused verbatim
+    for the narrow part (shingle arrays -> per-seed min(xxhash64)
+    signature -> band bucket); the stateful part keys on (band, bucket)
+    and keeps a BOUNDED FIFO of (doc_id, full signature) per bucket —
+    a colliding newcomer estimates Jaccard by signature AGREEMENT
+    (matched minhashes / num_hashes, the standard streaming
+    approximation; the batch path keeps exact shingle verification).
+
+    Emits one row per (doc, band) probe: match_doc = best-agreeing prior
+    doc in that bucket (ties -> smallest doc_id) or NULL when the doc is
+    first in its bucket; agree_milli = floor(1000 * agreement). Docs
+    with fewer than `shingle` tokens are dropped (empty shingle set —
+    same contract as the batch path). Within a micro-batch, docs are
+    processed in doc_id order (the stream's arrival order across
+    batches, doc_id order within one)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import shingle_arrays
+
+    rows_per_band = num_hashes // bands
+    sets = shingle_arrays(docs_df, shingle=shingle)
+
+    def _minhash(seed: int):
+        return F.array_min(F.transform("shs", lambda x: F.xxhash64(x, F.lit(seed))))
+
+    mins = sets.select(
+        "doc_id",
+        F.array(*[_minhash(seed) for seed in range(num_hashes)]).alias("sig"),
+    )
+    bucketed = mins.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(
+        "doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            docs_hist, sigs_ser = state.get
+            docs_hist = list(docs_hist)
+            sigs_hist = [[int(x) for x in s.split(",")] for s in sigs_ser]
+        else:
+            docs_hist, sigs_hist = [], []
+
+        band = int(key[0])
+        chunks = list(pdf_iter)
+        pdf = (
+            pd.concat(chunks)
+            if chunks
+            else pd.DataFrame(columns=["doc_id", "sig", "band", "bucket"])
+        )
+        out = []
+        for _, row in pdf.sort_values("doc_id", kind="stable").iterrows():
+            sig = [int(x) for x in row["sig"]]
+            best_doc, best_agree = None, -1
+            for d, s in zip(docs_hist, sigs_hist):
+                agree = sum(1 for a, b in zip(sig, s) if a == b)
+                if agree > best_agree or (agree == best_agree and d < best_doc):
+                    best_doc, best_agree = d, agree
+            out.append(
+                {
+                    "doc_id": int(row["doc_id"]),
+                    "band": band,
+                    "match_doc": best_doc,
+                    "agree_milli": (
+                        best_agree * 1000 // len(sig) if best_doc is not None else 0
+                    ),
+                }
+            )
+            docs_hist.append(int(row["doc_id"]))
+            sigs_hist.append(sig)
+            if len(docs_hist) > max_state:
+                docs_hist = docs_hist[-max_state:]
+                sigs_hist = sigs_hist[-max_state:]
+
+        state.update((docs_hist, [",".join(str(x) for x in s) for s in sigs_hist]))
+        yield pd.DataFrame(out, columns=["doc_id", "band", "match_doc", "agree_milli"])
+
+    return bucketed.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType=MINHASH_OUT_SCHEMA,
+        stateStructType=MINHASH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_minhash_dedup_demo(spark, doc_batches, checkpoint_dir: str):
+    """Drive minhash_dedup_stateful over a file stream: each batch of
+    (doc_id, text) rows lands as its own parquet file; maxFilesPerTrigger=1
+    forces one micro-batch per file so state genuinely crosses batches."""
+    import os
+
+    path = os.path.join(checkpoint_dir, "docs_in")
+    os.makedirs(path, exist_ok=True)
+    for i, batch in enumerate(doc_batches):
+        spark.createDataFrame(batch, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    src = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        minhash_dedup_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("minhash_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "ckpt_mh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("minhash_dedup_out").collect()

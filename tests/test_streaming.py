@@ -413,3 +413,32 @@ def test_streaming_extract_to_catalog_exactly_once(spark, tmp_path):
     # incremental consumption: the delta window holds exactly wave 2
     delta = tbl.read_changes(spark, since=max(commits1))
     assert delta.count() == all_pages.count() - n1
+
+
+def test_minhash_dedup_stateful_cross_batch(spark, tmp_path):
+    """A later-batch copy of an earlier doc must collide in EVERY band
+    with agreement 1000; an unrelated doc must either miss all buckets
+    or agree far below threshold. State must survive micro-batch
+    boundaries (one file per batch via maxFilesPerTrigger)."""
+    from ocr_spark.streaming.stream_ops import run_minhash_dedup_demo
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about gardening tomatoes in summer"
+    batches = [
+        [(1, base), (2, other)],
+        [(50, base), (51, "unrelated third topic entirely separate words here")],
+    ]
+    rows = run_minhash_dedup_demo(spark, batches, str(tmp_path))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 50 is a byte-copy of doc 1: every band collides at 1000
+    matches = [(r.match_doc, r.agree_milli) for r in by_doc[50]]
+    assert len(matches) == 8
+    assert all(m == (1, 1000) for m in matches)
+    # first-in-bucket docs report no match
+    assert all(r.match_doc is None for r in by_doc[1])
+    # the unrelated doc never reaches full agreement with anything
+    assert all(
+        (r.match_doc is None) or r.agree_milli < 500 for r in by_doc[51]
+    )
