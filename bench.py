@@ -32,6 +32,11 @@ BENCH_QUERIES = [
     "winnow_pairs",
     "incremental_dedup",
     "sa_dups",
+    "containment",
+    "jaccard_cjk",
+    "nb_classifier",
+    "script_mix",
+    "url_templates",
     "minhash_pairs",
     "simhash_pairs",
     "image_dups",

@@ -67,6 +67,7 @@ def prepare_html(
     skip_nav: bool = True,
     skip_table: bool = False,
     skip_form: bool = True,
+    skip_inert: bool = True,
     skip_link_item: bool = True,
     origin: str | None = None,
     simplify: bool = True,
@@ -86,6 +87,14 @@ def prepare_html(
         tags.append("form")
     if skip_nav:
         tags.append("nav")
+    if skip_inert:
+        # content the BROWSER never renders as page text: <template> is an
+        # inert DOM fragment, <noscript> is fallback boilerplate ("enable
+        # javascript"), <svg> text nodes are chart labels — all three leak
+        # verbatim into extraction otherwise. The reference strips only
+        # head/script/style (html_parser.py:74); like skip_nav/skip_form
+        # this is a flagged extension, off -> reference parity.
+        tags.extend(["noscript", "template", "svg"])
 
     title = extract_title(html)
     html = _remove_tags(html, tags)

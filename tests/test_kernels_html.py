@@ -202,3 +202,23 @@ def test_unterminated_script_not_leaked():
     fast = hx.fast_parse_dom(frag)
     slow = hx._stdlib_parse_dom(frag)
     assert hx._raw_text(fast) == hx._raw_text(slow)
+
+
+def test_inert_content_stripped():
+    """<template>/<noscript>/<svg> text must not leak into extraction
+    (browser-inert content); skip_inert=False restores reference parity."""
+    from ocr_spark.kernels.html_extract import extract_page
+
+    html = (
+        "<html><body><p>real article text here</p>"
+        "<noscript>please enable javascript</noscript>"
+        "<template><p>inert row template</p></template>"
+        "<svg><text>chart label</text></svg>"
+        "<p>more real text</p></body></html>"
+    )
+    _, paras, text = extract_page(html.encode("utf-8"))
+    joined = text
+    assert "real article text here" in joined and "more real text" in joined
+    assert "enable javascript" not in joined
+    assert "inert row template" not in joined
+    assert "chart label" not in joined
