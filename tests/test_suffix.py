@@ -89,3 +89,27 @@ def test_ranks_deterministic_across_partitioning(spark):
     a = suffix_array(_docs_df(spark, TEXTS), n_partitions=2).collect()
     b = suffix_array(_docs_df(spark, TEXTS), n_partitions=7).collect()
     assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_suffix_array_fuzz_vs_naive(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abc ", min_size=1, max_size=24),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def check(texts):
+        docs = {i + 1: t + f"#{i + 1}#" for i, t in enumerate(texts)}
+        got = {
+            (r["doc_id"], r["pos"]): r["rnk"]
+            for r in suffix_array(
+                _docs_df(spark, docs), n_partitions=3, init_width=4
+            ).collect()
+        }
+        assert got == _naive_ranks(docs)
+
+    check()
