@@ -261,3 +261,23 @@ def test_reciprocity_no_python_and_bounded_exchanges(spark):
     plan = _plan(df)
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_script_mix_zero_exchange_zero_python(spark):
+    plan = _plan(QUERIES["script_mix"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_nb_classifier_broadcasts_model(spark):
+    # the trained model table must reach the corpus probe as a BROADCAST
+    # join — a shuffle join there would move the corpus on a word key
+    plan = _plan(QUERIES["nb_classifier"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_containment_probe_joins_are_hash_equi(spark):
+    # no nested-loop/cartesian anywhere in the asymmetric containment plan
+    plan = _plan(QUERIES["containment"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
