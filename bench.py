@@ -262,6 +262,30 @@ def main():
         "n_extracted": n_out,
         "docs_per_sec": round(n_out / t_extract, 1) if t_extract else None,
     }
+
+    # anti-scaling gate (VERDICT r02 item 4): when SPARK_GRAFT_PAIR_JSON
+    # points at a lower-cpu companion run, flag every query that got BOTH
+    # slower than 1.3x the small-run time AND costs > 2 s — "more cores,
+    # meaningfully slower" must never pass silently again (the r2r
+    # hits/training_pipeline pair). The flags ride in the JSON so the
+    # recorded BENCH_r{N} file carries its own verdict.
+    pair_path = os.environ.get("SPARK_GRAFT_PAIR_JSON", "")
+    if pair_path and os.path.exists(pair_path):
+        with open(pair_path) as f:
+            pair = json.load(f)
+        flagged = []
+        for name, t in timings.items():
+            t0 = pair.get("queries", {}).get(name)
+            if t0 and cpus > pair.get("cpus", 0) and t > 2.0 and t > 1.3 * t0:
+                flagged.append(
+                    {"query": name, f"cpus{pair['cpus']}": t0, f"cpus{cpus}": t}
+                )
+        result["anti_scaling"] = {
+            "pair": pair_path,
+            "rule": "t_big > 1.3 * t_small and t_big > 2s",
+            "flagged": flagged,
+        }
+
     print(json.dumps(result))
     spark.stop()
 

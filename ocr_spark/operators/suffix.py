@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 
 def _attach_dense_rank(
-    df: DataFrame, cols: list[str], *, out: str, n_partitions: int = 32
+    df: DataFrame, cols: list[str], *, out: str, n_partitions: int | None = None
 ) -> tuple[DataFrame, int]:
     """Attach a GLOBAL 1-based dense rank over `cols` to every row of
     `df` (rows with equal keys share a rank), returning
@@ -54,6 +54,8 @@ def _attach_dense_rank(
     dense_rank + offset IS the global dense rank, byte-identical under
     any parallelism."""
     spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = max(spark.sparkContext.defaultParallelism, 2)
     kcols = [F.col(c) for c in cols]
     ranged = df.repartitionByRange(n_partitions, *kcols).localCheckpoint(eager=True)
     part_rows = (
@@ -85,7 +87,7 @@ def suffix_array(
     *,
     id_col: str = "doc_id",
     text_col: str = "s",
-    n_partitions: int = 32,
+    n_partitions: int | None = None,
     init_width: int = 16,
 ) -> DataFrame:
     """Suffix ranks for every (document, position): returns
@@ -96,7 +98,20 @@ def suffix_array(
     ``dense_rank() OVER (ORDER BY substr(s, pos))``. A per-document
     unique terminator (e.g. ``'#' || doc_id || '#'`` over a '#'-free
     alphabet) limits ties to suffixes that lie entirely inside the
-    terminator tail ('0#', '#'), keeping every content suffix unique."""
+    terminator tail ('0#', '#'), keeping every content suffix unique.
+
+    ``n_partitions`` sizes the global-rank range partitioning. Default
+    (None) scales with the input — max(defaultParallelism, one range
+    partition per ~2M suffix rows) — instead of a fixed count, so the
+    two-pass rank never funnels a corpus-scale run through a handful of
+    reducers; the rank itself is partition-count-invariant (range
+    partitioning co-locates equal keys; tested at two counts)."""
+    if n_partitions is None:
+        sc = docs.sparkSession.sparkContext
+        n_chars = int(
+            docs.select(F.sum(F.length(text_col)).alias("c")).first()["c"] or 0
+        )
+        n_partitions = max(sc.defaultParallelism, n_chars // 2_000_000 + 1)
     # Seed with the rank of each suffix's first `init_width` chars (a
     # short-string sort — exactly the n-gram sort dup_spans already
     # does), so doubling starts at k=init_width: rounds =

@@ -28,9 +28,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_sig(df: pd.DataFrame) -> str:
+    """Per-column dtype family+width signature, hashed alongside the values.
+
+    Driver parity: the driver's value hash is type-sensitive (int32 vs int64
+    vs float64 all differ — the round-2 embed_centroids miss), so the local
+    checker must distinguish them too instead of CSV-flattening everything.
+    object/str columns canonicalize to 'str'; everything numeric keeps its
+    numpy kind+itemsize (i4, i8, f8, u8, b1, ...).
+    """
+    parts = []
+    for c in sorted(df.columns):
+        dt = df[c].dtype
+        if dt == object:
+            parts.append(f"{c}:str")
+        else:
+            parts.append(f"{c}:{dt.kind}{dt.itemsize}")
+    return ";".join(parts)
+
+
 def value_hash(df: pd.DataFrame) -> str:
+    sig = dtype_sig(df)
     df = canon(df)
-    payload = df.to_csv(index=False, float_format="%.9g").encode()
+    payload = (sig + "\n").encode() + df.to_csv(index=False, float_format="%.9g").encode()
     return hashlib.sha256(payload).hexdigest()
 
 
@@ -80,6 +100,10 @@ def main():
             f"cols_match={ok_cols} hash_match={ok_hash} ({time.time()-t0:.1f}s)"
         )
         if not ok_hash and ok_rows and ok_cols:
+            if dtype_sig(sdf) != dtype_sig(odf):
+                print("  dtype mismatch:")
+                print("   spark :", dtype_sig(sdf))
+                print("   duckdb:", dtype_sig(odf))
             a, b = canon(sdf), canon(odf)
             neq = (a != b) & ~(a.isna() & b.isna())
             bad = neq.any(axis=1)

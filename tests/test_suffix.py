@@ -91,6 +91,14 @@ def test_ranks_deterministic_across_partitioning(spark):
     assert {tuple(r) for r in a} == {tuple(r) for r in b}
 
 
+def test_default_partitioning_scales_and_matches(spark):
+    # default n_partitions (None) resolves from defaultParallelism /
+    # input size instead of a fixed 32, and yields the identical ranks
+    auto = suffix_array(_docs_df(spark, TEXTS)).collect()
+    fixed = suffix_array(_docs_df(spark, TEXTS), n_partitions=3).collect()
+    assert {tuple(r) for r in auto} == {tuple(r) for r in fixed}
+
+
 def test_suffix_array_fuzz_vs_naive(spark):
     from hypothesis import given, settings, strategies as st
 
