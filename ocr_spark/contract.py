@@ -3158,10 +3158,40 @@ def q_reading_order(spark, sf):
 
 
 def q_multimodal_meta(spark, sf):
-    d = _t(spark, sf, "documents").select(
-        F.col("doc_id").alias("blob_id"), F.col("text").cast("binary").alias("blob")
-    )
-    return blob_metadata(d)
+    """Typed metadata over a mixed-container blob corpus: doc_id % 5 picks
+    the container (0 PNG, 1 JPEG, 2 GIF — REAL encoder bytes from
+    kernels/imagecodec — else the raw text bytes as an opaque blob), with
+    per-doc dimensions, so the header probes (png/jpeg/gif_dimensions)
+    must report the true width/height for every real container."""
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocr_spark.kernels.imagecodec import gif_encode, jpeg_encode, png_encode
+
+        for pdf in batches:
+            blobs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                kind = did % 5
+                if kind in (0, 1, 2):
+                    h, w = 8 + did % 7, 9 + did % 5
+                    g = ((did + 1) * (np.arange(h)[:, None] * 131
+                                      + np.arange(w)[None, :] * 31 + 7)) % 256
+                    g = g.astype(np.uint8)
+                    blobs.append(
+                        png_encode(g) if kind == 0
+                        else jpeg_encode(g) if kind == 1
+                        else gif_encode(g)
+                    )
+                else:
+                    blobs.append(str(text or "").encode())
+            yield pd.DataFrame({"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs})
+
+    return blob_metadata(d.mapInPandas(build, schema="blob_id long, blob binary"))
 
 
 def q_multimodal_frames(spark, sf):

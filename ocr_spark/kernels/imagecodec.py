@@ -1344,3 +1344,236 @@ def normalize_image(img: np.ndarray, scheme: str = "east") -> np.ndarray:
     if scheme == "clip":
         return (img - _CLIP_MEANS) / _CLIP_STD
     raise ValueError(f"unknown normalization scheme {scheme}")
+
+
+# ===========================================================================
+# GIF (87a/89a)
+# ===========================================================================
+#
+# Completes S1 parity with the reference's load_image, whose PIL route
+# accepts GIF frames (/root/reference/utils/image/image_io.py:68-137).
+# Pure-Python LZW both ways:
+#
+# - decode: header + logical screen descriptor, global/local color tables,
+#   extension-block skip (graphic control/comment/application), FIRST image
+#   descriptor -> variable-width LSB-first LZW with clear/EOI codes and the
+#   KwKwK case, optional 4-pass interlace reorder, palette -> (H, W, 3).
+# - encode: GIF89a with a global color table built from the image's unique
+#   colors (<= 256), single non-interlaced frame, LZW with dictionary reset
+#   at 4096 entries. Lossless round trip for palette-sized images.
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_dimensions(blob: bytes) -> tuple[int, int]:
+    """(height, width) from the logical screen descriptor — a 10-byte
+    header probe, same metadata-never-pays-decode stance as
+    png_dimensions/jpeg_dimensions."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a") or len(blob) < 10:
+        raise CodecError("not a GIF")
+    w, h = struct.unpack("<HH", blob[6:10])
+    return h, w
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # dict entries are (prefix_code, last_byte); roots decode to themselves
+    prefix = [-1] * 4096
+    suffix = [0] * 4096
+    for i in range(clear):
+        suffix[i] = i
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    acc = 0
+    nbits = 0
+    prev = -1
+    stack = bytearray()
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                next_code = eoi + 1
+                code_size = min_code_size + 1
+                prev = -1
+                continue
+            if code == eoi:
+                return out
+            if prev < 0:  # first code after clear MUST be a root
+                if code >= clear:
+                    raise CodecError("corrupt GIF LZW stream: non-root after clear")
+                out.append(suffix[code])
+                prev = code
+                continue
+            # expand `code` (KwKwK: code == next_code uses prev + its head)
+            stack.clear()
+            c = code
+            if code >= next_code:
+                if code > next_code:
+                    raise CodecError("corrupt GIF LZW stream")
+                c = prev
+            while c >= clear:
+                if len(stack) > 4096:  # corrupt chain (cycle) guard
+                    raise CodecError("corrupt GIF LZW stream: prefix cycle")
+                stack.append(suffix[c])
+                c = prefix[c]
+            first = suffix[c]
+            stack.append(first)
+            if code >= next_code:
+                stack.insert(0, first)
+            out.extend(reversed(stack))
+            if next_code < 4096:
+                prefix[next_code] = prev
+                suffix[next_code] = first
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = code
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def gif_decode(blob: bytes) -> np.ndarray:
+    """GIF bytes -> (H, W, 3) uint8 RGB of the FIRST frame (the reference's
+    load_image takes frame 0 of animated inputs)."""
+    try:
+        return _gif_decode_first_frame(blob)
+    except (struct.error, IndexError) as ex:
+        raise CodecError(f"truncated GIF: {ex}") from ex
+
+
+def _gif_decode_first_frame(blob: bytes) -> np.ndarray:
+    if blob[:6] not in (b"GIF87a", b"GIF89a") or len(blob) < 13:
+        raise CodecError("not a GIF")
+    pos = 6
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", blob[pos : pos + 7])
+    pos += 7
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_table = np.frombuffer(blob[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(blob):
+        block = blob[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise CodecError(f"unexpected GIF block 0x{block:02x}")
+        _left, _top, w, h, ipacked = struct.unpack("<HHHHB", blob[pos : pos + 9])
+        pos += 9
+        table = global_table
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(blob[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise CodecError("GIF frame without a color table")
+        min_code_size = blob[pos]
+        pos += 1
+        chunks = []
+        while blob[pos]:
+            ln = blob[pos]
+            chunks.append(blob[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
+        if len(idx) < w * h:
+            raise CodecError("truncated GIF pixel data")
+        grid = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(start, h, step) for start, step in _GIF_INTERLACE_PASSES]
+            )
+            deinter = np.empty_like(grid)
+            deinter[order] = grid
+            grid = deinter
+        if grid.max(initial=0) >= len(table):
+            raise CodecError("GIF index out of palette range")
+        return table[grid]
+    raise CodecError("GIF contains no image frame")
+
+
+def gif_encode(img: np.ndarray) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 with <= 256 distinct colors ->
+    single-frame GIF89a bytes. Lossless (palette built from the image)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise CodecError(f"gif_encode needs <= 256 colors, got {len(palette)}")
+    bits = max(2, int(len(palette) - 1).bit_length())
+    table_n = 1 << bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += palette.tobytes() + b"\x00" * (3 * (table_n - len(palette)))
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+
+    min_code_size = bits
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out.append(min_code_size)
+
+    codes = []  # (code, size) stream, then bit-packed LSB-first
+    table: dict[tuple, int] = {}
+
+    def reset():
+        table.clear()
+        for i in range(clear):
+            table[(i,)] = i
+        return eoi + 1, min_code_size + 1
+
+    next_code, code_size = reset()
+    codes.append((clear, code_size))
+    seq: tuple = ()
+    for p in idx.tolist():
+        cand = seq + (p,)
+        if cand in table:
+            seq = cand
+            continue
+        codes.append((table[seq], code_size))
+        table[cand] = next_code
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        next_code += 1
+        if next_code > 4095:
+            codes.append((clear, code_size))
+            next_code, code_size = reset()
+        seq = (p,)
+    if seq:
+        codes.append((table[seq], code_size))
+    codes.append((eoi, code_size))
+
+    acc = 0
+    nbits = 0
+    payload = bytearray()
+    for code, size in codes:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        payload.append(acc & 0xFF)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

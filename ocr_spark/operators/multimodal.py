@@ -39,8 +39,10 @@ def decode_image(blob: bytes) -> np.ndarray:
         return imagecodec.png_decode(blob)
     if blob[:2] == b"\xff\xd8":
         return imagecodec.jpeg_decode(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return imagecodec.gif_decode(blob)
     raise NotImplementedError(
-        f"no decoder for magic {blob[:4]!r}; PNG and baseline JPEG are "
+        f"no decoder for magic {blob[:4]!r}; PNG, JPEG and GIF are "
         "supported natively — use fake_decode for opaque test blobs"
     )
 
@@ -70,18 +72,25 @@ def blob_metadata(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id"
                 kind = (
                     "png" if b[:4] == b"\x89PNG" else
                     "jpeg" if b[:2] == b"\xff\xd8" else
+                    "gif" if b[:6] in (b"GIF87a", b"GIF89a") else
                     "riff" if b[:4] == b"RIFF" else "unknown"
                 )
-                if kind in ("png", "jpeg"):
+                if kind in ("png", "jpeg", "gif"):
                     # REAL width/height from the header probe — metadata
                     # must never pay the full decode (the JPEG entropy
                     # decode costs ~10ms/page; the SOF scan is microseconds);
                     # corrupt bytes degrade to the deterministic stand-in
-                    from ..kernels.imagecodec import jpeg_dimensions, png_dimensions
+                    from ..kernels.imagecodec import (
+                        gif_dimensions,
+                        jpeg_dimensions,
+                        png_dimensions,
+                    )
 
                     try:
                         h, w = (
-                            png_dimensions(b) if kind == "png" else jpeg_dimensions(b)
+                            png_dimensions(b) if kind == "png"
+                            else gif_dimensions(b) if kind == "gif"
+                            else jpeg_dimensions(b)
                         )
                     except Exception:
                         h, w = fake_decode(b).shape[:2]

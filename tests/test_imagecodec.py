@@ -438,3 +438,107 @@ def test_jpeg_444_bytes_unchanged_by_refactor():
     assert blob == ic.jpeg_encode(img, quality=90, subsampling="444")
     with pytest.raises(ValueError):
         ic.jpeg_encode(img, subsampling="422")
+
+
+# -- GIF (round-3 S1 completion: reference image_io.py:68-137 accepts GIF) --
+
+def test_gif_lossless_round_trip():
+    rng = np.random.default_rng(7)
+    for shape in [(5, 9, 3), (16, 16, 3), (1, 1, 3), (40, 33, 3)]:
+        img = (rng.integers(0, 6, size=shape) * 40).astype(np.uint8)
+        blob = ic.gif_encode(img)
+        assert blob[:6] == b"GIF89a"
+        assert ic.gif_dimensions(blob) == shape[:2]
+        assert np.array_equal(ic.gif_decode(blob), img)
+    # grayscale input widens to RGB (decode contract is (H, W, 3))
+    g = rng.integers(0, 256, size=(64, 48)).astype(np.uint8)
+    assert np.array_equal(ic.gif_decode(ic.gif_encode(g)), np.stack([g] * 3, -1))
+
+
+def test_gif_spec_golden_bytes():
+    # hand-assembled 3x1 red/blue/red GIF: min_code_size 2, codes
+    # [clear=4, 0, 1, 0, eoi=5] at 3 bits, LSB-first -> 0x44 0x50
+    blob = (
+        b"GIF89a"
+        + b"\x03\x00\x01\x00"          # 3 x 1 logical screen
+        + b"\x80\x00\x00"              # global table, 2 entries
+        + b"\xff\x00\x00" + b"\x00\x00\xff"   # red, blue
+        + b"\x2c\x00\x00\x00\x00\x03\x00\x01\x00\x00"  # image descriptor
+        + b"\x02\x02\x44\x50\x00"      # LZW data
+        + b"\x3b"
+    )
+    out = ic.gif_decode(blob)
+    assert out.shape == (1, 3, 3)
+    assert out[0].tolist() == [[255, 0, 0], [0, 0, 255], [255, 0, 0]]
+    assert ic.gif_dimensions(blob) == (1, 3)
+
+
+def test_gif_interlaced_and_extension_skip():
+    # build an interlaced variant by hand: permute rows into the 4-pass
+    # storage order, set the interlace flag, and splice a graphic-control
+    # extension before the descriptor — decode must undo both
+    rng = np.random.default_rng(3)
+    img = (rng.integers(0, 4, size=(13, 6, 3)) * 80).astype(np.uint8)
+    h = img.shape[0]
+    order = np.concatenate(
+        [np.arange(s, h, k) for s, k in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+    stored = ic.gif_encode(img[order])
+    desc = stored.index(b"\x2c")
+    interlaced = bytearray(stored)
+    interlaced[desc + 9] |= 0x40  # image-descriptor packed: interlace bit
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    blob = bytes(interlaced[:desc]) + gce + bytes(interlaced[desc:])
+    assert np.array_equal(ic.gif_decode(blob), img)
+
+
+def test_gif_dict_reset_and_many_colors():
+    # >4096 LZW dict entries forces the encoder's clear-and-reset path
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(120, 90)).astype(np.uint8)
+    blob = ic.gif_encode(img)
+    assert np.array_equal(ic.gif_decode(blob), np.stack([img] * 3, -1))
+
+
+def test_gif_rejects_junk_and_palette_overflow():
+    with pytest.raises(ic.CodecError):
+        ic.gif_decode(b"GIF89a\x00")
+    with pytest.raises(ic.CodecError):
+        ic.gif_dimensions(b"not a gif at all")
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    with pytest.raises(ic.CodecError):
+        ic.gif_encode(img)  # ~1024 distinct colors
+
+
+def test_gif_decoder_never_hangs_on_fuzz():
+    rng = np.random.default_rng(13)
+    base = bytearray(ic.gif_encode((rng.integers(0, 5, (9, 9)) * 50).astype(np.uint8)))
+    for trial in range(200):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(6, len(b))] = rng.integers(0, 256)
+        cut = rng.integers(7, len(b))
+        for blob in (bytes(b), bytes(b[:cut])):
+            try:
+                out = ic.gif_decode(blob)
+                assert out.ndim == 3 and out.shape[2] == 3
+            except (ic.CodecError, IndexError, ValueError):
+                pass
+
+
+def test_decode_image_gif_route():
+    from ocr_spark.operators.multimodal import decode_image
+
+    img = (np.mgrid[0:6, 0:7][0] * 30 % 256).astype(np.uint8)
+    rgb = np.stack([img] * 3, -1)
+    assert np.array_equal(decode_image(ic.gif_encode(rgb)), rgb)
+
+
+def test_blob_metadata_gif_dims(spark):
+    from ocr_spark.operators.multimodal import blob_metadata
+
+    gif = ic.gif_encode((_grad(11, 19) // 32 * 32))
+    df = spark.createDataFrame([(1, bytearray(gif))], "blob_id long, blob binary")
+    row = blob_metadata(df).collect()[0]
+    assert (row.kind, row.height, row.width) == ("gif", 11, 19)
