@@ -1792,6 +1792,16 @@ def q_crnn_read(spark, sf):  # R4 CRNN-form forward (conv bank + CTC) on pixels
     return crnn_read_roundtrip(_t(spark, sf, "part"))
 
 
+def q_crnn_trained(spark, sf):  # R4 with TRAINED weights (round-3 closure)
+    """Fit the conv bank from noisy labeled corpus renders (one distributed
+    aggregation -> bounded model table), then read every page with the
+    LEARNED filters; decode is byte-identical to the sanitize projection,
+    so the oracle is pure SQL."""
+    from .operators.recognize import crnn_trained_roundtrip
+
+    return crnn_trained_roundtrip(_t(spark, sf, "part"))
+
+
 def q_embed_centroids(spark, sf):  # reference utils/embeddings.compute_centroids
     from .operators.similarity import embed_centroids
 
@@ -3551,6 +3561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_extract": q_pdf_extract,
     "detect_yolo": q_detect_yolo,
     "attn_decode": q_attn_decode,
+    "crnn_trained": q_crnn_trained,
     "detect_maps": q_detect_maps,
     "combine_boxes": q_combine_boxes,
     "nms_boxes": q_nms_boxes,
@@ -4081,6 +4092,21 @@ ORACLE_SQL: dict[str, str] = {
                     ELSE len(string_split(trim(regexp_replace(regexp_replace(lower(p_name),
                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) END AS INT) AS n_words
         FROM part
+    """,
+    # read with TRAINED weights over "name key" text (digits covered by the
+    # appended p_partkey): same sanitize projection, different source text
+    "crnn_trained": """
+        WITH t AS (
+            SELECT p_partkey,
+                   trim(regexp_replace(regexp_replace(
+                        lower(p_name) || ' ' || CAST(p_partkey AS VARCHAR),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS decoded
+            FROM part
+        )
+        SELECT p_partkey, decoded,
+               CAST(CASE WHEN decoded = '' THEN 0
+                    ELSE len(string_split(decoded, ' ')) END AS INT) AS n_words
+        FROM t
     """,
     "host_templates": """
         WITH enriched AS (

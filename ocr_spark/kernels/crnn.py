@@ -51,6 +51,40 @@ _BANK = (
 _BLANK_LOGIT = 69
 
 
+def bank_from_templates(templates: dict[str, np.ndarray]) -> tuple[list[str], np.ndarray]:
+    """{char: (7, 5) bool/0-1 template} -> (sorted chars, (C, 35) +-1 bank).
+
+    The constructed module bank is `bank_from_templates(glyphs.TEMPLATES)`;
+    a TRAINED bank (operators/recognize.crnn_trained_roundtrip) passes the
+    majority-vote templates it learned from noisy corpus renders instead —
+    same decode machinery either way."""
+    chars = sorted(templates)
+    bank = (
+        np.stack([templates[c] for c in chars]).astype(np.int64) * 2 - 1
+    ).reshape(len(chars), GLYPH_H * GLYPH_W)
+    return chars, bank
+
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def glyph_noise_mask(key: int, idx: int, rate_milli: int) -> np.ndarray:
+    """Deterministic per-glyph-occurrence pixel-flip mask, (35,) bool:
+    pixel p flips iff splitmix64(key, idx, p) % 1000 < rate_milli.
+
+    Hashes only stable row keys (doc key + character index), never
+    partition ids — the training corpus is bit-identical under any
+    parallelism, so the learned bank is too."""
+    base = np.uint64((key * 1_000_003 + idx * 8_191 + 0x5851F42D) & 0xFFFFFFFFFFFFFFFF)
+    x = base + np.arange(GLYPH_H * GLYPH_W, dtype=np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x % np.uint64(1000)) < np.uint64(rate_milli)
+
+
 def pool_to_font(ink: np.ndarray, scale: int) -> np.ndarray:
     """(h, w) bool ink at an integer glyph scale -> (GLYPH_H, w/scale)
     font-resolution ink. The detector's boxes start on glyph-block
@@ -63,12 +97,15 @@ def pool_to_font(ink: np.ndarray, scale: int) -> np.ndarray:
     return p.reshape(GLYPH_H, scale, w // scale, scale).mean(axis=(1, 3)) >= 0.5
 
 
-def crnn_word_logits(font_ink: np.ndarray) -> np.ndarray:
-    """(GLYPH_H, W) font-resolution ink -> (T, 37) integer logits.
+def crnn_word_logits(font_ink: np.ndarray, *, bank: np.ndarray | None = None) -> np.ndarray:
+    """(GLYPH_H, W) font-resolution ink -> (T, 1 + C) integer logits.
 
     T = W + GLYPH_W - 1 timesteps (the strip is padded GLYPH_W-1 paper
     columns on each side so every alignment of the first/last glyph is a
-    full window). Column 0 is the CTC blank."""
+    full window). Column 0 is the CTC blank. ``bank`` overrides the
+    constructed (C, 35) +-1 filter bank with a trained one."""
+    if bank is None:
+        bank = _BANK
     w = font_ink.shape[1]
     pad = GLYPH_W - 1
     padded = np.zeros((GLYPH_H, w + 2 * pad), dtype=bool)
@@ -77,13 +114,18 @@ def crnn_word_logits(font_ink: np.ndarray) -> np.ndarray:
     win = sliding_window_view(padded, (GLYPH_H, GLYPH_W))[0]
     t = win.shape[0]
     x = win.reshape(t, GLYPH_H * GLYPH_W).astype(np.int64) * 2 - 1
-    logits = np.empty((t, 1 + len(CRNN_CHARS)), dtype=np.int64)
+    logits = np.empty((t, 1 + len(bank)), dtype=np.int64)
     logits[:, 0] = _BLANK_LOGIT
-    logits[:, 1:] = x @ _BANK.T * 2  # even integers in [-70, 70]
+    logits[:, 1:] = x @ bank.T * 2  # even integers in [-70, 70]
     return logits
 
 
-def crnn_read_words(strips: list[np.ndarray]) -> list[str]:
+def crnn_read_words(
+    strips: list[np.ndarray],
+    *,
+    chars: list[str] | None = None,
+    bank: np.ndarray | None = None,
+) -> list[str]:
     """Batch of font-resolution word strips -> texts, via ONE padded
     (N, T, V) CTC greedy decode (the shared kernels/ctc.py path).
 
@@ -93,6 +135,10 @@ def crnn_read_words(strips: list[np.ndarray]) -> list[str]:
     template is blank), so every extra timestep scores at most 68 < 69 =
     blank and collapses away. Decode-identical to the per-word path
     (differentially asserted in tests/test_crnn.py)."""
+    if chars is None:
+        chars = CRNN_CHARS
+    if bank is None:
+        bank = _BANK
     if not strips:
         return []
     n = len(strips)
@@ -104,14 +150,20 @@ def crnn_read_words(strips: list[np.ndarray]) -> list[str]:
     t = w_max + pad  # windows per strip at stride 1
     win = sliding_window_view(imgs, (GLYPH_H, GLYPH_W), axis=(1, 2))
     x = win.reshape(n, t, GLYPH_H * GLYPH_W).astype(np.int64) * 2 - 1
-    logits = np.empty((n, t, 1 + len(CRNN_CHARS)), dtype=np.int64)
+    logits = np.empty((n, t, 1 + len(chars)), dtype=np.int64)
     logits[:, :, 0] = _BLANK_LOGIT
-    logits[:, :, 1:] = x @ _BANK.T * 2
+    logits[:, :, 1:] = x @ bank.T * 2
     tokens, _scores = ctc_greedy_decode_batch(logits.astype(np.float64), blank=0)
-    return ["".join(CRNN_CHARS[i - 1] for i in toks) for toks in tokens]
+    return ["".join(chars[i - 1] for i in toks) for toks in tokens]
 
 
-def crnn_read_page(img: np.ndarray, *, ink_threshold: int = 128) -> str:
+def crnn_read_page(
+    img: np.ndarray,
+    *,
+    ink_threshold: int = 128,
+    chars: list[str] | None = None,
+    bank: np.ndarray | None = None,
+) -> str:
     """page image -> text via detect (projection profiles) + CRNN-form
     recognize: words joined by spaces within a line, lines by newline —
     the same output contract as pixel_ocr.ocr_page_text, without its
@@ -122,7 +174,7 @@ def crnn_read_page(img: np.ndarray, *, ink_threshold: int = 128) -> str:
     for x0, y0, x1, y1 in boxes:
         scale = max((y1 - y0) // GLYPH_H, 1)
         strips.append(pool_to_font(ink[y0:y1, x0:x1], scale))
-    words = crnn_read_words(strips)
+    words = crnn_read_words(strips, chars=chars, bank=bank)
     lines: list[list[str]] = []
     last_y = None
     for (x0, y0, x1, y1), word in zip(boxes, words):
