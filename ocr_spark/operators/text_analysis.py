@@ -249,16 +249,58 @@ def _letter_bigrams(col_name: str) -> Column:
     )
 
 
+def _gram_count_pairs(grams: Column) -> Column:
+    """Run-length encode a gram array PER ROW: array<struct<g,cnt>> sorted
+    by (cnt desc, g asc).  array_sort + boundary-index filter + transform —
+    pure expression algebra, O(n log n) per row, zero exchange.  This
+    replaces explode-then-groupBy for per-doc gram counting: the shuffle
+    that carried one row per corpus CHARACTER now carries at most one row
+    per DISTINCT gram per doc (<= 676 for [a-z]^2), and the doc-side
+    top-m ranking needs no shuffle at all."""
+    sg = F.array_sort(grams)
+    n = F.size(sg)
+    # 1-based start index of every run (first element, or differs from
+    # prev).  F.get is 0-based and NULL out of bounds (no ANSI index
+    # error), so the i==1 lookbehind and the last-run lookahead are safe.
+    bnd = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (F.element_at(sg, i) != F.get(sg, i - 2)),
+    )
+    nb = F.size(bnd)
+    pairs = F.transform(
+        F.sequence(F.lit(1), nb),
+        lambda j: F.struct(
+            F.element_at(sg, F.element_at(bnd, j)).alias("g"),
+            (F.coalesce(F.get(bnd, j), n + 1) - F.element_at(bnd, j))
+            .cast("long")
+            .alias("cnt"),
+        ),
+    )
+    ranked = F.array_sort(
+        pairs,
+        lambda l, r: F.when(l["cnt"] > r["cnt"], F.lit(-1))
+        .when(l["cnt"] < r["cnt"], F.lit(1))
+        .when(l["g"] < r["g"], F.lit(-1))
+        .when(l["g"] > r["g"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return F.when(n > 0, ranked).otherwise(
+        F.array().cast("array<struct<g:string,cnt:bigint>>")
+    )
+
+
 def ct_profiles(docs: DataFrame, *, top_k: int = 20, text_col: str = "text") -> DataFrame:
     """Per-language rank profile: top_k letter bigrams by (count desc,
     gram asc).  Trained FROM the corpus itself via two bounded
     aggregations; the output is at most n_langs * top_k rows — the
-    broadcastable model table."""
-    grams = _letter_bigrams(text_col)
+    broadcastable model table.  Per-doc gram counts are run-length
+    encoded per row first (:func:`_gram_count_pairs`), so the (lang, g)
+    exchange carries distinct-gram rows, not one row per character."""
+    pairs = _gram_count_pairs(_letter_bigrams(text_col))
     cnt = (
-        docs.select("lang", F.explode(grams).alias("g"))
-        .groupBy("lang", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        docs.select(F.col("lang"), F.explode(pairs).alias("p"))
+        .groupBy("lang", F.col("p.g").alias("g"))
+        .agg(F.sum("p.cnt").alias("cnt"))
     )
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
     return (
@@ -276,23 +318,26 @@ def ct_classify(
     language profile (missing grams cost the full penalty = top_k), and
     take the argmin language (ties break lexicographically).
 
-    Scale shape: doc-gram counting and ranking exchange on doc_id only;
-    the profile and language tables are bounded and BROADCAST, so
-    classification adds no corpus-wide shuffle beyond the per-doc
-    aggregations.  Integer distances — the oracle replays every rank and
-    sum exactly."""
+    Scale shape: the doc side is now FULLY per-row — gram counting AND
+    top-m ranking happen inside one projection (:func:`_gram_count_pairs`
+    run-length encode + comparator array_sort), so the only doc-side rows
+    that ever move are doc_id x top_m (<= 20) gram-rank rows; the profile
+    and language tables are bounded and BROADCAST.  The corpus-wide
+    explode -> groupBy(doc_id, g) exchange of the v1 plan (one row per
+    corpus character) is gone.  Integer distances — the oracle replays
+    every rank and sum exactly."""
     profiles = ct_profiles(docs, top_k=top_k, text_col=text_col)
-    grams = _letter_bigrams(text_col)
-    doc_cnt = (
-        docs.select("doc_id", F.col("lang").alias("true_lang"), F.explode(grams).alias("g"))
-        .groupBy("doc_id", "true_lang", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    wd = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
-    dg = (
-        doc_cnt.withColumn("doc_rank", F.row_number().over(wd))
-        .where(F.col("doc_rank") <= top_m)
-        .select("doc_id", "true_lang", "g", "doc_rank")
+    pairs = _gram_count_pairs(_letter_bigrams(text_col))
+    top = F.slice(pairs, 1, top_m)
+    dg = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.posexplode(top).alias("pos", "p"),
+    ).select(
+        "doc_id",
+        "true_lang",
+        F.col("p.g").alias("g"),
+        (F.col("pos") + 1).alias("doc_rank"),
     )
     plangs = profiles.select(F.col("lang").alias("pred_lang")).distinct()
     prof = profiles.select(
