@@ -1802,6 +1802,19 @@ def q_crnn_trained(spark, sf):  # R4 with TRAINED weights (round-3 closure)
     return crnn_trained_roundtrip(_t(spark, sf, "part"))
 
 
+def q_east_trained(spark, sf):  # D1 with TRAINED score head (round-3 closure)
+    """Fit the EAST-style score-head conv by distributed Newton logistic
+    regression (bounded int64 gradient/Hessian fan-in per pass), then run
+    the full trained-map decode — threshold -> geometry -> D2
+    restore_polys -> reading order -> recognize.  Training provably
+    separates (zero errors gate inside), so decoded text and the box
+    geometry sums are pure arithmetic over the sanitized source text —
+    hard SQL oracle."""
+    from .operators.detect_train import east_trained_roundtrip
+
+    return east_trained_roundtrip(_t(spark, sf, "part"))
+
+
 def q_embed_centroids(spark, sf):  # reference utils/embeddings.compute_centroids
     from .operators.similarity import embed_centroids
 
@@ -3562,6 +3575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "detect_yolo": q_detect_yolo,
     "attn_decode": q_attn_decode,
     "crnn_trained": q_crnn_trained,
+    "east_trained": q_east_trained,
     "detect_maps": q_detect_maps,
     "combine_boxes": q_combine_boxes,
     "nms_boxes": q_nms_boxes,
@@ -3606,8 +3620,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "image_dups": q_image_dups,
     "training_pipeline": q_training_pipeline,
-    "ct_langid": q_ct_langid,
     # -- round-4 rotation: never driver-checked yet (next 50 go first) --
+    "ct_langid": q_ct_langid,
     "dup_spans": q_dup_spans,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -4107,6 +4121,34 @@ ORACLE_SQL: dict[str, str] = {
                CAST(CASE WHEN decoded = '' THEN 0
                     ELSE len(string_split(decoded, ' ')) END AS INT) AS n_words
         FROM t
+    """,
+    # trained detect: decoded text + box geometry are arithmetic over the
+    # sanitized "name key" text (detect_train proves zero training errors,
+    # so boxes are exactly the dilated-ink components).  Tight ink width
+    # per word = 6*len - 1 minus one edge column per narrow glyph ('i'/'1'
+    # occupy cols 1..3 of the 5-col cell); height = 7 font rows.
+    "east_trained": """
+        WITH t AS (
+            SELECT p_partkey,
+                   trim(regexp_replace(regexp_replace(
+                        lower(p_name) || ' ' || CAST(p_partkey AS VARCHAR),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS decoded
+            FROM part
+        ),
+        words AS (
+            SELECT p_partkey, decoded,
+                   unnest(string_split(decoded, ' ')) AS wd
+            FROM t WHERE decoded <> ''
+        )
+        SELECT p_partkey,
+               any_value(decoded) AS decoded,
+               CAST(count(*) AS INT) AS n_boxes,
+               CAST(SUM(6 * len(wd) - 1
+                    - CASE WHEN substr(wd, 1, 1) IN ('i', '1') THEN 1 ELSE 0 END
+                    - CASE WHEN substr(wd, len(wd), 1) IN ('i', '1') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS sum_w,
+               CAST(7 * count(*) AS BIGINT) AS sum_h
+        FROM words GROUP BY p_partkey
     """,
     "host_templates": """
         WITH enriched AS (
