@@ -233,74 +233,59 @@ def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 # Cavnar-Trenkle n-gram language ID (1994, SDAIR) — langid v2
 # --------------------------------------------------------------------------
 
-def _letter_bigrams(col_name: str) -> Column:
-    """Letter bigrams of lower(<col>) as a Column array — pure expr
-    algebra, identical list comprehension in the oracle."""
-    s = f"lower(`{col_name}`)"
+def _with_letter_grams(df: DataFrame, text_col: str, out_col: str) -> DataFrame:
+    """Add ``out_col`` = array of letter bigrams of lower(<text_col>).
+
+    EXPRESSION-SAFETY CONTRACT: every higher-order-function lambda here
+    references ONLY its own lambda variables — never a sibling column or
+    array attribute.  Catalyst freely re-inlines alias definitions into
+    predicates it pushes down (InferFiltersFromGenerate adds
+    ``size(grams) > 0`` under any explode of this column, and
+    PushPredicateThroughNonJoin substitutes the full expression tree into
+    it); interpreted HOF eval then re-evaluates any lambda-internal
+    subexpression PER ELEMENT with no loop-invariant hoisting.  A
+    previous run-length-encoding form whose lambdas indexed a sibling
+    sorted-gram array went quadratic-to-cubic per document after exactly
+    that rewrite and hung the suite — see the wall-clock budget test in
+    tests/test_ct_langid.py.  With lambda-var-only lambdas, inlining
+    costs at most one extra O(L) evaluation per row, never per element.
+    """
+    chars = "_ct_chars"
+    # split('') yields one element per code point; slice+zip_with builds
+    # adjacent pairs with O(1) element access (substring(lower(..), i, 2)
+    # would rescan the string per gram: O(L) byte-offset walks).
+    df = df.withColumn(chars, F.split(F.lower(F.col(text_col)), ""))
+    npairs = F.greatest(F.size(F.col(chars)) - 1, F.lit(0))
     # gram filter = both chars in [a-z]: ascii-range checks instead of a
     # per-gram regex ('^[a-z]{2}$') — same set (codepoints 97..122 are
-    # exactly a-z; a length-1 tail gram has ascii('')=0 on its second char
-    # and is rejected), ~20x cheaper than len(text) regex matches per doc.
-    return F.expr(
-        f"filter(transform(sequence(1, greatest(1, length({s}) - 1)), "
-        f"i -> substring({s}, i, 2)), "
-        f"g -> ascii(g) BETWEEN 97 AND 122 "
-        f"AND ascii(substring(g, 2, 1)) BETWEEN 97 AND 122)"
-    )
-
-
-def _gram_count_pairs(grams: Column) -> Column:
-    """Run-length encode a gram array PER ROW: array<struct<g,cnt>> sorted
-    by (cnt desc, g asc).  array_sort + boundary-index filter + transform —
-    pure expression algebra, O(n log n) per row, zero exchange.  This
-    replaces explode-then-groupBy for per-doc gram counting: the shuffle
-    that carried one row per corpus CHARACTER now carries at most one row
-    per DISTINCT gram per doc (<= 676 for [a-z]^2), and the doc-side
-    top-m ranking needs no shuffle at all."""
-    sg = F.array_sort(grams)
-    n = F.size(sg)
-    # 1-based start index of every run (first element, or differs from
-    # prev).  F.get is 0-based and NULL out of bounds (no ANSI index
-    # error), so the i==1 lookbehind and the last-run lookahead are safe.
-    bnd = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: (i == 1) | (F.element_at(sg, i) != F.get(sg, i - 2)),
-    )
-    nb = F.size(bnd)
-    pairs = F.transform(
-        F.sequence(F.lit(1), nb),
-        lambda j: F.struct(
-            F.element_at(sg, F.element_at(bnd, j)).alias("g"),
-            (F.coalesce(F.get(bnd, j), n + 1) - F.element_at(bnd, j))
-            .cast("long")
-            .alias("cnt"),
+    # exactly a-z), ~20x cheaper than len(text) regex matches per doc.
+    return df.withColumn(
+        out_col,
+        F.filter(
+            F.zip_with(
+                F.slice(F.col(chars), 1, npairs),
+                F.slice(F.col(chars), 2, npairs),
+                lambda a, b: F.concat(a, b),
+            ),
+            lambda g: F.ascii(g).between(97, 122)
+            & F.ascii(F.substring(g, 2, 1)).between(97, 122),
         ),
-    )
-    ranked = F.array_sort(
-        pairs,
-        lambda l, r: F.when(l["cnt"] > r["cnt"], F.lit(-1))
-        .when(l["cnt"] < r["cnt"], F.lit(1))
-        .when(l["g"] < r["g"], F.lit(-1))
-        .when(l["g"] > r["g"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
-    return F.when(n > 0, ranked).otherwise(
-        F.array().cast("array<struct<g:string,cnt:bigint>>")
-    )
+    ).drop(chars)
 
 
 def ct_profiles(docs: DataFrame, *, top_k: int = 20, text_col: str = "text") -> DataFrame:
     """Per-language rank profile: top_k letter bigrams by (count desc,
-    gram asc).  Trained FROM the corpus itself via two bounded
-    aggregations; the output is at most n_langs * top_k rows — the
-    broadcastable model table.  Per-doc gram counts are run-length
-    encoded per row first (:func:`_gram_count_pairs`), so the (lang, g)
-    exchange carries distinct-gram rows, not one row per character."""
-    pairs = _gram_count_pairs(_letter_bigrams(text_col))
+    gram asc).  Trained FROM the corpus itself via one bounded
+    aggregation; the output is at most n_langs * top_k rows — the
+    broadcastable model table.  The explode feeds a hash aggregate whose
+    map-side partial combine collapses same-partition (lang, g) rows
+    before the exchange, so the shuffle carries ~distinct grams per
+    partition (<= 676 per language), not one row per corpus character."""
+    g = _with_letter_grams(docs, text_col, "_ct_g")
     cnt = (
-        docs.select(F.col("lang"), F.explode(pairs).alias("p"))
-        .groupBy("lang", F.col("p.g").alias("g"))
-        .agg(F.sum("p.cnt").alias("cnt"))
+        g.select(F.col("lang"), F.explode(F.col("_ct_g")).alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
     return (
@@ -318,26 +303,30 @@ def ct_classify(
     language profile (missing grams cost the full penalty = top_k), and
     take the argmin language (ties break lexicographically).
 
-    Scale shape: the doc side is now FULLY per-row — gram counting AND
-    top-m ranking happen inside one projection (:func:`_gram_count_pairs`
-    run-length encode + comparator array_sort), so the only doc-side rows
-    that ever move are doc_id x top_m (<= 20) gram-rank rows; the profile
-    and language tables are bounded and BROADCAST.  The corpus-wide
-    explode -> groupBy(doc_id, g) exchange of the v1 plan (one row per
-    corpus character) is gone.  Integer distances — the oracle replays
-    every rank and sum exactly."""
+    Scale shape: doc-side gram counting is explode -> groupBy(doc_id, g)
+    whose map-side partial combine collapses each document's repeated
+    grams BEFORE the exchange (a document's exploded rows stay in its
+    scan partition), so the shuffle carries doc_id x distinct-gram rows
+    (<= 676 per doc), and the top-m rank window partitions on the same
+    doc_id key.  The profile and language tables are bounded and
+    BROADCAST.  Integer distances — the oracle replays every rank and
+    sum exactly."""
     profiles = ct_profiles(docs, top_k=top_k, text_col=text_col)
-    pairs = _gram_count_pairs(_letter_bigrams(text_col))
-    top = F.slice(pairs, 1, top_m)
-    dg = docs.select(
-        "doc_id",
-        F.col("lang").alias("true_lang"),
-        F.posexplode(top).alias("pos", "p"),
-    ).select(
-        "doc_id",
-        "true_lang",
-        F.col("p.g").alias("g"),
-        (F.col("pos") + 1).alias("doc_rank"),
+    g = _with_letter_grams(docs, text_col, "_ct_g")
+    dcnt = (
+        g.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(F.col("_ct_g")).alias("g"),
+        )
+        .groupBy("doc_id", "true_lang", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
+    dg = (
+        dcnt.withColumn("doc_rank", F.row_number().over(wd))
+        .where(F.col("doc_rank") <= top_m)
+        .select("doc_id", "true_lang", "g", "doc_rank")
     )
     plangs = profiles.select(F.col("lang").alias("pred_lang")).distinct()
     prof = profiles.select(

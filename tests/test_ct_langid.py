@@ -59,3 +59,25 @@ def test_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, ct_classify(d.repartition(1)).collect()))
     b = sorted(map(tuple, ct_classify(d.repartition(7)).collect()))
     assert a == b
+
+
+def test_multikb_docs_within_time_budget(spark):
+    # Regression guard for the quadratic-eval hang: an earlier form inlined
+    # lower(text) and the sorted gram array into HOF lambda bodies, which
+    # interpreted eval re-evaluates PER ELEMENT — O(L^2)+ per doc, minutes
+    # for a single 5 KB document. Staged projections keep it O(L log L);
+    # 60 docs x 5 KB must classify in seconds.
+    import time
+
+    words = ["the", "and", "of", "le", "la", "et", "der", "und", "die", "zqx"]
+    langs = ["en", "fr", "de"]
+    rows = [
+        (i, langs[i % 3], " ".join(words[(i + j) % len(words)] for j in range(1000)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    t0 = time.time()
+    out = ct_classify(docs).collect()
+    wall = time.time() - t0
+    assert len(out) == 60
+    assert wall < 60, f"ct_classify took {wall:.1f}s on 5KB docs — quadratic eval regression"
