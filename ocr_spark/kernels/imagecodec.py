@@ -304,9 +304,13 @@ def _extend(v: int, n: int) -> int:
 _PEEK_CACHE: dict = {}
 
 
-def _build_peek_table(bits, values) -> np.ndarray:
+def _build_peek_table(bits, values) -> list[int]:
     """Canonical Huffman -> 65536-entry table: entry = (code_len << 8) | sym
-    for every 16-bit window starting with that code; 0 marks invalid."""
+    for every 16-bit window starting with that code; 0 marks invalid.
+    Returned (and cached) as a python LIST: every decode loop indexes it
+    per symbol, where numpy scalar indexing boxes each access — and the
+    progressive path snapshots tables per scan, so converting at use
+    sites repeated the 65536-entry copy per scan."""
     key = (tuple(bits), tuple(values))
     cached = _PEEK_CACHE.get(key)
     if cached is not None:
@@ -322,8 +326,9 @@ def _build_peek_table(bits, values) -> np.ndarray:
             code += 1
             k += 1
         code <<= 1
-    _PEEK_CACHE[key] = table
-    return table
+    out = table.tolist()
+    _PEEK_CACHE[key] = out
+    return out
 
 
 def _destuff_segments(scan: bytes) -> list[bytes]:
@@ -516,10 +521,10 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
         sc.update(by_id[sc["id"]])
 
     segments = _destuff_segments(scan)
-    # peek tables as python LISTS: numpy scalar indexing boxes per symbol
-    # and was measurably slower in this loop
-    dc_lists = {th: t.tolist() for th, t in huff_dc.items()}
-    ac_lists = {th: t.tolist() for th, t in huff_ac.items()}
+    # peek tables are already python LISTS (built so in _build_peek_table:
+    # numpy scalar indexing boxes per symbol and was measurably slower)
+    dc_lists = huff_dc
+    ac_lists = huff_ac
     seg_idx = 0
     u32, limit = _seg_windows(segments[0])
     bp = 0
@@ -641,45 +646,6 @@ def _assemble_planes(planes, comps, h_img, w_img, hmax, vmax) -> np.ndarray:
     return np.clip(rgb.round(), 0, 255).astype(np.uint8)
 
 
-class _ProgBits:
-    """Bit reader for progressive scans: same u32-window representation
-    as the baseline loop, but behind methods — progressive images run a
-    fraction of the corpus and each scan touches each coefficient once,
-    so clarity wins here."""
-
-    __slots__ = ("u32", "limit", "bp")
-
-    def __init__(self, seg: bytes):
-        self.u32, self.limit = _seg_windows(seg)
-        self.bp = 0
-
-    def check(self):
-        if self.bp > self.limit:
-            raise CodecError("truncated entropy data")
-
-    def decode(self, table: list[int]) -> int:
-        bp = self.bp
-        e = table[(self.u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
-        if e == 0:
-            raise CodecError("bad Huffman code")
-        self.bp = bp + (e >> 8)
-        return e & 0xFF
-
-    def bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        bp = self.bp
-        v = ((self.u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF) >> (16 - n)
-        self.bp = bp + n
-        return v
-
-    def bit(self) -> int:
-        bp = self.bp
-        v = ((self.u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF) >> 15
-        self.bp = bp + 1
-        return v
-
-
 def _decode_progressive_scans(
     scans, comps, qt, h_img, w_img, hmax, vmax, mcux, mcuy
 ) -> dict:
@@ -688,7 +654,12 @@ def _decode_progressive_scans(
     fill k-ranges; successive approximation fills bit Al upward: first
     pass stores value << Al, refinement passes OR/add 1 << Al per
     G.1.2.3 / libjpeg decode_mcu_AC_refine); one batched IDCT per
-    component at the end, same einsum as the baseline path."""
+    component at the end, same einsum as the baseline path.
+
+    The bit reader is inlined with local ints exactly like the baseline
+    entropy loop (u32 16-bit peek windows, bp bit cursor) — half the
+    corpus JPEGs are progressive, and per-symbol method calls on a
+    reader object dominated the decode."""
     by_id = {c["id"]: c for c in comps}
     gdims = {c["id"]: (mcuy * c["v"], mcux * c["h"]) for c in comps}
     # python nested lists: the per-coefficient scatter below is pure int
@@ -711,16 +682,10 @@ def _decode_progressive_scans(
         dri = scan["dri"]
         segments = _destuff_segments(scan["data"])
         seg_idx = 0
-        rdr = _ProgBits(segments[0])
+        u32, limit = _seg_windows(segments[0])
+        bp = 0
         eobrun = 0
         dc_pred = {sc["id"]: 0 for sc in sc_comps}
-
-        def restart():
-            nonlocal seg_idx, rdr, eobrun, dc_pred
-            seg_idx += 1
-            rdr = _ProgBits(segments[seg_idx] if seg_idx < len(segments) else b"")
-            eobrun = 0
-            dc_pred = {sc["id"]: 0 for sc in sc_comps}
 
         if ss == 0:  # DC scan (interleaved when >1 comp)
             if se != 0:
@@ -731,7 +696,7 @@ def _decode_progressive_scans(
                     tbl = scan["dc"][sc["dc"]]
                     if tbl is None:
                         raise CodecError("missing DC table")
-                    dc_lists[sc["dc"]] = tbl.tolist()
+                    dc_lists[sc["dc"]] = tbl
             interleaved = len(sc_comps) > 1
             if interleaved:
                 units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
@@ -741,7 +706,13 @@ def _decode_progressive_scans(
                 units = [(by, bx) for by in range(bh) for bx in range(bw)]
             for n_unit, (uy, ux) in enumerate(units):
                 if dri and n_unit and n_unit % dri == 0:
-                    restart()
+                    seg_idx += 1
+                    u32, limit = _seg_windows(
+                        segments[seg_idx] if seg_idx < len(segments) else b""
+                    )
+                    bp = 0
+                    eobrun = 0
+                    dc_pred = {sc["id"]: 0 for sc in sc_comps}
                 for sc in sc_comps:
                     cid = sc["id"]
                     gh, gw = gdims[cid]
@@ -753,16 +724,37 @@ def _decode_progressive_scans(
                         ]
                     else:
                         blocks = [(uy, ux)]
+                    if ah == 0:
+                        dcl = dc_lists[sc["dc"]]
                     for by, bx in blocks:
                         row = coef[cid][by * gw + bx]
                         if ah == 0:  # DC first
-                            n = rdr.decode(dc_lists[sc["dc"]])
-                            dc_pred[cid] += _extend(rdr.bits(n), n)
+                            p16 = (u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+                            e = dcl[p16]
+                            if e == 0:
+                                raise CodecError("bad Huffman code")
+                            length = e >> 8
+                            n = e & 0xFF
+                            if n == 0:
+                                bp += length
+                            elif length + n <= 16:
+                                raw = (p16 >> (16 - length - n)) & ((1 << n) - 1)
+                                bp += length + n
+                                dc_pred[cid] += _extend(raw, n)
+                            else:
+                                bp += length
+                                raw = (
+                                    u32[bp >> 3] >> (16 - (bp & 7)) & 0xFFFF
+                                ) >> (16 - n)
+                                bp += n
+                                dc_pred[cid] += _extend(raw, n)
                             row[0] = dc_pred[cid] << al
                         else:  # DC refinement: one raw bit
-                            if rdr.bit():
+                            if (u32[bp >> 3] >> (16 - (bp & 7)) & 0xFFFF) >> 15:
                                 row[0] |= 1 << al
-                        rdr.check()
+                            bp += 1
+                        if bp > limit:
+                            raise CodecError("truncated entropy data")
         else:  # AC scan: exactly one component (B.2.3)
             if len(sc_comps) != 1:
                 raise CodecError("interleaved progressive AC scan")
@@ -773,14 +765,19 @@ def _decode_progressive_scans(
             tbl = scan["ac"][sc["ac"]]
             if tbl is None:
                 raise CodecError("missing AC table")
-            acl = tbl.tolist()
+            acl = tbl
             p1 = 1 << al
             m1 = -1 << al
             n_unit = 0
             for by in range(bh):
                 for bx in range(bw):
                     if dri and n_unit and n_unit % dri == 0:
-                        restart()
+                        seg_idx += 1
+                        u32, limit = _seg_windows(
+                            segments[seg_idx] if seg_idx < len(segments) else b""
+                        )
+                        bp = 0
+                        eobrun = 0
                     n_unit += 1
                     row = coef[cid][by * gw + bx]
                     if ah == 0:  # AC first pass (G.1.2.2)
@@ -789,41 +786,79 @@ def _decode_progressive_scans(
                             continue
                         k = ss
                         while k <= se:
-                            rs = rdr.decode(acl)
-                            r, s = rs >> 4, rs & 15
+                            p16 = (u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+                            e = acl[p16]
+                            if e == 0:
+                                raise CodecError("bad Huffman code")
+                            length = e >> 8
+                            rs = e & 0xFF
+                            s = rs & 15
                             if s:
-                                k += r
-                                v = _extend(rdr.bits(s), s) << al
+                                k += rs >> 4
+                                if length + s <= 16:
+                                    raw = (p16 >> (16 - length - s)) & ((1 << s) - 1)
+                                    bp += length + s
+                                else:
+                                    bp += length
+                                    raw = (
+                                        u32[bp >> 3] >> (16 - (bp & 7)) & 0xFFFF
+                                    ) >> (16 - s)
+                                    bp += s
                                 if k > se:  # corrupt run; bits consumed
                                     break
-                                row[k] = v
+                                row[k] = _extend(raw, s) << al
                                 k += 1
-                            elif r == 15:
+                            elif rs == 0xF0:  # ZRL
+                                bp += length
                                 k += 16
                             else:
+                                bp += length
+                                r = rs >> 4
                                 eobrun = (1 << r) - 1
                                 if r:
-                                    eobrun += rdr.bits(r)
+                                    eobrun += (
+                                        u32[bp >> 3] >> (16 - (bp & 7)) & 0xFFFF
+                                    ) >> (16 - r)
+                                    bp += r
                                 break
-                        rdr.check()
+                        if bp > limit:
+                            raise CodecError("truncated entropy data")
                     else:  # AC refinement (G.1.2.3 / decode_mcu_AC_refine)
                         k = ss
                         if eobrun == 0:
                             while k <= se:
-                                rs = rdr.decode(acl)
+                                p16 = (u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+                                e = acl[p16]
+                                if e == 0:
+                                    raise CodecError("bad Huffman code")
+                                bp += e >> 8
+                                rs = e & 0xFF
                                 r, s = rs >> 4, rs & 15
                                 val = 0
                                 if s:
-                                    val = p1 if rdr.bit() else m1
+                                    val = (
+                                        p1
+                                        if (u32[bp >> 3] >> (16 - (bp & 7)) & 0xFFFF)
+                                        >> 15
+                                        else m1
+                                    )
+                                    bp += 1
                                 elif r != 15:
                                     eobrun = 1 << r
                                     if r:
-                                        eobrun += rdr.bits(r)
+                                        eobrun += (
+                                            u32[bp >> 3] >> (16 - (bp & 7)) & 0xFFFF
+                                        ) >> (16 - r)
+                                        bp += r
                                     break
                                 while k <= se:
                                     c = row[k]
                                     if c:
-                                        if rdr.bit() and not (c & p1):
+                                        b = (
+                                            u32[bp >> 3] >> (16 - (bp & 7)) & 0xFFFF
+                                        ) >> 15
+                                        bp += 1
+                                        if b and not (c & p1):
                                             row[k] = c + (p1 if c > 0 else m1)
                                     else:
                                         if r == 0:
@@ -836,11 +871,17 @@ def _decode_progressive_scans(
                         if eobrun:
                             while k <= se:
                                 c = row[k]
-                                if c and rdr.bit() and not (c & p1):
-                                    row[k] = c + (p1 if c > 0 else m1)
+                                if c:
+                                    b = (
+                                        u32[bp >> 3] >> (16 - (bp & 7)) & 0xFFFF
+                                    ) >> 15
+                                    bp += 1
+                                    if b and not (c & p1):
+                                        row[k] = c + (p1 if c > 0 else m1)
                                 k += 1
                             eobrun -= 1
-                        rdr.check()
+                        if bp > limit:
+                            raise CodecError("truncated entropy data")
 
     # dequantize + un-zigzag + batched IDCT per component (baseline tail)
     planes = {}
