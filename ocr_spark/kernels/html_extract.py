@@ -302,11 +302,15 @@ def parse_dom(html: str) -> _Node:
 
 
 def _iter_nodes(node):
-    """Document-order traversal of element nodes."""
-    for child in node.children:
+    """Document-order traversal of element nodes. Iterative: the
+    recursive yield-from form re-yields every node through each ancestor
+    level (O(depth) per node), which dominated the DOM walk."""
+    todo = node.children[::-1]
+    while todo:
+        child = todo.pop()
         if isinstance(child, _Node):
             yield child
-            yield from _iter_nodes(child)
+            todo.extend(child.children[::-1])
 
 
 def _find_all(node, names):
@@ -316,11 +320,13 @@ def _find_all(node, names):
 
 def _raw_text(node) -> str:
     parts = []
-    for child in node.children:
+    todo = node.children[::-1]
+    while todo:
+        child = todo.pop()
         if isinstance(child, str):
             parts.append(child)
         else:
-            parts.append(_raw_text(child))
+            todo.extend(child.children[::-1])
     return "".join(parts)
 
 
