@@ -3429,6 +3429,49 @@ def q_image_dups(spark, sf):  # perceptual near-dup image pairs (dHash)
     )
 
 
+def q_phash_dups(spark, sf):  # DCT perceptual hash near-dup pairs (round 3)
+    """16x16 grayscale PNGs built closed-form from doc_id residues are
+    encoded to REAL PNG bytes, decoded back through the codec, pHashed
+    (integer-quantized 16-point DCT-II, median threshold over the 8x8
+    low-frequency block) and paired via the SAME Manku banding as dHash /
+    SimHash.  doc_id % 10 == 5 images are a one-pixel +24 perturbation of
+    doc_id - 5 — pHash's point vs dHash: the perturbation lands in ONE
+    dHash cell (all 2 of its comparisons can flip) but spreads across all
+    64 DCT coefficients, flipping only those near the median.  The oracle
+    embeds the same integer cos table and re-derives every hash and pair
+    arithmetically."""
+    from .operators.dedup import hamming_near_pairs
+    from .operators.multimodal import image_phash
+
+    d = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") < 1200)
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocr_spark.kernels.imagecodec import png_encode
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                src = did - 5 if did % 10 == 5 else did
+                r = np.arange(16)[:, None]
+                c = np.arange(16)[None, :]
+                g = ((src + 1) * (r * 131 + c * 37 + 11)) % 256
+                if did % 10 == 5:
+                    g = g.copy()
+                    g[0, 0] = (g[0, 0] + 24) % 256
+                blobs.append(png_encode(g.astype(np.uint8)))
+            yield pd.DataFrame({"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs})
+
+    imgs = d.mapInPandas(build, schema="blob_id long, blob binary")
+    sig = image_phash(imgs)
+    return hamming_near_pairs(
+        sig, sig_col="phash", id_col="blob_id", max_hamming=3, n_blocks=4
+    )
+
+
 def q_chunk_extracted(spark, sf):  # F8 chunks_from_paragraphs driver
     from .operators.chunking import chunk_extracted
 
@@ -3576,6 +3619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attn_decode": q_attn_decode,
     "crnn_trained": q_crnn_trained,
     "east_trained": q_east_trained,
+    "phash_dups": q_phash_dups,
     "detect_maps": q_detect_maps,
     "combine_boxes": q_combine_boxes,
     "nms_boxes": q_nms_boxes,
@@ -6197,6 +6241,61 @@ ORACLE_SQL["image_dups"] = f"""
     FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 """
+
+# pHash re-derivation: 16x16 PNGs round-trip exactly, so the gray grid IS
+# the residue formula; the integer-quantized DCT basis is embedded as a SQL
+# literal (the SAME constant ocr_spark.operators.multimodal._PHASH_COS uses
+# — shared table, independent derivation: numpy matmul there, per-
+# coefficient list_sum here), coefficients threshold against the lower
+# median of the 8x8 low-frequency block, bits pack signed MSB-first
+def _phash_cos_sql() -> str:
+    from .operators.multimodal import _PHASH_COS
+
+    rows = ",".join("[" + ",".join(str(int(x)) for x in row) + "]" for row in _PHASH_COS)
+    return "[" + rows + "]"
+
+
+ORACLE_SQL["phash_dups"] = f"""
+    WITH ids AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 5 THEN doc_id - 5 ELSE doc_id END AS src,
+               doc_id % 10 = 5 AS pert
+        FROM documents WHERE doc_id < 1200
+    ),
+    cos_t AS (SELECT {{cos_table}} AS t),
+    coefs AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), k ->
+                   list_sum(list_transform(range(0, 256), i ->
+                       t[k // 8 + 1][i // 16 + 1] * t[k % 8 + 1][i % 16 + 1] *
+                       (((src + 1) * ((i // 16) * 131 + (i % 16) * 37 + 11)
+                         + CASE WHEN pert AND i = 0 THEN 24 ELSE 0 END) % 256)
+                   ))) AS cl
+        FROM ids, cos_t
+    ),
+    med AS (SELECT doc_id, cl, list_sort(cl)[32] AS m FROM coefs),
+    raw AS (
+        SELECT doc_id,
+               COALESCE(list_sum(list_transform(range(0, 64),
+                   k -> CASE WHEN cl[k + 1] > m
+                             THEN CAST(1 AS HUGEINT) << CAST(63 - k AS INT)
+                             ELSE CAST(0 AS HUGEINT) END)),
+                   CAST(0 AS HUGEINT)) AS h
+        FROM med
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(h - CASE WHEN h >= (CAST(1 AS HUGEINT) << 63)
+                             THEN (CAST(1 AS HUGEINT) << 64)
+                             ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS phash
+        FROM raw
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+""".replace("{cos_table}", _phash_cos_sql())
+
 
 # video fingerprint re-derivation: raw-DIB AVI frames round-trip exactly, so
 # each frame's gray grid IS the residue formula; per-frame dHash bits are

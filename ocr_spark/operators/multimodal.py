@@ -154,6 +154,94 @@ def dhash64(img: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+#: pHash grid: area-mean resize to 16x16, integer 16-point DCT-II, keep the
+#: 8x8 low-frequency block, bit = coefficient > lower-median of the 64
+#: (the imagehash-style median pHash; reference S1 analog is the decoded
+#: pixel grid these perceptual hashes summarize)
+PHASH_N = 16
+PHASH_KEEP = 8
+#: DCT basis quantized to integers (scale 2^14) so the whole transform is
+#: exact int64 arithmetic — bit-identical on any platform AND exactly
+#: replayable by the DuckDB oracle, which embeds this same table as a SQL
+#: literal (the two sides share the CONSTANT, not the derivation: numpy
+#: matmul here, list_sum re-derivation there)
+_PHASH_COS = np.round(
+    (1 << 14)
+    * np.cos(np.pi * (2 * np.arange(PHASH_N)[None, :] + 1) * np.arange(PHASH_N)[:, None] / (2 * PHASH_N))
+).astype(np.int64)
+
+
+def phash64(img: np.ndarray) -> int:
+    """DCT perceptual hash of a decoded image as a SIGNED 64-bit int.
+
+    All-integer pipeline (same grayscale + area-mean blocking arithmetic
+    as :func:`dhash64`, same MSB-first signed packing):
+
+    - gray = (299*R + 587*G + 114*B) // 1000
+    - grid (r, c) = mean (integer //) over block
+      rows [r*h//16, (r+1)*h//16) x cols [c*w//16, (c+1)*w//16)
+    - D = C @ grid @ C.T with the integer-quantized DCT basis C
+      (|coef| <= 16*16*16384^2*255 < 2^63: exact int64)
+    - med = sorted(D[:8, :8] flattened)[31]  (lower median of 64)
+    - bit k (= u*8+v) set iff D[u, v] > med, packed at 63 - k
+    """
+    a = np.asarray(img)
+    if a.ndim == 3:
+        a = a[..., :3].astype(np.int64)
+        gray = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    else:
+        gray = a.astype(np.int64)
+    h, w = gray.shape
+    if h < PHASH_N or w < PHASH_N:
+        raise ValueError(f"phash needs >= {PHASH_N}x{PHASH_N}, got {h}x{w}")
+    if (h, w) == (PHASH_N, PHASH_N):
+        grid = gray
+    else:
+        grid = np.empty((PHASH_N, PHASH_N), dtype=np.int64)
+        for r in range(PHASH_N):
+            r0, r1 = r * h // PHASH_N, (r + 1) * h // PHASH_N
+            for c in range(PHASH_N):
+                c0, c1 = c * w // PHASH_N, (c + 1) * w // PHASH_N
+                block = gray[r0:r1, c0:c1]
+                grid[r, c] = int(block.sum()) // block.size
+    coefs = (_PHASH_COS @ grid @ _PHASH_COS.T)[:PHASH_KEEP, :PHASH_KEEP]
+    flat = coefs.ravel()
+    med = int(np.sort(flat)[31])
+    v = 0
+    for k in range(64):
+        if int(flat[k]) > med:
+            v |= 1 << (63 - k)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+PHASH_SCHEMA = "blob_id long, phash long"
+
+
+def image_phash(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id") -> DataFrame:
+    """Per-image DCT perceptual hash over REAL codec decode: one Arrow
+    stage, zero exchanges; undecodable blobs yield NULL (no-task-failure
+    contract).  Feed to ``dedup.hamming_near_pairs(sig_col='phash')`` —
+    pHash tolerates re-encode/brightness shifts that flip dHash bits,
+    same Manku banding, same perfect-recall bound."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for blob in pdf[blob_col]:
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    out.append(phash64(decode_image(b)))
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame(
+                {"blob_id": pdf[id_col].astype("int64"), "phash": pd.array(out, dtype="Int64")}
+            )
+
+    return df.mapInPandas(gen, schema=PHASH_SCHEMA)
+
+
 #: audio fingerprint: 65 equal frames -> 64 energy comparisons (the same
 #: comparison-sign shape as dHash; chromaprint-family idea at its simplest)
 AFP_FRAMES = 65
