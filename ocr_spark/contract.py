@@ -3472,6 +3472,18 @@ def q_phash_dups(spark, sf):  # DCT perceptual hash near-dup pairs (round 3)
     )
 
 
+def q_lr_trained(spark, sf):  # TRAINED fasttext-shape LR quality filter (round 3)
+    """Distributed-Newton logistic regression over the exact integer
+    hashing-trick features of quality_classifier, labeled by a planted
+    integer teacher (integer dots -> margin >= 1 -> separable by
+    construction).  Zero-error training makes the learned model reproduce
+    the teacher exactly, so every output row is pure arithmetic over the
+    corpus text — hard SQL oracle (the east_trained closure pattern)."""
+    from .operators.lr_train import lr_trained_roundtrip
+
+    return lr_trained_roundtrip(_t(spark, sf, "documents"))
+
+
 def q_chunk_extracted(spark, sf):  # F8 chunks_from_paragraphs driver
     from .operators.chunking import chunk_extracted
 
@@ -3620,6 +3632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crnn_trained": q_crnn_trained,
     "east_trained": q_east_trained,
     "phash_dups": q_phash_dups,
+    "lr_trained": q_lr_trained,
     "detect_maps": q_detect_maps,
     "combine_boxes": q_combine_boxes,
     "nms_boxes": q_nms_boxes,
@@ -6899,6 +6912,42 @@ def _quality_classifier_oracle_sql() -> str:
 
 
 ORACLE_SQL["quality_classifier"] = _quality_classifier_oracle_sql()
+
+
+def _lr_trained_oracle_sql() -> str:
+    """Mirror of lr_trained: same tokens + poly hash + sign trick, the
+    teacher weights as a SQL literal; zero-error training guarantees
+    y_pred == y_true, so both columns re-derive as the teacher sign."""
+    from .operators.lr_train import DIM, teacher_weights
+
+    wlist = "[" + ",".join(str(w) for w in teacher_weights(DIM, 7)) + "]"
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(substr(text, 1, 300)), '\s+'),
+                           w -> w <> '') AS t
+        FROM documents
+    ), h AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               list_transform(t, w -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        FROM toks
+    ), s AS (
+        SELECT doc_id, n_tokens,
+               coalesce(list_sum(list_transform(hs,
+                   x -> (CASE WHEN x % {2 * DIM} < {DIM} THEN 1 ELSE -1 END)
+                        * {wlist}[(x % {DIM}) + 1])), 0) AS dot
+        FROM h
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           (dot > 0) AS y_true, (dot > 0) AS y_pred
+    FROM s
+    """
+
+
+ORACLE_SQL["lr_trained"] = _lr_trained_oracle_sql()
 
 
 

@@ -1,0 +1,198 @@
+"""On-cluster TRAINED fasttext-shape quality classifier (logistic
+regression over hashing-trick bag-of-words, distributed Newton).
+
+The static ``corpus_filters.quality_classifier`` ships fixed weights; this
+module TRAINS the same model shape on the cluster, closing the loop the
+same way ``detect_train`` (D1) and ``recognize.crnn_train_bank`` (R4) do:
+
+- features: the exact integer hashing-trick of quality_classifier
+  (``_tokens`` + ``_poly_hash`` + Weinberger sign trick), computed as pure
+  Column algebra — zero exchanges, engine-exact;
+- labels: a planted integer TEACHER weight vector applied to those same
+  features.  Integer dots make every nonzero margin >= 1, so the data is
+  linearly separable BY CONSTRUCTION (a scaled teacher plus a small
+  negative bias strictly separates, zero-dot docs included);
+- training: distributed Newton logistic regression — per-example
+  gradient/Hessian contributions are rounded to int64 nano-units BEFORE
+  summation (the detect_train recipe), so the whole trajectory is
+  partitioning-invariant; each pass is ONE mapInPandas + a bounded
+  groupBy(idx) fan-in of (dim+1)^2 + dim + 2 longs; stops at the first
+  pass whose current weights classify every doc correctly;
+- therefore the trained model's predictions EQUAL the teacher labels,
+  and the query output is pure arithmetic over the corpus text — a hard
+  DuckDB oracle re-derives every row (the east_trained closure pattern).
+
+Reference analog: the trainable text classifier head the repo's
+models/classification stack fine-tunes; here the 100-TB-relevant part is
+the exchange shape (broadcast-free scoring, bounded training fan-in).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans.session import widen
+from .corpus_filters import _poly_hash, _tokens
+
+DIM = 32
+MAX_CHARS = 300
+_Q = 1_000_000_000  # nano-unit quantization for partial sums
+_RIDGE = 1e-6
+_MAX_ITERS = 25
+
+
+def teacher_weights(dim: int = DIM, seed: int = 7) -> list[int]:
+    """Deterministic integer teacher in [-1000, 1000] \\ {0}."""
+    out = []
+    for j in range(dim):
+        w = (seed * 2654435761 + j * 40503) % 2001 - 1000
+        out.append(w if w != 0 else 1)
+    return out
+
+
+def hashed_features(
+    df: DataFrame, *, dim: int = DIM, seed: int = 7, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, feat array<long>[dim], y boolean) — features by
+    the quality_classifier recipe, labels by the integer teacher.  Pure
+    Column algebra: no shuffle, no Python."""
+    w_star = teacher_weights(dim, seed)
+    toks = _tokens(F.substring(F.col(text_col), 1, MAX_CHARS))
+    hashes = F.transform(toks, lambda t: _poly_hash(t))
+    sign = lambda h: (  # noqa: E731
+        F.when(h % (2 * dim) < dim, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    )
+    def bucket(j):  # closure (a default-arg lambda reads as 3-arg to Spark)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h % dim == j, sign(h)).otherwise(F.lit(0).cast("long")),
+        )
+
+    feat = F.array(*[bucket(j) for j in range(dim)])
+    dot = sum(
+        (F.element_at(F.col("feat"), j + 1) * F.lit(w_star[j]).cast("long"))
+        for j in range(dim)
+    )
+    return (
+        df.select(
+            "doc_id",
+            F.size(toks).cast("int").alias("n_tokens"),
+            feat.alias("feat"),
+        )
+        .withColumn("y", dot > 0)
+    )
+
+
+def _newton_pass(feats: DataFrame, w: np.ndarray, dim: int):
+    """ONE distributed Newton pass: (train_errors, gradient, hessian) with
+    int64 nano-quantized partial sums (partitioning-invariant)."""
+    n_feat = dim + 1  # + bias
+    w_list = [float(x) for x in w]
+
+    def gen(batches):
+        import pandas as pd
+
+        wv = np.asarray(w_list)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(f, dtype=np.float64) for f in pdf["feat"]])
+            x = np.concatenate([x, np.ones((len(x), 1))], axis=1)
+            y = pdf["y"].to_numpy().astype(np.float64)
+            z = x @ wv
+            p = 1.0 / (1.0 + np.exp(-z))
+            errs = int(((z > 0) != (y > 0.5)).sum())
+            g = np.rint((x * (y - p)[:, None]) * _Q).astype(np.int64).sum(axis=0)
+            r = (p * (1.0 - p))[:, None, None]
+            hs = (
+                np.rint(x[:, :, None] * x[:, None, :] * r * _Q)
+                .astype(np.int64)
+                .sum(axis=0)
+            )
+            rows = [(-1, errs)]
+            rows += [(i, int(g[i])) for i in range(n_feat)]
+            rows += [
+                (n_feat + i * n_feat + j, int(hs[i, j]))
+                for i in range(n_feat)
+                for j in range(n_feat)
+            ]
+            yield pd.DataFrame(rows, columns=["idx", "v"])
+
+    sums = {
+        int(r["idx"]): int(r["v"])
+        for r in (
+            widen(feats.select("feat", "y"))
+            .mapInPandas(gen, schema="idx int, v long")
+            .groupBy("idx")
+            .agg(F.sum("v").alias("v"))
+            .collect()
+        )
+    }
+    errs = sums.get(-1, 0)
+    grad = np.array([sums.get(i, 0) for i in range(n_feat)], dtype=np.float64) / _Q
+    hess = (
+        np.array(
+            [[sums.get(n_feat + i * n_feat + j, 0) for j in range(n_feat)] for i in range(n_feat)],
+            dtype=np.float64,
+        )
+        / _Q
+    )
+    return errs, grad, hess
+
+
+def lr_train(feats: DataFrame, *, dim: int = DIM, max_iters: int = _MAX_ITERS):
+    """Fit (w, bias) by distributed Newton; returns (weights (dim+1,),
+    n_passes, train_errors).  Stops at the first pass whose CURRENT
+    weights classify every doc correctly, so the returned model provably
+    reproduces the labels."""
+    w = np.zeros(dim + 1, dtype=np.float64)
+    for it in range(max_iters):
+        errs, grad, hess = _newton_pass(feats, w, dim)
+        if errs == 0 and it > 0:
+            return w, it, 0
+        step = np.linalg.solve(hess + _RIDGE * np.eye(dim + 1), grad)
+        w = w + step
+    errs, _, _ = _newton_pass(feats, w, dim)
+    return w, max_iters, errs
+
+
+def lr_trained_roundtrip(df: DataFrame, *, dim: int = DIM, seed: int = 7) -> DataFrame:
+    """Train on the corpus, then score every doc with the LEARNED weights.
+    Returns (doc_id, n_tokens, y_true, y_pred); zero-error training makes
+    y_pred == y_true for every row, so the whole output is re-derivable
+    from the text — the hard-oracle contract."""
+    feats = hashed_features(df, dim=dim, seed=seed).persist()
+    try:
+        w, n_passes, errs = lr_train(feats, dim=dim)
+        if errs != 0:
+            raise RuntimeError(f"lr_train did not separate: {errs} errors")
+        w_list = [float(x) for x in w]
+
+        def score(batches):
+            import pandas as pd
+
+            wv = np.asarray(w_list)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack([np.asarray(f, dtype=np.float64) for f in pdf["feat"]])
+                x = np.concatenate([x, np.ones((len(x), 1))], axis=1)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_tokens": pdf["n_tokens"],
+                        "y_true": pdf["y"],
+                        "y_pred": (x @ wv) > 0,
+                    }
+                )
+
+        out = feats.mapInPandas(
+            score, schema="doc_id long, n_tokens int, y_true boolean, y_pred boolean"
+        )
+        # materialize before unpersisting the training features
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        feats.unpersist()

@@ -1,0 +1,78 @@
+"""On-cluster trained LR quality classifier (operators/lr_train).
+
+The load-bearing properties: the planted integer teacher makes the data
+separable by construction, distributed Newton reaches zero training
+errors, the int64 nano-quantized partial sums make the trajectory
+partitioning-invariant, and the learned model reproduces the teacher."""
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators.lr_train import (
+    DIM,
+    hashed_features,
+    lr_train,
+    lr_trained_roundtrip,
+    teacher_weights,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "lorem ipsum dolor sit amet consectetur adipiscing elit",
+    "spark catalyst tungsten arrow pandas numpy",
+    "a b c d e f g h i j k l m n o p",
+    "zzz yyy xxx www vvv uuu ttt sss",
+    "",
+    "one",
+    "data pipelines shuffle partitions broadcast join skew salt",
+    "crawl frontier politeness robots sitemap feed discovery",
+]
+
+
+def _df(spark, n_parts=4):
+    rows = [(i, TEXTS[i % len(TEXTS)] + f" tail{i}") for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(n_parts)
+
+
+def test_teacher_weights_deterministic_nonzero():
+    w = teacher_weights()
+    assert len(w) == DIM and all(w) and w == teacher_weights()
+    assert all(-1000 <= x <= 1000 for x in w)
+
+
+def test_hashed_features_match_teacher_label(spark):
+    feats = hashed_features(_df(spark)).collect()
+    w = np.array(teacher_weights(), dtype=np.int64)
+    for r in feats:
+        dot = int(np.dot(np.array(r["feat"], dtype=np.int64), w))
+        assert r["y"] == (dot > 0)
+        # integer margin: nonzero dots are >= 1 in magnitude -> separable
+        assert dot == 0 or abs(dot) >= 1
+
+
+def test_lr_train_separates_and_reproduces(spark):
+    df = _df(spark)
+    out = {r["doc_id"]: r for r in lr_trained_roundtrip(df).collect()}
+    assert len(out) == 60
+    assert all(r["y_pred"] == r["y_true"] for r in out.values())
+
+
+def test_lr_train_partition_invariant(spark):
+    # the int64 nano-quantized grad/Hessian sums make the whole Newton
+    # trajectory independent of partitioning: same weights bit-for-bit
+    w2, p2, e2 = lr_train(hashed_features(_df(spark, n_parts=2)))
+    w8, p8, e8 = lr_train(hashed_features(_df(spark, n_parts=8)))
+    assert e2 == e8 == 0 and p2 == p8
+    assert np.array_equal(w2, w8)
+
+
+def test_lr_train_raises_on_unseparable_labels(spark):
+    # flip half the labels AFTER feature extraction: identical features
+    # with contradictory labels can never reach zero errors
+    feats = hashed_features(_df(spark))
+    doubled = feats.union(
+        feats.withColumn("doc_id", feats.doc_id + 1000).withColumn("y", ~feats.y)
+    )
+    _, _, errs = lr_train(doubled, max_iters=3)
+    assert errs > 0
