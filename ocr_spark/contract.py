@@ -3484,6 +3484,17 @@ def q_lr_trained(spark, sf):  # TRAINED fasttext-shape LR quality filter (round 
     return lr_trained_roundtrip(_t(spark, sf, "documents"))
 
 
+def q_text_tiles(spark, sf):  # TextTiling topical segmentation (round 3)
+    """Hearst-style lexical-cohesion boundaries over the documents table
+    (block=10 so the 10-99-token synthetic docs carry up to 9 candidate
+    boundaries).  Integer-exact squared-cosine + windowed depth; the
+    oracle re-derives every block slice, equal-pair dot product, DIV
+    quotient, window depth, and local-min test in SQL."""
+    from .operators.text_analysis import text_tiles
+
+    return text_tiles(_t(spark, sf, "documents"), block=10, depth_milli=150)
+
+
 def q_chunk_extracted(spark, sf):  # F8 chunks_from_paragraphs driver
     from .operators.chunking import chunk_extracted
 
@@ -3633,6 +3644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "east_trained": q_east_trained,
     "phash_dups": q_phash_dups,
     "lr_trained": q_lr_trained,
+    "text_tiles": q_text_tiles,
     "detect_maps": q_detect_maps,
     "combine_boxes": q_combine_boxes,
     "nms_boxes": q_nms_boxes,
@@ -6948,6 +6960,57 @@ def _lr_trained_oracle_sql() -> str:
 
 
 ORACLE_SQL["lr_trained"] = _lr_trained_oracle_sql()
+
+# TextTiling re-derivation: same lowercased whitespace tokens, block slices
+# via list_slice, dot products as equal-pair counts, integer // quotient,
+# +-2 window depth via lag/lead with missing neighbors defaulting to v
+ORACLE_SQL["text_tiles"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''),
+                   w -> lower(w)) AS t
+        FROM documents
+    ), blocks AS (
+        SELECT doc_id, t, CAST(ceil(len(t) / 10.0) AS INT) AS nb FROM toks
+    ), bounds AS (
+        SELECT doc_id, nb, CAST(u.b AS INT) AS b,
+               list_slice(t, u.b * 10 + 1, u.b * 10 + 10) AS ta,
+               list_slice(t, (u.b + 1) * 10 + 1, (u.b + 1) * 10 + 10) AS tb
+        FROM blocks, LATERAL UNNEST(range(0, nb - 1)) AS u(b)
+        WHERE nb >= 2
+    ), sims AS (
+        SELECT doc_id, b,
+               coalesce(list_sum(list_transform(ta,
+                   x -> len(list_filter(tb, y -> y = x)))), 0) AS dot,
+               coalesce(list_sum(list_transform(ta,
+                   x -> len(list_filter(ta, y -> y = x)))), 0) AS n2a,
+               coalesce(list_sum(list_transform(tb,
+                   x -> len(list_filter(tb, y -> y = x)))), 0) AS n2b
+        FROM bounds
+    ), vals AS (
+        SELECT doc_id, b,
+               CASE WHEN n2a > 0 AND n2b > 0
+                    THEN (1000000 * dot * dot) // (n2a * n2b)
+                    ELSE 0 END AS v
+        FROM sims
+    ), win AS (
+        SELECT doc_id, b, v,
+               lag(v, 1) OVER w AS vm1, lag(v, 2) OVER w AS vm2,
+               lead(v, 1) OVER w AS vp1, lead(v, 2) OVER w AS vp2
+        FROM vals WINDOW w AS (PARTITION BY doc_id ORDER BY b)
+    )
+    SELECT doc_id, CAST(b AS INT) AS boundary_block,
+           CAST((b + 1) * 10 AS INT) AS token_offset,
+           CAST(v AS BIGINT) AS sim_milli,
+           CAST(greatest(coalesce(vm1, v), coalesce(vm2, v)) - v
+                + greatest(coalesce(vp1, v), coalesce(vp2, v)) - v
+                AS BIGINT) AS depth_milli
+    FROM win
+    WHERE v <= coalesce(vm1, v) AND v <= coalesce(vp1, v)
+      AND greatest(coalesce(vm1, v), coalesce(vm2, v)) - v
+          + greatest(coalesce(vp1, v), coalesce(vp2, v)) - v >= 150
+"""
 
 
 

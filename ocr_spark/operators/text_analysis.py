@@ -383,3 +383,130 @@ def script_mix(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         .otherwise(F.lit("none"))
         .alias("dominant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TextTiling topical segmentation (Hearst 1997, windowed-depth variant)
+# ---------------------------------------------------------------------------
+
+TILE_BLOCK = 20  # tokens per block
+TILE_DEPTH_MILLI = 200  # minimum depth (in squared-cosine milli units)
+
+
+def text_tiles(
+    df: DataFrame,
+    *,
+    block: int = TILE_BLOCK,
+    depth_milli: int = TILE_DEPTH_MILLI,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TextTiling topical boundaries (Hearst 1997): adjacent fixed-size
+    token blocks are compared by lexical cosine; a boundary is declared at
+    a local similarity minimum whose "depth" below the neighboring values
+    clears a threshold.  Feeds section-aware chunking with topic breaks
+    where no markup structure exists (the segmentation-based sibling of
+    the DOM/PDF block splitters, reference html_parser/pdf_parser analogs).
+
+    Integer-exact variant so the DuckDB oracle replays it bit-for-bit:
+
+    - tokens: lowercased whitespace tokens (the token_count tokenizer);
+    - blocks of ``block`` tokens, last partial block kept;
+    - similarity at boundary b (between blocks b and b+1) is SQUARED
+      cosine in milli units: ``floor(1e6 * dot^2 / (n2a * n2b))`` where
+      ``dot = sum_w cnt_a(w) * cnt_b(w)`` is computed as the count of
+      EQUAL PAIRS between the two token slices (sum over occurrences i in
+      A of matches in B — identical by exchange of summation), and n2a /
+      n2b are the equal-pair counts of each block with itself; 0 when a
+      side is empty.  No sqrt, no floats anywhere;
+    - depth at boundary i: ``(max(v[i-2..i-1]) - v_i) + (max(v[i+1..i+2])
+      - v_i)`` with missing neighbors defaulting to v_i (Hearst's
+      hill-climb replaced by a fixed +-2 window — deterministic and
+      window-SQL-expressible; same spirit: how far the valley sits below
+      its shoulders);
+    - boundary iff v_i <= both immediate neighbors (edges: the one that
+      exists) AND depth >= ``depth_milli``.
+
+    Output: one row per boundary — (doc_id, boundary block index b,
+    token_offset = (b+1)*block, sim_milli, depth_milli).  No Python;
+    exactly ONE exchange (the per-doc depth window), and its rows are
+    (doc_id, b, v) triples — the generator slices each block BEFORE
+    exploding, so no row ever carries the whole document token array.
+    """
+    toks = F.transform(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""),
+        F.lower,
+    )
+    n_blocks = F.ceil(F.size(toks) / F.lit(block)).cast("int")
+
+    # 1st projection binds the token array to an ATTRIBUTE; the generator
+    # below references only that attribute (optimizer projection collapse
+    # cannot re-inline the tokenizer into the lambdas — the ct_langid
+    # lesson), and each emitted row carries only its two `block`-token
+    # slices, never the whole document array, so the window exchange ships
+    # O(block) bytes per boundary at any document length
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"), n_blocks.alias("_nb"))
+    t = F.col("_t")
+    gen = F.transform(
+        F.sequence(F.lit(0), F.col("_nb") - 2),
+        lambda b: F.struct(
+            b.cast("int").alias("b"),
+            F.slice(t, b * block + 1, block).alias("ta"),
+            F.slice(t, (b + 1) * block + 1, block).alias("tb"),
+        ),
+    )
+    d = d.where(F.col("_nb") >= 2).select(
+        "doc_id", F.explode(gen).alias("bk")
+    ).select("doc_id", "bk.b", "bk.ta", "bk.tb")
+
+    def pair_count(a_col, b_col):
+        # sum over occurrences i in A of matches in B == sum_w cnt_a * cnt_b
+        return F.aggregate(
+            a_col,
+            F.lit(0).cast("long"),
+            lambda acc, tok: acc
+            + F.size(F.filter(b_col, lambda x: x == tok)).cast("long"),
+        )
+
+    ta, tb = F.col("ta"), F.col("tb")
+    dot = pair_count(ta, tb)
+    n2a = pair_count(ta, ta)
+    n2b = pair_count(tb, tb)
+    # integer DIV, not floor(double /): a quotient one ulp under an integer
+    # would round up in binary64 and floor() one too high vs the oracle
+    d = d.select(
+        "doc_id",
+        "b",
+        (F.lit(1_000_000).cast("long") * dot * dot).alias("_num"),
+        (n2a * n2b).alias("_den"),
+    ).select(
+        "doc_id",
+        "b",
+        F.when(F.col("_den") > 0, F.expr("_num DIV _den"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("v"),
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("b")
+    vm1, vm2 = F.lag("v", 1).over(w), F.lag("v", 2).over(w)
+    vp1, vp2 = F.lead("v", 1).over(w), F.lead("v", 2).over(w)
+    v = F.col("v")
+    left_peak = F.greatest(F.coalesce(vm1, v), F.coalesce(vm2, v))
+    right_peak = F.greatest(F.coalesce(vp1, v), F.coalesce(vp2, v))
+    depth = (left_peak - v) + (right_peak - v)
+    is_min = (v <= F.coalesce(vm1, v)) & (v <= F.coalesce(vp1, v))
+    return (
+        d.withColumn("depth", depth)
+        .withColumn("_min", is_min)
+        .where(F.col("_min") & (F.col("depth") >= depth_milli))
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("b").cast("int").alias("boundary_block"),
+            ((F.col("b") + 1) * block).cast("int").alias("token_offset"),
+            F.col("v").cast("long").alias("sim_milli"),
+            F.col("depth").cast("long").alias("depth_milli"),
+        )
+    )
