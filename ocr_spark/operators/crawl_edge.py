@@ -278,35 +278,40 @@ def resolve_redirects(edges_df: DataFrame, max_hops: int = 8) -> DataFrame:
         .union(edges.select(F.col("nxt").alias("node")))
         .distinct()
     )
-    # f_1: one step (or stay put at a terminal)
-    f = (
-        nodes.join(edges, "node", "left")
-        .select(
-            "node",
-            F.coalesce("nxt", "node").alias("after"),
-            F.when(F.col("nxt").isNotNull(), 1)
-            .otherwise(0)
-            .cast("long")
-            .alias("steps"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    rounds = max_hops.bit_length() - 1  # log2
-    for _ in range(rounds):
-        nxt_hop = f.select(
-            F.col("node").alias("j_node"),
-            F.col("after").alias("j_after"),
-            F.col("steps").alias("j_steps"),
-        )
+    # the doubling state is one row per node: bound the round shuffles by
+    # that cardinality, not the session's scan-sized partitioning
+    from ..plans.session import iteration_shuffle
+
+    with iteration_shuffle(edges_df.sparkSession, nodes.count()):
+        # f_1: one step (or stay put at a terminal)
         f = (
-            f.join(nxt_hop, f["after"] == nxt_hop["j_node"])
+            nodes.join(edges, "node", "left")
             .select(
                 "node",
-                F.col("j_after").alias("after"),
-                (F.col("steps") + F.col("j_steps")).alias("steps"),
+                F.coalesce("nxt", "node").alias("after"),
+                F.when(F.col("nxt").isNotNull(), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("steps"),
             )
             .localCheckpoint(eager=True)
         )
+        rounds = max_hops.bit_length() - 1  # log2
+        for _ in range(rounds):
+            nxt_hop = f.select(
+                F.col("node").alias("j_node"),
+                F.col("after").alias("j_after"),
+                F.col("steps").alias("j_steps"),
+            )
+            f = (
+                f.join(nxt_hop, f["after"] == nxt_hop["j_node"])
+                .select(
+                    "node",
+                    F.col("j_after").alias("after"),
+                    (F.col("steps") + F.col("j_steps")).alias("steps"),
+                )
+                .localCheckpoint(eager=True)
+            )
     out = (
         f.join(
             edges.select(F.col("node").alias("t_node")),

@@ -653,6 +653,17 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    # the label table is one row per doc with a dup: bound the round
+    # shuffles by that cardinality (see iteration_shuffle) — the count is
+    # a scan of the checkpoint just built
+    from ..plans.session import iteration_shuffle
+
+    with iteration_shuffle(pairs.sparkSession, labels.count()):
+        labels = _propagate_labels(adj, labels, max_iters)
+    return labels
+
+
+def _propagate_labels(adj: DataFrame, labels: DataFrame, max_iters: int) -> DataFrame:
     for _ in range(max_iters):
         # (a) one-hop: min over neighbors' labels and own label
         neighbor_labels = adj.join(

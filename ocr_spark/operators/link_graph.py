@@ -379,10 +379,18 @@ def hits_hosts(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
 
     hubs = nodes.select("host", F.lit(HITS_SCALE).cast("long").alias("hub"))
     auths = None
-    for _ in range(n_iters):
-        auths = _half(hubs, "hub", "src_host", "dst_host", "auth")
-        hubs = _half(auths, "auth", "dst_host", "src_host", "hub")
-    return hubs.join(auths, "host").select("host", "hub", "auth")
+    # round state is one (host, long) row per host: derive the loop's
+    # shuffle partitioning from that cardinality, not the session's
+    # scan-sized setting (anti-scaling otherwise — see iteration_shuffle)
+    from ..plans.session import iteration_shuffle
+
+    with iteration_shuffle(edges_df.sparkSession, nodes.count()):
+        for _ in range(n_iters):
+            auths = _half(hubs, "hub", "src_host", "dst_host", "auth")
+            hubs = _half(auths, "auth", "dst_host", "src_host", "hub")
+        out = hubs.join(auths, "host").select("host", "hub", "auth")
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 def host_reciprocity(edges_df: DataFrame) -> DataFrame:
@@ -455,23 +463,30 @@ def seed_distance_hosts(edges_df, seed_pred, max_hops: int = 4) -> DataFrame:
         "is_seed",
         F.when(F.col("is_seed"), F.lit(0)).cast("int").alias("dist"),
     )
-    for _ in range(max_hops):
-        relax = (
-            edges.join(
-                dist.where(F.col("dist").isNotNull()).select(
-                    F.col("host").alias("src_host"), "dist"
-                ),
-                "src_host",
+    # per-round state is one row per host; bound the round shuffles by
+    # that cardinality and materialize the final table inside the scope
+    # (the loop itself is lazy) — see iteration_shuffle
+    from ..plans.session import iteration_shuffle
+
+    with iteration_shuffle(edges_df.sparkSession, nodes.count()):
+        for _ in range(max_hops):
+            relax = (
+                edges.join(
+                    dist.where(F.col("dist").isNotNull()).select(
+                        F.col("host").alias("src_host"), "dist"
+                    ),
+                    "src_host",
+                )
+                .select(F.col("dst_host").alias("host"), (F.col("dist") + 1).alias("cand"))
+                .groupBy("host")
+                .agg(F.min("cand").alias("cand"))
             )
-            .select(F.col("dst_host").alias("host"), (F.col("dist") + 1).alias("cand"))
-            .groupBy("host")
-            .agg(F.min("cand").alias("cand"))
-        )
-        dist = dist.join(relax, "host", "left").select(
-            "host",
-            "is_seed",
-            F.least(F.col("dist"), F.col("cand")).cast("int").alias("dist"),
-        )
+            dist = dist.join(relax, "host", "left").select(
+                "host",
+                "is_seed",
+                F.least(F.col("dist"), F.col("cand")).cast("int").alias("dist"),
+            )
+        dist = dist.localCheckpoint(eager=True)
     return dist
 
 
