@@ -435,6 +435,21 @@ def q_ngram_lm(spark, sf):  # corpus-trained stupid-backoff bigram LM score
     return stupid_backoff_score(d, uni, bi, n)
 
 
+def q_kn_lm(spark, sf):  # corpus-trained interpolated Kneser-Ney bigram LM
+    """Same train slice and pruned bigram table as ngram_lm, scored with
+    interpolated Kneser-Ney (the KenLM/CCNet smoothing) instead of stupid
+    backoff — continuation counts and totals all derive from the one
+    pruned table, so the oracle re-derives the whole model."""
+    from .operators.lm import kneser_ney_score, ngram_lm_counts
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.substring(F.col("text"), 1, 300).alias("text")
+    )
+    train = d.filter(F.col("doc_id") % 7 == 0)
+    _, bi, _ = ngram_lm_counts(train, min_count=2)
+    return kneser_ney_score(d, bi)
+
+
 def q_jaccard_cjk(spark, sf):  # char-shingle near-dup over unsegmented text
     """Whitespace-free Han documents (groups of 10 share a 40-char base
     drawn from a 10-glyph alphabet; each doc appends a short per-doc
@@ -3645,6 +3660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_dups": q_phash_dups,
     "lr_trained": q_lr_trained,
     "text_tiles": q_text_tiles,
+    "kn_lm": q_kn_lm,
     "detect_maps": q_detect_maps,
     "combine_boxes": q_combine_boxes,
     "nms_boxes": q_nms_boxes,
@@ -7950,6 +7966,64 @@ ORACLE_SQL["ngram_lm"] = r"""
            END AS sb_per_bigram_milli
     FROM d LEFT JOIN agg a USING (doc_id)
 """
+
+ORACLE_SQL["kn_lm"] = r"""
+    WITH d AS (SELECT doc_id, substr(text, 1, 300) AS text FROM documents),
+    tr AS (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS t
+           FROM d WHERE doc_id % 7 = 0),
+    bi AS (
+        SELECT g, COUNT(*) AS c2 FROM (
+            SELECT t[CAST(r.i AS INT)] || ' ' || t[CAST(r.i AS INT) + 1] AS g
+            FROM tr, unnest(range(1, len(t))) AS r(i)
+        ) GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    lft AS (SELECT split_part(g, ' ', 1) AS w1l, SUM(c2) AS c1tot,
+                   COUNT(*) AS n1w1
+            FROM bi GROUP BY 1),
+    rgt AS (SELECT split_part(g, ' ', 2) AS w2r, COUNT(*) AS n1w2
+            FROM bi GROUP BY 1),
+    ty AS (SELECT greatest(COUNT(*), 1) AS n FROM bi),
+    ptoks AS (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS t
+           FROM d),
+    probe AS (
+        SELECT doc_id,
+               t[CAST(r.i AS INT)] AS w1,
+               t[CAST(r.i AS INT) + 1] AS w2
+        FROM ptoks, unnest(range(1, len(t))) AS r(i)
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(floor(ln(
+                   CASE WHEN l.c1tot IS NOT NULL THEN
+                       (greatest(CAST(COALESCE(b.c2, 0) AS DOUBLE) - 0.75, 0.0)
+                        + 0.75 * CAST(l.n1w1 AS DOUBLE)
+                          * (CAST(greatest(COALESCE(r.n1w2, 0), 1) AS DOUBLE)
+                             / CAST(ty.n AS DOUBLE)))
+                       / CAST(l.c1tot AS DOUBLE)
+                   ELSE CAST(greatest(COALESCE(r.n1w2, 0), 1) AS DOUBLE)
+                        / CAST(ty.n AS DOUBLE)
+                   END) * 1000) AS BIGINT) AS term
+        FROM probe p
+        LEFT JOIN bi b ON p.w1 || ' ' || p.w2 = b.g
+        LEFT JOIN lft l ON p.w1 = l.w1l
+        LEFT JOIN rgt r ON p.w2 = r.w2r
+        CROSS JOIN ty
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, SUM(term) AS kn_milli
+        FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS INT) AS n_bigrams,
+           CAST(COALESCE(a.kn_milli, 0) AS BIGINT) AS kn_milli,
+           CASE WHEN a.n_bigrams > 0
+                THEN CAST(floor(a.kn_milli / CAST(a.n_bigrams AS DOUBLE)) AS BIGINT)
+           END AS kn_per_bigram_milli
+    FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
 
 
 # --------------------------------------------------------------------------

@@ -285,3 +285,110 @@ def nb_train_score(
             (F.col("nb_milli") > 0).alias("label"),
         )
     )
+
+
+def kneser_ney_score(
+    docs: DataFrame,
+    bi: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    smoothing KenLM ships and CCNet-style perplexity filters rely on) —
+    the principled sibling of :func:`stupid_backoff_score` (Brants et al.
+    2007 trade exactness for scale; KN keeps proper probabilities):
+
+        P(w2|w1) = max(c(w1w2) - D, 0)/c(w1.) + D*N1+(w1,.)/c(w1.) * Pc(w2)
+        Pc(w2)   = max(N1+(., w2), 1) / N_types        (floor = OOV guard)
+        P(w2|w1) = Pc(w2)                              when w1 unseen
+
+    with discount D = 0.75.  EVERY model quantity derives from the ONE
+    pruned bigram count table ``bi`` (w1, w2, c2) — the left/right
+    continuation tables and the type total are aggregates of it, so the
+    model stays bounded and the DuckDB oracle can re-derive it all:
+
+    - left  (w1): c(w1.) = sum c2, N1+(w1,.) = count rows
+    - right (w2): N1+(., w2) = count rows
+    - N_types = count(*) over ``bi`` (>= 1 guard)
+
+    Per-term quantization is the established floor-milli-ln contract
+    (``floor(ln(p) * 1000)`` with p built by a FIXED double expression
+    tree both engines evaluate identically).  Scale shape identical to
+    stupid_backoff_score: explode adjacent pairs, THREE broadcast model
+    joins, one doc_id groupBy.  Output: (id, n_bigrams, kn_milli,
+    kn_per_bigram_milli)."""
+    left = bi.groupBy(F.split(F.col("g"), " ").getItem(0).alias("w1l")).agg(
+        F.sum("c2").alias("c1tot"), F.count(F.lit(1)).alias("n1w1")
+    )
+    right = bi.groupBy(F.split(F.col("g"), " ").getItem(1).alias("w2r")).agg(
+        F.count(F.lit(1)).alias("n1w2")
+    )
+    n_types = max(int(bi.count()), 1)
+
+    toks = _tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("w1"),
+                F.lit(None).cast("string").alias("w2"),
+            )
+        )
+    )
+    probe = docs.select(id_col, F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bi_m = F.broadcast(bi) if broadcast_model else bi
+    left_m = F.broadcast(left) if broadcast_model else left
+    right_m = F.broadcast(right) if broadcast_model else right
+    joined = (
+        probe.join(
+            bi_m, F.concat_ws(" ", probe["w1"], probe["w2"]) == bi_m["g"], "left"
+        )
+        .drop("g")
+        .join(left_m, F.col("w1") == F.col("w1l"), "left")
+        .drop("w1l")
+        .join(right_m, F.col("w2") == F.col("w2r"), "left")
+        .drop("w2r")
+    )
+
+    pc = (
+        F.greatest(F.coalesce(F.col("n1w2"), F.lit(0)), F.lit(1)).cast("double")
+        / F.lit(float(n_types))
+    )
+    c2d = F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+    p_seen = (
+        F.greatest(c2d - F.lit(0.75), F.lit(0.0))
+        + F.lit(0.75) * F.col("n1w1").cast("double") * pc
+    ) / F.col("c1tot").cast("double")
+    p = F.when(F.col("c1tot").isNotNull(), p_seen).otherwise(pc)
+    term = F.when(
+        F.col("w1").isNotNull(), F.floor(F.log(p) * F.lit(LN_QUANT)).cast("long")
+    )
+
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("w1").alias("n_bigrams"),
+            F.coalesce(F.sum(term), F.lit(0)).alias("kn_milli"),
+        )
+        .select(
+            id_col,
+            F.col("n_bigrams").cast("int").alias("n_bigrams"),
+            F.col("kn_milli").cast("long").alias("kn_milli"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.floor(F.col("kn_milli") / F.col("n_bigrams")).cast("long"),
+            ).alias("kn_per_bigram_milli"),
+        )
+    )
