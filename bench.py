@@ -146,6 +146,10 @@ BENCH_QUERIES = [
     "ip_asn",
     "profile",
     "annotate_meta",
+    "phash_dups",
+    "lr_trained",
+    "text_tiles",
+    "kn_lm",
 ]
 
 
