@@ -561,18 +561,23 @@ def hyperball_harmonic(
         )
 
     ests = [estimates(regs, 0)]
-    for t in range(1, rounds + 1):
-        shipped = edges.join(regs, edges.src_host == regs.host).select(
-            F.col("dst_host").alias("host"), "register", "max_rho"
-        )
-        regs = (
-            regs.unionByName(shipped)
-            .groupBy("host", "register")
-            .agg(F.max("max_rho").alias("max_rho"))
-        )
-        if t % 2 == 0:
-            regs = regs.localCheckpoint(eager=True)
-        ests.append(estimates(regs, t))
+    # register state is <= hosts*m small rows; bound the round shuffles by
+    # its cardinality (see iteration_shuffle)
+    from ..plans.session import iteration_shuffle
+
+    with iteration_shuffle(edges_df.sparkSession, regs.count()):
+        for t in range(1, rounds + 1):
+            shipped = edges.join(regs, edges.src_host == regs.host).select(
+                F.col("dst_host").alias("host"), "register", "max_rho"
+            )
+            regs = (
+                regs.unionByName(shipped)
+                .groupBy("host", "register")
+                .agg(F.max("max_rho").alias("max_rho"))
+            )
+            if t % 2 == 0:
+                regs = regs.localCheckpoint(eager=True)
+            ests.append(estimates(regs, t))
 
     allest = ests[0]
     for e in ests[1:]:
@@ -709,6 +714,15 @@ def kcore_hosts(edges_df: DataFrame, *, k: int = 2, rounds: int = 4) -> DataFram
     # fixed-round oracle replays them; they change nothing).
     alive = alive.localCheckpoint(eager=True)
     n_alive = alive.count()
+    # survivor state is one row per alive host: bound the peel shuffles by
+    # its cardinality (see iteration_shuffle)
+    from ..plans.session import iteration_shuffle
+
+    with iteration_shuffle(edges_df.sparkSession, n_alive):
+        return _kcore_peel(und, alive, n_alive, k, rounds)
+
+
+def _kcore_peel(und, alive, n_alive, k, rounds):
     deg = None
     for _ in range(rounds):
         e = und.join(alive.withColumnRenamed("host", "a"), "a").join(
@@ -841,6 +855,17 @@ def label_propagation(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
     nodes = und.select(F.col("src_host").alias("host")).distinct().persist()
     labels = nodes.select("host", F.col("host").alias("label"))
     w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("label"))
+    # label state is one row per host: bound the round shuffles by its
+    # cardinality (see iteration_shuffle) — the every-2nd-round eager
+    # checkpoints inside the scope carry the bounded partitioning
+    from ..plans.session import iteration_shuffle
+
+    with iteration_shuffle(edges_df.sparkSession, nodes.count()):
+        labels = _lpa_rounds(und, labels, w, n_iters)
+    return labels
+
+
+def _lpa_rounds(und, labels, w, n_iters):
     for i in range(n_iters):
         votes = (
             und.join(labels.withColumnRenamed("host", "nb"), und.dst_host == F.col("nb"))
