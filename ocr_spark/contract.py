@@ -2452,6 +2452,16 @@ def q_unimax(spark, sf):  # UniMax source-mixture token allocation
     )
 
 
+def q_alpha_mix(spark, sf):  # XLM alpha=0.5 temperature mixture sampling
+    """Temperature sampling over the documents source column at alpha=1/2
+    — chosen because IEEE requires sqrt correctly rounded, so the whole
+    allocation is exact integer arithmetic both engines replay (weights
+    floor(sqrt(tokens)), largest-remainder rounding, name tiebreak)."""
+    from .operators.mixture import alpha_half_allocation
+
+    return alpha_half_allocation(_t(spark, sf, "documents"), budget_divisor=2)
+
+
 def q_bitext(spark, sf):  # ParaCrawl-style bitext candidate mining
     """Five language editions per article group (doc_id residues) share a
     path modulo the lang segment; the operator strips the segment via
@@ -3661,6 +3671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lr_trained": q_lr_trained,
     "text_tiles": q_text_tiles,
     "kn_lm": q_kn_lm,
+    "alpha_mix": q_alpha_mix,
     "detect_maps": q_detect_maps,
     "combine_boxes": q_combine_boxes,
     "nms_boxes": q_nms_boxes,
@@ -7471,6 +7482,33 @@ ORACLE_SQL["bloom_prefilter"] = """
         FROM per JOIN bits USING (pos) GROUP BY 1)
     SELECT pos.doc_id, pos.url, coalesce(hits.n, 0) = 3 AS candidate
     FROM pos LEFT JOIN hits ON pos.doc_id = hits.doc_id
+"""
+
+ORACLE_SQL["alpha_mix"] = r"""
+    WITH per AS (SELECT source,
+            CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                     w -> w <> ''))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+    w AS (SELECT *, CAST(floor(sqrt(tokens)) AS BIGINT) AS weight FROM per),
+    t AS (SELECT *,
+            CAST(sum(tokens) OVER () // 2 AS BIGINT) AS budget,
+            sum(weight) OVER () AS w_sum
+        FROM w),
+    b AS (SELECT *,
+            (budget * weight) // greatest(w_sum, 1) AS base,
+            (budget * weight) % greatest(w_sum, 1) AS rem
+        FROM t),
+    l AS (SELECT *, budget - sum(base) OVER () AS leftover,
+            row_number() OVER (ORDER BY rem DESC, source ASC) AS rank
+        FROM b)
+    SELECT source, tokens, weight,
+           CAST(base + CASE WHEN rank <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS allocation,
+           CAST(CASE WHEN tokens > 0
+                THEN ((base + CASE WHEN rank <= leftover THEN 1 ELSE 0 END)
+                      * 1000) // greatest(tokens, 1)
+                ELSE 0 END AS BIGINT) AS sample_milli
+    FROM l
 """
 
 ORACLE_SQL["unimax"] = r"""

@@ -114,3 +114,75 @@ def unimax_allocation(
         .cast("long")
         .alias("epochs_milli"),
     )
+
+
+def alpha_half_allocation(
+    docs: DataFrame,
+    *,
+    budget_divisor: int = 2,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """XLM-style temperature sampling at alpha = 1/2 (Lample & Conneau
+    2019 §3.1: sample sources with p_j ∝ n_j^alpha to upweight the tail;
+    alpha=0.5 is their multilingual setting) — the smooth complement of
+    :func:`unimax_allocation`'s hard caps.
+
+    alpha = 1/2 is chosen deliberately for EXACTNESS: IEEE 754 requires
+    sqrt to be correctly rounded (unlike pow/exp/ln), so
+    ``floor(sqrt(tokens))`` is bit-identical in every engine and the
+    whole allocation stays in integer arithmetic:
+
+    - w_j = floor(sqrt(tokens_j))
+    - budget = total_tokens div budget_divisor
+    - base_j = (budget * w_j) div W,  W = sum w_j   (fits long up to
+      ~1e12-token corpora x 1e6 weights; lift to decimal(38,0) beyond,
+      the pagerank_hosts pattern)
+    - the leftover budget - sum(base_j) < n_sources goes +1 each to the
+      largest remainders (budget*w_j mod W), ties broken by source name —
+      the deterministic largest-remainder method.
+
+    One groupBy(source) + bounded window math over the per-source table
+    (sources number in the hundreds at corpus scale): same shuffle shape
+    as unimax.  Output: (source, tokens, weight, allocation,
+    sample_milli = allocation*1000 div tokens)."""
+    per = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.size(_tokens(F.col(text_col))).cast("long").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("tokens"))
+        .withColumn("weight", F.floor(F.sqrt(F.col("tokens"))).cast("long"))
+    )
+    all_w = Window.partitionBy()
+    rem_w = Window.orderBy(
+        F.desc("rem"), F.asc("source")
+    )
+    sized = (
+        per.withColumn("_total", F.sum("tokens").over(all_w))
+        .withColumn("budget", F.expr(f"_total div {int(budget_divisor)}"))
+        .withColumn("w_sum", F.sum("weight").over(all_w))
+        .withColumn("base", F.expr("(budget * weight) div greatest(w_sum, 1)"))
+        .withColumn("rem", F.expr("(budget * weight) % greatest(w_sum, 1)"))
+        .withColumn("leftover", F.col("budget") - F.sum("base").over(all_w))
+    )
+    final = sized.withColumn("rank", F.row_number().over(rem_w)).withColumn(
+        "allocation",
+        (F.col("base") + F.when(F.col("rank") <= F.col("leftover"), 1).otherwise(0)).cast(
+            "long"
+        ),
+    )
+    return final.select(
+        "source",
+        "tokens",
+        "weight",
+        "allocation",
+        F.when(
+            F.col("tokens") > 0,
+            F.expr("(allocation * 1000) div greatest(tokens, 1)"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("sample_milli"),
+    )

@@ -1,0 +1,52 @@
+"""XLM alpha=0.5 temperature mixture allocation (operators/mixture)."""
+
+import math
+
+from ocr_spark.operators.mixture import alpha_half_allocation
+
+
+def _df(spark, sizes):
+    rows = []
+    i = 0
+    for src, n_tokens in sizes.items():
+        rows.append((i, src, "w " * n_tokens))
+        i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_allocations_sum_to_budget_and_match_reference(spark):
+    sizes = {"web": 10_000, "wiki": 400, "books": 2_500, "code": 90}
+    out = {r["source"]: r for r in alpha_half_allocation(_df(spark, sizes)).collect()}
+    total = sum(sizes.values())
+    budget = total // 2
+    assert sum(r["allocation"] for r in out.values()) == budget
+    # python reference: identical integer largest-remainder method
+    w = {s: math.isqrt(n) for s, n in sizes.items()}
+    W = sum(w.values())
+    base = {s: budget * w[s] // W for s in sizes}
+    rem = {s: budget * w[s] % W for s in sizes}
+    leftover = budget - sum(base.values())
+    order = sorted(sizes, key=lambda s: (-rem[s], s))
+    for i, s in enumerate(order):
+        expect = base[s] + (1 if i < leftover else 0)
+        assert out[s]["allocation"] == expect
+        assert out[s]["weight"] == w[s]
+
+
+def test_sqrt_upweights_the_tail(spark):
+    # alpha=1/2 gives the small source a larger sampling rate (allocation
+    # per token) than the big one — the point of temperature sampling
+    sizes = {"big": 40_000, "small": 100}
+    out = {r["source"]: r for r in alpha_half_allocation(_df(spark, sizes)).collect()}
+    assert out["small"]["sample_milli"] > out["big"]["sample_milli"]
+    # and proportional-to-sqrt, not proportional-to-size: the ratio of
+    # allocations tracks sqrt(40000)/sqrt(100) = 20, not 400
+    ratio = out["big"]["allocation"] / max(out["small"]["allocation"], 1)
+    assert ratio < 40  # far below the linear 400
+
+
+def test_deterministic_tie_break(spark):
+    sizes = {"a": 100, "b": 100, "c": 100}
+    one = alpha_half_allocation(_df(spark, sizes)).collect()
+    two = alpha_half_allocation(_df(spark, sizes).repartition(7)).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, two))
