@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "lr_trained",
     "text_tiles",
     "kn_lm",
+    "alpha_mix",
+    "soft404",
 ]
 
 

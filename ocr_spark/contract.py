@@ -2462,6 +2462,64 @@ def q_alpha_mix(spark, sf):  # XLM alpha=0.5 temperature mixture sampling
     return alpha_half_allocation(_t(spark, sf, "documents"), budget_divisor=2)
 
 
+def q_soft404(spark, sf):  # soft-404 detection (crawl health)
+    """Synthetic pages constructed per doc_id residue: k%5 picks the
+    error shape (404 title / error-prose body / healthy long body /
+    thin-but-honest / Error-in-title), k%11==0 answers a HARD 404 status.
+    The operator must parse its way to EXACTLY the closed-form case table
+    the oracle states directly (robots_filter-style independent
+    derivation)."""
+    from .operators.corpus_filters import soft404_flags
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    url = F.concat(F.lit("https://h"), (k % 10).cast("string"), F.lit(".example/p/"), ks)
+    status = F.when(k % 11 == 0, F.lit(404)).otherwise(F.lit(200))
+    filler = F.repeat(F.concat(F.lit("word"), ks, F.lit(" ")), 40)
+    html = (
+        F.when(
+            k % 5 == 0,
+            F.concat(
+                F.lit("<html><head><title>404 Not Found</title></head><body>gone "),
+                ks,
+                F.lit("</body></html>"),
+            ),
+        )
+        .when(
+            k % 5 == 1,
+            F.concat(
+                F.lit("<html><head><title>Doc "),
+                ks,
+                F.lit("</title></head><body>The page you requested does not exist.</body></html>"),
+            ),
+        )
+        .when(
+            k % 5 == 2,
+            F.concat(
+                F.lit("<html><head><title>Doc "),
+                ks,
+                F.lit("</title></head><body>"),
+                filler,
+                F.lit("</body></html>"),
+            ),
+        )
+        .when(
+            k % 5 == 3,
+            F.concat(F.lit("<html><body>short note "), ks, F.lit("</body></html>")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<html><head><title>Server Error</title></head><body>"),
+                filler,
+                F.lit("</body></html>"),
+            )
+        )
+    )
+    pages = d.select(url.alias("url"), status.alias("status"), html.alias("html"))
+    return soft404_flags(pages)
+
+
 def q_bitext(spark, sf):  # ParaCrawl-style bitext candidate mining
     """Five language editions per article group (doc_id residues) share a
     path modulo the lang segment; the operator strips the segment via
@@ -3672,6 +3730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tiles": q_text_tiles,
     "kn_lm": q_kn_lm,
     "alpha_mix": q_alpha_mix,
+    "soft404": q_soft404,
     "detect_maps": q_detect_maps,
     "combine_boxes": q_combine_boxes,
     "nms_boxes": q_nms_boxes,
@@ -7509,6 +7568,29 @@ ORACLE_SQL["alpha_mix"] = r"""
                       * 1000) // greatest(tokens, 1)
                 ELSE 0 END AS BIGINT) AS sample_milli
     FROM l
+"""
+
+ORACLE_SQL["soft404"] = """
+    SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example/p/'
+               || CAST(doc_id AS VARCHAR) AS url,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS INT)
+               AS status,
+           CASE doc_id % 5
+               WHEN 0 THEN TRUE
+               WHEN 1 THEN CAST(doc_id AS VARCHAR) LIKE '%404%'
+               WHEN 2 THEN CAST(doc_id AS VARCHAR) LIKE '%404%'
+               WHEN 3 THEN FALSE
+               ELSE TRUE END AS title_404,
+           (doc_id % 5 = 1) AS body_404,
+           (doc_id % 5 IN (0, 1, 3)) AS thin,
+           (doc_id % 11 <> 0) AND (
+               CASE doc_id % 5
+                   WHEN 0 THEN TRUE
+                   WHEN 1 THEN TRUE
+                   WHEN 2 THEN CAST(doc_id AS VARCHAR) LIKE '%404%'
+                   WHEN 3 THEN FALSE
+                   ELSE TRUE END) AS soft404
+    FROM documents
 """
 
 ORACLE_SQL["unimax"] = r"""

@@ -956,3 +956,47 @@ def shuffle_shards(
         df.select("doc_id", key.alias("shuffle_key"), shard.alias("shard"))
         .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# soft-404 detection (crawl health)
+# ---------------------------------------------------------------------------
+
+def soft404_flags(pages: DataFrame, *, thin_chars: int = 200) -> DataFrame:
+    """Soft-404 detection: pages that answer HTTP 200 but are error pages
+    (the crawl-health classic — Bar-Yossef et al. 2004 "Sic transit
+    gloria telae").  Left in a corpus they pollute dedup (mega-clusters
+    of near-identical error bodies) and training data (boilerplate error
+    prose), so the gate runs right after fetch.
+
+    Pure per-row Column program over (url, status, html):
+
+    - title      = first <title> text (case-insensitive tag match)
+    - title_404  = title matches 404 / not found / error / does not exist
+      / unavailable (case-insensitive)
+    - body_404   = tag-stripped body matches page not found / does not
+      exist / no longer available
+    - thin       = tag-stripped whitespace-collapsed body shorter than
+      ``thin_chars``
+    - soft404    = status == 200 AND (title_404 OR body_404)
+
+    Hard 404s (status != 200) are already honest — flagged false here and
+    handled by status filtering. Zero exchanges, zero Python; RE2-safe
+    regexes so the same patterns run in any engine."""
+    html = F.col("html")
+    title = F.regexp_extract(html, r"(?i)<title[^>]*>([^<]*)</title>", 1)
+    body = F.regexp_replace(html, r"<[^>]+>", " ")
+    squeezed = F.trim(F.regexp_replace(body, r"\s+", " "))
+    title_404 = title.rlike(r"(?i)(404|not found|error|does not exist|unavailable)")
+    body_404 = squeezed.rlike(
+        r"(?i)(page not found|does not exist|no longer available)"
+    )
+    thin = F.length(squeezed) < thin_chars
+    return pages.select(
+        "url",
+        F.col("status").cast("int").alias("status"),
+        title_404.alias("title_404"),
+        body_404.alias("body_404"),
+        thin.alias("thin"),
+        ((F.col("status") == 200) & (title_404 | body_404)).alias("soft404"),
+    )

@@ -50,3 +50,29 @@ def test_deterministic_tie_break(spark):
     one = alpha_half_allocation(_df(spark, sizes)).collect()
     two = alpha_half_allocation(_df(spark, sizes).repartition(7)).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, two))
+
+
+# ---------------------------------------------------------------------------
+# soft-404 detection (operators/corpus_filters.soft404_flags)
+# ---------------------------------------------------------------------------
+
+def test_soft404_flags(spark):
+    from ocr_spark.operators.corpus_filters import soft404_flags
+
+    long_body = "<body>" + "real content here " * 30 + "</body>"
+    rows = [
+        ("a", 200, "<html><head><title>404 Not Found</title></head><body>x</body></html>"),
+        ("b", 200, "<html><head><title>Fine</title></head><body>The page you requested does not exist.</body></html>"),
+        ("c", 200, "<html><head><title>Fine</title></head>" + long_body + "</html>"),
+        ("d", 404, "<html><head><title>404 Not Found</title></head><body>x</body></html>"),
+        ("e", 200, "<html><body>tiny honest stub</body></html>"),
+        ("f", 200, "<html><head><TITLE>Server Error</TITLE></head>" + long_body + "</html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, status int, html string")
+    got = {r["url"]: r for r in soft404_flags(df).collect()}
+    assert got["a"]["soft404"] and got["a"]["title_404"] and got["a"]["thin"]
+    assert got["b"]["soft404"] and got["b"]["body_404"] and not got["b"]["title_404"]
+    assert not got["c"]["soft404"] and not got["c"]["thin"]
+    assert not got["d"]["soft404"]  # hard 404 is already honest
+    assert not got["e"]["soft404"] and got["e"]["thin"]  # thin alone isn't an error page
+    assert got["f"]["soft404"] and got["f"]["title_404"]  # case-insensitive tag+word
