@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "kn_lm",
     "alpha_mix",
     "soft404",
+    "line_langid",
 ]
 
 

@@ -2520,6 +2520,34 @@ def q_soft404(spark, sf):  # soft-404 detection (crawl health)
     return soft404_flags(pages)
 
 
+def q_line_langid(spark, sf):  # per-line language segmentation
+    """Multilingual pages constructed per doc_id residue: an English
+    first line always; a French line at k%2==0, a German line at k%3==0,
+    a blank line at k%4==0 (must be dropped but still consume a line
+    number), a digits-only 'und' line at k%5==0.  All markers sit
+    interior with real spaces so the doc-level vote sees every language;
+    ties resolve to 'en' by CASE order, so doc_lang == 'en' everywhere
+    and divergence flags exactly the non-English lines.  The oracle
+    builds the same line table closed-form with residue-derived line
+    numbers."""
+    from .operators.text_analysis import line_langid
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    lines = F.array_compact(
+        F.array(
+            F.concat(F.lit("the cat and dog of note "), ks),
+            F.when(k % 2 == 0, F.concat(F.lit("x le chien et la maison "), ks)),
+            F.when(k % 3 == 0, F.lit("y der hund und die katze")),
+            F.when(k % 4 == 0, F.lit("   ")),
+            F.when(k % 5 == 0, F.lit("12345 67890")),
+        )
+    )
+    docs = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return line_langid(docs)
+
+
 def q_bitext(spark, sf):  # ParaCrawl-style bitext candidate mining
     """Five language editions per article group (doc_id residues) share a
     path modulo the lang segment; the operator strips the segment via
@@ -3731,6 +3759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kn_lm": q_kn_lm,
     "alpha_mix": q_alpha_mix,
     "soft404": q_soft404,
+    "line_langid": q_line_langid,
     "detect_maps": q_detect_maps,
     "combine_boxes": q_combine_boxes,
     "nms_boxes": q_nms_boxes,
@@ -3845,7 +3874,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_pipeline_v2": q_training_pipeline_v2,
     "url_canon": q_url_canon,
     "url_features": q_url_features,
-    "soft404": q_soft404,
     # -- driver-verified green in CORRECTNESS_r02 (tail) --
     "size_filter": q_size_filter,
     "region_filter": q_region_filter,
@@ -7568,6 +7596,37 @@ ORACLE_SQL["alpha_mix"] = r"""
                       * 1000) // greatest(tokens, 1)
                 ELSE 0 END AS BIGINT) AS sample_milli
     FROM l
+"""
+
+ORACLE_SQL["line_langid"] = """
+    WITH k AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ks FROM documents),
+    lines AS (
+        SELECT doc_id, 0 AS line_no,
+               length('the cat and dog of note ' || ks) AS n_chars,
+               'en' AS line_lang
+        FROM k
+        UNION ALL
+        SELECT doc_id, 1,
+               length('x le chien et la maison ' || ks), 'fr'
+        FROM k WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id,
+               1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END,
+               length('y der hund und die katze'), 'de'
+        FROM k WHERE doc_id % 3 = 0
+        UNION ALL
+        -- the blank k%4 line is dropped but still consumes a line number
+        SELECT doc_id,
+               1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END,
+               length('12345 67890'), 'und'
+        FROM k WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, CAST(line_no AS INT) AS line_no,
+           CAST(n_chars AS INT) AS n_chars, line_lang,
+           'en' AS doc_lang, (line_lang <> 'en') AS diverges
+    FROM lines
 """
 
 ORACLE_SQL["soft404"] = """

@@ -510,3 +510,39 @@ def text_tiles(
             F.col("depth").cast("long").alias("depth_milli"),
         )
     )
+
+
+def line_langid(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-LINE language segmentation: multilingual web pages routinely
+    interleave languages (nav chrome in one, content in another;
+    bilingual articles), and a doc-level language vote misroutes every
+    minority-language line — CCNet and mC4 both segment before language
+    filtering for exactly this reason.
+
+    Splits on newlines, language-IDs each non-blank line with the same
+    marker vote as :func:`predicted_lang` (same CASE tie order, 'und' on
+    zero hits), and emits per-line rows plus the line's divergence from
+    the document-level vote — the signal a training-data pipeline routes
+    on (keep the majority-language lines, re-route the rest).
+
+    Output: (doc_id, line_no, n_chars, line_lang, doc_lang, diverges).
+    One posexplode (zero exchanges, zero Python); at 100 TB this rides
+    the extraction scan like every per-doc signal.
+    """
+    doc_lang = predicted_lang(F.col(text_col))
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        doc_lang.alias("doc_lang"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).where(F.trim(F.col("line")) != "")
+    line_lang = predicted_lang(F.col("line"))
+    return d.select(
+        "doc_id",
+        F.col("line_no").cast("int").alias("line_no"),
+        F.length("line").cast("int").alias("n_chars"),
+        line_lang.alias("line_lang"),
+        "doc_lang",
+        (line_lang != F.col("doc_lang")).alias("diverges"),
+    )

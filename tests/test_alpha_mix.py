@@ -76,3 +76,28 @@ def test_soft404_flags(spark):
     assert not got["d"]["soft404"]  # hard 404 is already honest
     assert not got["e"]["soft404"] and got["e"]["thin"]  # thin alone isn't an error page
     assert got["f"]["soft404"] and got["f"]["title_404"]  # case-insensitive tag+word
+
+
+# ---------------------------------------------------------------------------
+# per-line language segmentation (operators/text_analysis.line_langid)
+# ---------------------------------------------------------------------------
+
+def test_line_langid_segments_and_diverges(spark):
+    from ocr_spark.operators.text_analysis import line_langid
+
+    text = "\n".join(
+        [
+            "the cat and dog of note",   # en
+            "x le chien et la maison",   # fr
+            "   ",                        # blank: dropped, consumes line_no
+            "12345 67890",                # und
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {r["line_no"]: r for r in line_langid(df).collect()}
+    assert set(rows) == {0, 1, 3}  # blank line 2 dropped
+    assert rows[0]["line_lang"] == "en" and not rows[0]["diverges"]
+    assert rows[1]["line_lang"] == "fr" and rows[1]["diverges"]
+    assert rows[3]["line_lang"] == "und" and rows[3]["diverges"]
+    # doc-level vote: en and fr tie at 3 -> en by CASE order
+    assert all(r["doc_lang"] == "en" for r in rows.values())
