@@ -151,7 +151,7 @@ BENCH_QUERIES = [
     "text_tiles",
     "kn_lm",
     "alpha_mix",
-    "soft404",
+    "soft404_html",
     "line_langid",
 ]
 

@@ -2462,14 +2462,15 @@ def q_alpha_mix(spark, sf):  # XLM alpha=0.5 temperature mixture sampling
     return alpha_half_allocation(_t(spark, sf, "documents"), budget_divisor=2)
 
 
-def q_soft404(spark, sf):  # soft-404 detection (crawl health)
+def q_soft404_html(spark, sf):  # soft-404 detection from raw HTML
     """Synthetic pages constructed per doc_id residue: k%5 picks the
     error shape (404 title / error-prose body / healthy long body /
     thin-but-honest / Error-in-title), k%11==0 answers a HARD 404 status.
     The operator must parse its way to EXACTLY the closed-form case table
     the oracle states directly (robots_filter-style independent
-    derivation)."""
-    from .operators.corpus_filters import soft404_flags
+    derivation).  Complements `soft404`, which runs on already-extracted
+    (title, text) columns."""
+    from .operators.corpus_filters import soft404_from_html
 
     d = _t(spark, sf, "documents")
     k = F.col("doc_id")
@@ -2517,7 +2518,7 @@ def q_soft404(spark, sf):  # soft-404 detection (crawl health)
         )
     )
     pages = d.select(url.alias("url"), status.alias("status"), html.alias("html"))
-    return soft404_flags(pages)
+    return soft404_from_html(pages)
 
 
 def q_line_langid(spark, sf):  # per-line language segmentation
@@ -3758,6 +3759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tiles": q_text_tiles,
     "kn_lm": q_kn_lm,
     "alpha_mix": q_alpha_mix,
+    "soft404_html": q_soft404_html,
     "soft404": q_soft404,
     "line_langid": q_line_langid,
     "detect_maps": q_detect_maps,
@@ -7629,7 +7631,7 @@ ORACLE_SQL["line_langid"] = """
     FROM lines
 """
 
-ORACLE_SQL["soft404"] = """
+ORACLE_SQL["soft404_html"] = """
     SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example/p/'
                || CAST(doc_id AS VARCHAR) AS url,
            CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS INT)

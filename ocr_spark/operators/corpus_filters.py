@@ -962,12 +962,14 @@ def shuffle_shards(
 # soft-404 detection (crawl health)
 # ---------------------------------------------------------------------------
 
-def soft404_flags(pages: DataFrame, *, thin_chars: int = 200) -> DataFrame:
-    """Soft-404 detection: pages that answer HTTP 200 but are error pages
-    (the crawl-health classic — Bar-Yossef et al. 2004 "Sic transit
-    gloria telae").  Left in a corpus they pollute dedup (mega-clusters
-    of near-identical error bodies) and training data (boilerplate error
-    prose), so the gate runs right after fetch.
+def soft404_from_html(pages: DataFrame, *, thin_chars: int = 200) -> DataFrame:
+    """Soft-404 detection from RAW HTML (the pre-parse sibling of
+    :func:`soft404_flags`, which expects already-extracted title/text
+    columns): runs where only (url, status, html) exist — i.e. straight
+    off the fetcher, before any extraction stage (Bar-Yossef et al. 2004
+    "Sic transit gloria telae").  Left in a corpus, soft 404s pollute
+    dedup (mega-clusters of near-identical error bodies) and training
+    data, so this gate can run before anything else.
 
     Pure per-row Column program over (url, status, html):
 

@@ -53,11 +53,11 @@ def test_deterministic_tie_break(spark):
 
 
 # ---------------------------------------------------------------------------
-# soft-404 detection (operators/corpus_filters.soft404_flags)
+# soft-404 detection from raw HTML (corpus_filters.soft404_from_html)
 # ---------------------------------------------------------------------------
 
-def test_soft404_flags(spark):
-    from ocr_spark.operators.corpus_filters import soft404_flags
+def test_soft404_from_html(spark):
+    from ocr_spark.operators.corpus_filters import soft404_from_html
 
     long_body = "<body>" + "real content here " * 30 + "</body>"
     rows = [
@@ -69,7 +69,7 @@ def test_soft404_flags(spark):
         ("f", 200, "<html><head><TITLE>Server Error</TITLE></head>" + long_body + "</html>"),
     ]
     df = spark.createDataFrame(rows, "url string, status int, html string")
-    got = {r["url"]: r for r in soft404_flags(df).collect()}
+    got = {r["url"]: r for r in soft404_from_html(df).collect()}
     assert got["a"]["soft404"] and got["a"]["title_404"] and got["a"]["thin"]
     assert got["b"]["soft404"] and got["b"]["body_404"] and not got["b"]["title_404"]
     assert not got["c"]["soft404"] and not got["c"]["thin"]
