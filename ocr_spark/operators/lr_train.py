@@ -6,8 +6,8 @@ module TRAINS the same model shape on the cluster, closing the loop the
 same way ``detect_train`` (D1) and ``recognize.crnn_train_bank`` (R4) do:
 
 - features: the exact integer hashing-trick of quality_classifier
-  (``_tokens`` + ``_poly_hash`` + Weinberger sign trick), computed as pure
-  Column algebra — zero exchanges, engine-exact;
+  (``_tokens`` + ``_poly_hash`` + Weinberger sign trick), via explode +
+  one codegen'd doc-keyed groupBy — engine-exact;
 - labels: a planted integer TEACHER weight vector applied to those same
   features.  Integer dots make every nonzero margin >= 1, so the data is
   linearly separable BY CONSTRUCTION (a scaled teacher plus a small
@@ -55,33 +55,48 @@ def hashed_features(
     df: DataFrame, *, dim: int = DIM, seed: int = 7, text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, n_tokens, feat array<long>[dim], y boolean) — features by
-    the quality_classifier recipe, labels by the integer teacher.  Pure
-    Column algebra: no shuffle, no Python."""
+    the quality_classifier recipe, labels by the integer teacher.
+
+    Shape: explode tokens -> ONE codegen'd groupBy(doc_id) with dim
+    conditional sums -> left join back (empty docs keep zero features).
+    The first cut computed the dim buckets as higher-order aggregates
+    over a shared hash-array EXPRESSION — the ct_langid optimizer trap:
+    projection collapse re-inlined the interpreted poly-hash into every
+    bucket lambda, recomputing it dim times per token (16 s to featurize
+    5k docs; 0.6 s this way). The one doc_id exchange is the price, and
+    it is map-side-combined and keyed by document — no skew."""
     w_star = teacher_weights(dim, seed)
     toks = _tokens(F.substring(F.col(text_col), 1, MAX_CHARS))
-    hashes = F.transform(toks, lambda t: _poly_hash(t))
-    sign = lambda h: (  # noqa: E731
-        F.when(h % (2 * dim) < dim, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    base = df.select(
+        "doc_id", F.size(toks).cast("int").alias("n_tokens"), toks.alias("_t")
     )
-    def bucket(j):  # closure (a default-arg lambda reads as 3-arg to Spark)
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h % dim == j, sign(h)).otherwise(F.lit(0).cast("long")),
-        )
-
-    feat = F.array(*[bucket(j) for j in range(dim)])
-    dot = sum(
-        (F.element_at(F.col("feat"), j + 1) * F.lit(w_star[j]).cast("long"))
-        for j in range(dim)
+    rows = base.select("doc_id", F.explode("_t").alias("tok")).select(
+        "doc_id", _poly_hash(F.col("tok")).alias("h")
     )
+    sgn = (
+        F.when(F.col("h") % (2 * dim) < dim, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    per = rows.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h") % dim == j, sgn).otherwise(F.lit(0).cast("long"))
+            ).alias(f"f{j}")
+            for j in range(dim)
+        ]
+    )
+    fj = [F.coalesce(F.col(f"f{j}"), F.lit(0).cast("long")) for j in range(dim)]
+    dot = sum(fj[j] * F.lit(w_star[j]).cast("long") for j in range(dim))
     return (
-        df.select(
+        base.select("doc_id", "n_tokens")
+        .join(per, "doc_id", "left")
+        .select(
             "doc_id",
-            F.size(toks).cast("int").alias("n_tokens"),
-            feat.alias("feat"),
+            "n_tokens",
+            F.array(*fj).alias("feat"),
+            (dot > 0).alias("y"),
         )
-        .withColumn("y", dot > 0)
     )
 
 
@@ -123,7 +138,7 @@ def _newton_pass(feats: DataFrame, w: np.ndarray, dim: int):
     sums = {
         int(r["idx"]): int(r["v"])
         for r in (
-            widen(feats.select("feat", "y"))
+            feats.select("feat", "y")
             .mapInPandas(gen, schema="idx int, v long")
             .groupBy("idx")
             .agg(F.sum("v").alias("v"))
@@ -148,6 +163,15 @@ def lr_train(feats: DataFrame, *, dim: int = DIM, max_iters: int = _MAX_ITERS):
     weights classify every doc correctly, so the returned model provably
     reproduces the labels."""
     w = np.zeros(dim + 1, dtype=np.float64)
+    # the per-pass fan-in is (dim+1)^2 + dim + 2 integer keys — bound its
+    # shuffle to one partition for the loop (see iteration_shuffle)
+    from ..plans.session import iteration_shuffle
+
+    with iteration_shuffle(feats.sparkSession, (dim + 1) ** 2 + dim + 2):
+        return _newton_loop(feats, w, dim, max_iters)
+
+
+def _newton_loop(feats: DataFrame, w, dim: int, max_iters: int):
     for it in range(max_iters):
         errs, grad, hess = _newton_pass(feats, w, dim)
         if errs == 0 and it > 0:
@@ -174,7 +198,9 @@ def lr_trained_roundtrip(df: DataFrame, *, dim: int = DIM, seed: int = 7) -> Dat
     Returns (doc_id, n_tokens, y_true, y_pred); zero-error training makes
     y_pred == y_true for every row, so the whole output is re-derivable
     from the text — the hard-oracle contract."""
-    feats = hashed_features(df, dim=dim, seed=seed).persist()
+    # widen ONCE before persisting: widen() inside the pass would add a
+    # repartition exchange to every Newton iteration
+    feats = widen(hashed_features(df, dim=dim, seed=seed)).persist()
     try:
         w, n_passes, errs = lr_train(feats, dim=dim)
         if errs != 0:
