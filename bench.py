@@ -153,6 +153,10 @@ BENCH_QUERIES = [
     "alpha_mix",
     "soft404_html",
     "line_langid",
+    # round 4: persisted vector-index artifact + code-space semantic dedup
+    "ann_index_build",
+    "ann_index_query",
+    "semdedup_pq",
 ]
 
 

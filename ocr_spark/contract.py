@@ -3420,6 +3420,70 @@ def q_pq_ann(spark, sf):  # product-quantization ANN (Jegou et al. 2011)
     return pq_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
+def _vec_index(spark, sf):
+    """Build-once-per-(sf, params) persisted PQ index (sources/vecindex.py).
+
+    The artifact path is keyed by the sanitized sf dir AND the build params
+    (the soak.py cache-key lesson: row count alone silently aliases
+    different corpora), so ann_index_build / ann_index_query / semdedup_pq
+    share one build in any execution order while distinct corpora never
+    collide. A valid existing artifact is REOPENED, not rebuilt — that is
+    the artifact's contract."""
+    import tempfile
+
+    from .sources.vecindex import build_vector_index, open_vector_index
+
+    key = sf.strip("/").replace("/", "_").replace(".", "_")
+    root = _os.path.join(
+        tempfile.gettempdir(), f"ocr_spark_vecindex_{key}_m8c64i2_v1"
+    )
+    try:
+        return open_vector_index(root)
+    except (OSError, ValueError, KeyError):
+        return build_vector_index(
+            _t(spark, sf, "embeddings"), root, m=8, n_codes=64, n_iters=2
+        )
+
+
+def q_ann_index_build(spark, sf):  # persisted PQ index: build artifact
+    """Build (or reopen) the persisted vector index and surface its stored
+    codes as (vec_id, s, code) rows — the on-disk artifact IS the query
+    result, so the oracle replaying integer Lloyd training + encoding
+    pins the parquet bytes a later session reopens. Reference parity:
+    VectorDatabase save/load (utils/databases/vector_database.py:1-122)."""
+    idx = _vec_index(spark, sf)
+    return (
+        idx.codes(spark)
+        .select("vec_id", F.posexplode("codes").alias("s", "code"))
+        .select("vec_id", F.col("s").cast("int").alias("s"), "code")
+    )
+
+
+def q_ann_index_query(spark, sf):  # persisted PQ index: query without retraining
+    """Open the PERSISTED index and run the ADC + exact-re-rank query path
+    over the stored codes/refine columns — zero training jobs on this
+    path (tests/test_vecindex.py pins it by poisoning pq_train). Output
+    and oracle are identical to pq_ann: the artifact round-trip must be
+    invisible to the query result."""
+    idx = _vec_index(spark, sf)
+    e = _t(spark, sf, "embeddings")
+    return idx.topk(spark, e.where(F.col("vec_id") < 5), k=5)
+
+
+def q_semdedup_pq(spark, sf):  # SemDeDup through the persisted PQ index
+    """Semantic dedup driven by the persisted index's RECONSTRUCTED
+    vectors (operators/similarity.semdedup_pq): the corpus is scanned as
+    8-byte codes, decoded to codebook centroids in one Arrow pass, and
+    deduped with integer-exact sign-LSH buckets + a decimal(38,0) cosine
+    test — the memory path for 100-TB semantic dedup. The oracle replays
+    training, encoding, reconstruction, bucketing, and the squared-cosine
+    comparison bit-for-bit in HUGEINT."""
+    from .operators.similarity import semdedup_pq
+
+    idx = _vec_index(spark, sf)
+    return semdedup_pq(idx.reconstruct(spark))
+
+
 def q_dsir_resample(spark, sf):  # DSIR systematic importance resampling
     """The resampling half of DSIR: integer e^(milli-log) weights via the
     shared fixed-point exp tables, a range-partitioned two-pass prefix
@@ -3821,6 +3885,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canon": q_url_canon,
     "url_features": q_url_features,
     # -- new round-4 queries join here (round-5 window) --
+    "ann_index_build": q_ann_index_build,
+    "ann_index_query": q_ann_index_query,
+    "semdedup_pq": q_semdedup_pq,
     # -- driver-verified green in CORRECTNESS_r01-r03 (tail) --
     "embed_centroids": q_embed_centroids,
     "flagship_extract": q_flagship_extract,
@@ -6131,22 +6198,11 @@ def _kmeans_oracle_sql(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
 ORACLE_SQL["kmeans"] = _kmeans_oracle_sql()
 
 
-def _pq_oracle_sql(
-    m: int = 8,
-    k: int = 64,
-    n_iters: int = 2,
-    dim: int = 64,
-    topk: int = 5,
-    n_q: int = 5,
-    rerank: int = 100,
-) -> str:
-    """Unrolled replay of operators/similarity.pq_topk: per-subspace
-    integer Lloyd training (first-k subvector seeds, (d, cl)-argmin,
-    floor(sum/count) update with carryover), PQ encoding, per-query ADC
-    tables, the (adist, vec_id)-ordered short-list, and the exact-L2
-    re-ranked top-k — all in exact BIGINT arithmetic, so the hash must
-    match bit-for-bit. MATERIALIZED CTEs for the round-referenced tables
-    (the HITS-oracle inlining trap)."""
+def _pq_train_ctes(m: int, k: int, n_iters: int, dim: int) -> tuple[list, str, int]:
+    """The training + encoding prefix shared by every PQ-backed oracle
+    (pq_ann, ann_index_build/query, semdedup_pq): CTEs through ``c{n}``
+    (final codebooks) and ``af`` (per-vector per-subspace code). Returns
+    (parts, sq_template, d_sub)."""
     d_sub = dim // m
     sq = (
         "list_sum(list_transform(range(1, {d} + 1), i ->"
@@ -6201,6 +6257,26 @@ def _pq_oracle_sql(
         "SELECT vec_id, s, cl, row_number() OVER"
         " (PARTITION BY vec_id, s ORDER BY d, cl) AS rk FROM df) WHERE rk = 1)"
     )
+    return parts, sq, d_sub
+
+
+def _pq_oracle_sql(
+    m: int = 8,
+    k: int = 64,
+    n_iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+    n_q: int = 5,
+    rerank: int = 100,
+) -> str:
+    """Unrolled replay of operators/similarity.pq_topk: per-subspace
+    integer Lloyd training (first-k subvector seeds, (d, cl)-argmin,
+    floor(sum/count) update with carryover), PQ encoding, per-query ADC
+    tables, the (adist, vec_id)-ordered short-list, and the exact-L2
+    re-ranked top-k — all in exact BIGINT arithmetic, so the hash must
+    match bit-for-bit. MATERIALIZED CTEs for the round-referenced tables
+    (the HITS-oracle inlining trap)."""
+    parts, sq, d_sub = _pq_train_ctes(m, k, n_iters, dim)
     parts.append(
         f"qv AS (SELECT vec_id AS query_id, s, sq FROM sv WHERE vec_id < {n_q})"
     )
@@ -6239,6 +6315,86 @@ def _pq_oracle_sql(
 
 
 ORACLE_SQL["pq_ann"] = _pq_oracle_sql()
+
+
+def _ann_index_build_oracle_sql(
+    m: int = 8, k: int = 64, n_iters: int = 2, dim: int = 64
+) -> str:
+    """The persisted index's stored codes == the integer Lloyd training +
+    encoding replay (same CTE prefix as pq_ann's oracle) — pinning the
+    artifact a later session reopens."""
+    parts, _, _ = _pq_train_ctes(m, k, n_iters, dim)
+    return (
+        "WITH " + ",\n".join(p[5:] if p.startswith("WITH ") else p for p in parts)
+        + "\nSELECT vec_id, CAST(s AS INT) AS s, CAST(cl AS INT) AS code FROM af"
+    )
+
+
+ORACLE_SQL["ann_index_build"] = _ann_index_build_oracle_sql()
+
+# the artifact round-trip must be invisible to the query result: the
+# reopened-index query path answers the SAME oracle as the inline pq_ann.
+ORACLE_SQL["ann_index_query"] = _pq_oracle_sql()
+
+
+def _semdedup_pq_oracle_sql(
+    m: int = 8,
+    k: int = 64,
+    n_iters: int = 2,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 7,
+    num: int = 9,
+    den: int = 10,
+) -> str:
+    """Replay of semdedup over PQ-reconstructed vectors: PQ training +
+    encoding (shared CTE prefix), reconstruction as the subspace-ordered
+    concat of codebook rows, integer sign-LSH bucketing against the SAME
+    floor-quantized hyperplane literals the Spark side uses, and the
+    exact squared-cosine test den^2*dot^2 >= num^2*|a|^2*|b|^2 in
+    HUGEINT — bit-for-bit, no float anywhere."""
+    from .operators.similarity import _int_hyperplanes
+
+    parts, _, d_sub = _pq_train_ctes(m, k, n_iters, dim)
+    planes = _int_hyperplanes(dim, n_planes, seed)
+    parts.append(
+        f"rec AS MATERIALIZED (SELECT af.vec_id,"
+        f" flatten(list(c.cv ORDER BY af.s)) AS rec"
+        f" FROM af JOIN c{n_iters} c ON c.s = af.s AND c.cl = af.cl"
+        f" GROUP BY af.vec_id)"
+    )
+    bits = " + ".join(
+        "(CASE WHEN list_sum(list_transform(range(1, %d + 1), i ->"
+        " rec[CAST(i AS INT)] * ([%s])[CAST(i AS INT)])) > 0"
+        " THEN %d ELSE 0 END)"
+        % (dim, ",".join(str(v) for v in p), 2 ** i)
+        for i, p in enumerate(planes)
+    )
+    parts.append(
+        f"bkt AS MATERIALIZED (SELECT vec_id, rec,"
+        f" CAST({bits} AS BIGINT) AS bucket,"
+        f" list_sum(list_transform(rec, x -> x * x)) AS na FROM rec)"
+    )
+    parts.append(
+        f"pr AS (SELECT hi.vec_id,"
+        f" CAST(list_sum(list_transform(range(1, {dim} + 1), i ->"
+        f" lo.rec[CAST(i AS INT)] * hi.rec[CAST(i AS INT)])) AS HUGEINT)"
+        f" AS dt, CAST(lo.na AS HUGEINT) AS n_a, CAST(hi.na AS HUGEINT) AS n_b"
+        f" FROM bkt lo JOIN bkt hi ON lo.bucket = hi.bucket"
+        f" AND lo.vec_id < hi.vec_id)"
+    )
+    parts.append(
+        f"removed AS (SELECT DISTINCT vec_id FROM pr"
+        f" WHERE dt > 0 AND {den * den} * dt * dt >= {num * num} * n_a * n_b)"
+    )
+    return (
+        "WITH " + ",\n".join(p[5:] if p.startswith("WITH ") else p for p in parts)
+        + "\nSELECT b.vec_id, b.bucket, (r.vec_id IS NULL) AS kept"
+        + " FROM bkt b LEFT JOIN removed r ON b.vec_id = r.vec_id"
+    )
+
+
+ORACLE_SQL["semdedup_pq"] = _semdedup_pq_oracle_sql()
 
 # mojibake: the expected output is closed-form in the corpus construction —
 # marker + corruption rounds are keyed on doc_id residues, the base corpus

@@ -464,20 +464,44 @@ def pq_topk(
     n_probe=8); the re-rank stage restores 0.9+ while preserving the
     codes-only corpus scan that makes PQ the 100 TB design."""
     books = pq_train(embeddings, m=m, k=n_codes, n_iters=n_iters)
+    enc = pq_encode(embeddings, books)
+    return pq_query(enc, queries, books, k=k, rerank=rerank)
+
+
+def pq_encode(embeddings: DataFrame, books: list) -> DataFrame:
+    """Encode every vector against trained codebooks in ONE zero-exchange
+    Arrow pass -> (vec_id, codes:array<int>, q:array<bigint>).
+
+    ``codes`` is the m-byte ADC-scannable representation; ``q`` keeps the
+    quantized full vector for exact re-ranking (the FAISS ``IVFPQ,Refine``
+    layout — codes and refine vectors live in the SAME table as separate
+    columns, so a codes-only scan prunes ``q`` at the parquet reader)."""
+    return embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(KMEANS_QUANT)).cast("long"),
+        ).alias("q"),
+    ).select("vec_id", _pq_assign_udf(books)(F.col("q")).alias("codes"), "q")
+
+
+def pq_query(
+    enc: DataFrame,
+    queries: DataFrame,
+    books: list,
+    *,
+    k: int = 5,
+    rerank: int = 100,
+) -> DataFrame:
+    """Query-side half of :func:`pq_topk` over an already-encoded corpus
+    (``enc`` = (vec_id, codes, q) from :func:`pq_encode`, in-memory or
+    reopened from a persisted index — sources/vecindex.py). Builds the
+    per-query ADC tables driver-side, scans CODES ONLY for the short-list,
+    then re-ranks the short-list by exact integer L2 against ``q``.
+    Bit-identical to the inline path: same arithmetic, same tie order."""
     C = np.asarray(books, dtype=np.int64)  # (m, k, d_sub)
     d_sub = C.shape[2]
-
-    codes = embeddings.select(
-        "vec_id",
-        _pq_assign_udf(books)(
-            F.transform(
-                F.col("embedding"),
-                lambda x: F.floor(x.cast("double") * F.lit(KMEANS_QUANT)).cast(
-                    "long"
-                ),
-            )
-        ).alias("codes"),
-    )
+    codes = enc.select("vec_id", "codes")
 
     # bounded probe side -> driver; ADC tables T[j, s, c] = ||q_j,s - c_s,c||^2
     q_rows = queries.select("vec_id", "embedding").orderBy("vec_id").collect()
@@ -546,13 +570,7 @@ def pq_topk(
         d = M - Qfull[J]
         return pd.Series((d * d).sum(axis=1).astype("int64"))
 
-    qvecs = embeddings.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * F.lit(KMEANS_QUANT)).cast("long"),
-        ).alias("q"),
-    )
+    qvecs = enc.select("vec_id", "q")
     reranked = qvecs.join(F.broadcast(shortlist), "vec_id").select(
         "query_id", "vec_id", exact_dist(F.col("q"), F.col("query_id")).alias("dist_q")
     )
@@ -631,6 +649,140 @@ def semdedup(
             "bucket",
             F.coalesce(~F.col("_rm"), F.lit(True)).alias("kept"),
         )
+    )
+
+
+def _int_hyperplanes(dim: int, n_planes: int, seed: int, quant: int = 1_000_000):
+    """Integer-quantized hyperplanes for exact sign-LSH over integer
+    vectors: floor(p * quant) computed ONCE here and embedded as literals
+    in the DuckDB oracle, so both engines hash with the same int64 dots —
+    no float summation-order risk at the sign boundary."""
+    return [
+        [int(math.floor(v * quant)) for v in p]
+        for p in _hyperplanes(dim, n_planes, seed=seed)
+    ]
+
+
+def semdedup_pq(
+    rec: DataFrame,
+    *,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup over PQ-RECONSTRUCTED vectors — the memory path that makes
+    100-TB semantic dedup feasible (VERDICT r03 next-round #6): the corpus
+    is scanned as m-byte codes from the persisted index
+    (sources/vecindex.py), reconstructed to codebook centroids in one
+    Arrow pass, and deduped WITHOUT ever touching the raw embedding
+    column. ``rec`` = (vec_id, rec: array<bigint>) from
+    ``VectorIndex.reconstruct``.
+
+    Same shape as :func:`semdedup` (sign-LSH bucket ~ the paper's cluster;
+    within-bucket pair join; keep lowest vec_id per near-dup set) but ALL
+    arithmetic is integer-exact: bucket bits come from int64 dots against
+    floor-quantized hyperplanes, and the cosine test
+    ``cos >= num/den`` is evaluated as
+    ``dot > 0 AND den^2 * dot^2 >= num^2 * |a|^2 * |b|^2`` in
+    decimal(38,0) — no sqrt, no float rounding, so the DuckDB oracle
+    replays training + reconstruction + dedup bit-for-bit. Zero-norm
+    RECONSTRUCTED vectors are never removed (dot = 0 fails ``dot > 0``,
+    matching semdedup's cos(0, .) = 0 convention); note raw zero vectors
+    reconstruct to their cell centroid, so identical raw vectors —
+    including zero pairs — share codes and dedup to the lowest vec_id,
+    which is exactly the code-space semantics a 100-TB pass wants.
+
+    Output: (vec_id, bucket, kept) for EVERY input vector.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(
+        _int_hyperplanes(dim, n_planes, seed, KMEANS_QUANT), dtype=np.int64
+    )  # (n_planes, dim)
+
+    @pandas_udf("array<bigint>")
+    def plane_dots_and_norm(rec_s: pd.Series) -> pd.Series:
+        """[dot(rec, plane_0..n-1), dot(rec, rec)] per row — int64 exact
+        (|coord| <= ~5e5 * quant planes -> per-term < 2^60/dim; integer
+        addition is associative, any order identical)."""
+        if len(rec_s) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array([np.asarray(v, dtype=np.int64) for v in rec_s])
+        dots = M @ planes.T  # (n, n_planes) int64
+        na = (M * M).sum(axis=1)[:, None]
+        return pd.Series(list(np.concatenate([dots, na], axis=1)))
+
+    def bucket_col(dn):
+        acc = None
+        for i in range(n_planes):
+            b = F.when(F.element_at(dn, i + 1) > 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ) * F.lit(2 ** i)
+            acc = b if acc is None else acc + b
+        return acc.cast("long")
+
+    from ..plans.session import widen
+
+    b = (
+        widen(rec)
+        .select("vec_id", "rec", plane_dots_and_norm("rec").alias("_dn"))
+        .select(
+            "vec_id",
+            "rec",
+            bucket_col(F.col("_dn")).alias("bucket"),
+            F.element_at("_dn", n_planes + 1).alias("na"),
+        )
+    )
+
+    @pandas_udf("long")
+    def pair_dot(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        if len(a_s) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.array([np.asarray(v, dtype=np.int64) for v in a_s])
+        B = np.array([np.asarray(v, dtype=np.int64) for v in b_s])
+        return pd.Series((A * B).sum(axis=1).astype("int64"))
+
+    lo = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("rec").alias("rec_a"),
+        F.col("na").alias("n_a"),
+        "bucket",
+    )
+    hi = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("rec").alias("rec_b"),
+        F.col("na").alias("n_b"),
+        "bucket",
+    )
+    dec = "decimal(38,0)"
+    d = F.col("_dot").cast(dec)
+    removed = (
+        lo.join(hi, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_b",
+            pair_dot(F.col("rec_a"), F.col("rec_b")).alias("_dot"),
+            "n_a",
+            "n_b",
+        )
+        .where(
+            (F.col("_dot") > 0)
+            & (
+                d * d * F.lit(threshold_den * threshold_den).cast(dec)
+                >= F.col("n_a").cast(dec)
+                * F.col("n_b").cast(dec)
+                * F.lit(threshold_num * threshold_num).cast(dec)
+            )
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return b.join(removed.withColumn("_rm", F.lit(True)), "vec_id", "left").select(
+        "vec_id",
+        "bucket",
+        F.coalesce(~F.col("_rm"), F.lit(True)).alias("kept"),
     )
 
 
