@@ -743,7 +743,15 @@ def _kcore_peel(und, alive, n_alive, k, rounds):
         if n_now == n_alive:
             break
         n_alive = n_now
-    return deg.where(F.col("core_degree") >= k).select("host", "core_degree")
+    # materialize INSIDE the iteration_shuffle scope: returned lazy, the
+    # final deg join/filter would plan after the conf restore at session
+    # partitioning (ADVICE r03) — the result is one bounded row per
+    # surviving host, so the eager pin costs one sub-second job
+    return (
+        deg.where(F.col("core_degree") >= k)
+        .select("host", "core_degree")
+        .localCheckpoint(eager=True)
+    )
 
 
 def random_walks(
@@ -884,4 +892,9 @@ def _lpa_rounds(und, labels, w, n_iters):
         # in stage scheduling than the eager checkpoint jobs cost
         if i % 2 == 1 and i + 1 < n_iters:
             labels = labels.localCheckpoint(eager=True)
-    return labels.select("host", F.col("label").alias("community"))
+    # final result pinned INSIDE the iteration_shuffle scope (ADVICE r03):
+    # the un-checkpointed tail rounds would otherwise execute after the
+    # conf restore at session partitioning; state is one row per host
+    return labels.select(
+        "host", F.col("label").alias("community")
+    ).localCheckpoint(eager=True)

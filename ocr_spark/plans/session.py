@@ -93,6 +93,15 @@ def iteration_shuffle(spark, state_rows: int, rows_per_partition: int = 100_000)
     materialize their final state inside it.  Correctness is unaffected:
     every wrapped loop is partitioning-invariant by construction
     (integral, order-independent updates; partition-invariance tests).
+
+    SINGLE-THREADED-DRIVER ASSUMPTION: this mutates the session-global
+    ``spark.sql.shuffle.partitions`` for the scope's duration, so any
+    query planned CONCURRENTLY on the same SparkSession (driver thread
+    pools, shared Spark Connect sessions) could inherit the loop's small
+    value.  This repo's drivers are single-threaded (bench/contract/jobs
+    run queries sequentially), which is why the conf scope is safe here;
+    a multi-tenant driver should instead pin the loop state with explicit
+    ``repartition(n)`` on each round's state DataFrame.
     """
     n = max(
         1,

@@ -35,6 +35,11 @@ def main():
     unknown = [q for q in args.queries if q not in QUERIES]
     if unknown:
         sys.exit(f"unknown queries: {unknown}")
+    if args.cpus[0] == args.cpus[1]:
+        sys.exit(
+            "--cpus levels must differ (equal values would collapse the"
+            " results dict and silently merge the two legs)"
+        )
 
     results = {q: {c: [] for c in args.cpus} for q in args.queries}
     for rep in range(args.reps):
@@ -42,8 +47,10 @@ def main():
             spark = get_spark(f"ab_{rep}_{cpus}", cpus=cpus)
             spark.sparkContext.setLogLevel("ERROR")
             spark.range(1000).selectExpr("sum(id)").collect()
-            # spin up python workers once so the first query isn't charged
-            QUERIES[args.queries[0]](spark, args.sf).count()
+            # warm EVERY query once (python workers, codegen, broadcasts)
+            # so no query's first timed run is charged per-session setup
+            for q in args.queries:
+                QUERIES[q](spark, args.sf).count()
             spark.catalog.clearCache()
             for q in args.queries:
                 t0 = time.time()

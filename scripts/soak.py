@@ -31,7 +31,10 @@ def main():
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     replicate = max(1, n_docs // base)
     splits = max(cpus * 8, (base * replicate) // 20_000)
-    path = f"/tmp/ocr_spark_soak/pages_n{base * replicate}"
+    # key the replica cache by the SOURCE dir too — row count alone would
+    # silently reuse a previous corpus' parquet for a different sf_dir
+    src_key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    path = f"/tmp/ocr_spark_soak/pages_{src_key}_n{base * replicate}"
     if not os.path.exists(path + "/_SUCCESS"):
         t0 = time.time()
         pages_df(spark, sf_dir, replicate=replicate, partitions=splits).write.mode(

@@ -48,3 +48,32 @@ def test_annotate_detections_on_synth_corpus(spark):
     ).collect()
     d2 = sorted((r.url, hashlib.sha256(bytes(r.annotated)).hexdigest()) for r in rows2)
     assert d1 == d2
+
+
+def test_annotated_bytes_pinned_to_committed_fixture(spark):
+    """Byte-identity of the annotated-PNG sink against a COMMITTED digest
+    (tests/fixtures/annotated_digest.json) — the VERDICT r03 #4 contract:
+    any drift in decode, box math, stroke rasterization, or the PNG
+    encoder shows up as a digest mismatch."""
+    import json
+    import os
+
+    from ocr_spark.operators.multimodal import annotate_detections
+    from ocr_spark.sources.pages import pages_df
+
+    want = json.load(
+        open(
+            os.path.join(
+                os.path.dirname(__file__), "fixtures", "annotated_digest.json"
+            )
+        )
+    )
+    rows = annotate_detections(pages_df(spark, want["sf_dir"])).collect()
+    pairs = sorted(
+        (r.url, hashlib.sha256(bytes(r.annotated)).hexdigest()) for r in rows
+    )
+    overall = hashlib.sha256(
+        "\n".join(f"{u}|{d}" for u, d in pairs).encode()
+    ).hexdigest()
+    assert len(pairs) == want["n_images"]
+    assert overall == want["digest"]
