@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     # round 4: persisted vector-index artifact + code-space semantic dedup
     "ann_index_build",
     "ann_index_query",
+    "ann_index_ivf_query",
     "semdedup_pq",
 ]
 

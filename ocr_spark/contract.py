@@ -3470,6 +3470,45 @@ def q_ann_index_query(spark, sf):  # persisted PQ index: query without retrainin
     return idx.topk(spark, e.where(F.col("vec_id") < 5), k=5)
 
 
+def _vec_index_ivf(spark, sf):
+    """IVFPQ variant of the persisted index: 8 coarse lists (integer
+    Lloyd, 2 iters), codes hive-partitioned by list_id. Same build-once
+    cache policy as _vec_index, separate artifact dir."""
+    import tempfile
+
+    from .sources.vecindex import build_vector_index, open_vector_index
+
+    key = sf.strip("/").replace("/", "_").replace(".", "_")
+    root = _os.path.join(
+        tempfile.gettempdir(), f"ocr_spark_vecindex_{key}_m8c64i2_L8_v1"
+    )
+    try:
+        return open_vector_index(root)
+    except (OSError, ValueError, KeyError):
+        return build_vector_index(
+            _t(spark, sf, "embeddings"),
+            root,
+            m=8,
+            n_codes=64,
+            n_iters=2,
+            n_lists=8,
+            coarse_iters=2,
+        )
+
+
+def q_ann_index_ivf_query(spark, sf):  # IVFPQ persisted index: probed query
+    """Query the IVF-partitioned persisted index with n_probe=3 of 8
+    lists: probe selection is exact int L2 to the stored coarse
+    centroids (ties -> lowest list), the ADC scan and re-rank read ONLY
+    the probed lists' hive partitions (partition pruning — the
+    10^12-vector read path), and every stage is integer-exact, so the
+    oracle replays coarse training, list assignment, probing, ADC
+    short-lists and re-ranked ranks bit-for-bit."""
+    idx = _vec_index_ivf(spark, sf)
+    e = _t(spark, sf, "embeddings")
+    return idx.topk(spark, e.where(F.col("vec_id") < 5), k=5, n_probe=3)
+
+
 def q_semdedup_pq(spark, sf):  # SemDeDup through the persisted PQ index
     """Semantic dedup driven by the persisted index's RECONSTRUCTED
     vectors (operators/similarity.semdedup_pq): the corpus is scanned as
@@ -3887,6 +3926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new round-4 queries join here (round-5 window) --
     "ann_index_build": q_ann_index_build,
     "ann_index_query": q_ann_index_query,
+    "ann_index_ivf_query": q_ann_index_ivf_query,
     "semdedup_pq": q_semdedup_pq,
     # -- driver-verified green in CORRECTNESS_r01-r03 (tail) --
     "embed_centroids": q_embed_centroids,
@@ -6138,56 +6178,65 @@ def _lpa_oracle_sql(n_iters: int = 12) -> str:
 
 ORACLE_SQL["host_communities"] = _lpa_oracle_sql()
 
-def _kmeans_oracle_sql(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
-    """Unrolled Lloyd replay of operators/similarity.kmeans_assign:
-    integer-quantized vectors, first-k seeds, (dist, cl)-ordered argmin,
-    floor(sum/count) centroid update with empty-cluster carryover.
-    MATERIALIZED CTEs — each round references the previous one several
-    times (the HITS-oracle inlining trap)."""
+def _kmeans_ctes(k: int, n_iters: int, dim: int, p: str = "") -> list:
+    """Unrolled Lloyd replay of operators/similarity.kmeans_train +
+    assignment: integer-quantized vectors, first-k seeds,
+    (dist, cl)-ordered argmin, floor(sum/count) centroid update with
+    empty-cluster carryover. MATERIALIZED CTEs — each round references
+    the previous one several times (the HITS-oracle inlining trap).
+    ``p`` prefixes every CTE name so the replay can compose with the PQ
+    CTEs in one oracle (ann_index_ivf_query). Final CTEs: ``{p}af``
+    (vec_id, cl, d) and ``{p}c{n_iters}`` (the trained centroids)."""
     sq = (
         "list_sum(list_transform(range(1, {d} + 1), i ->"
-        " (v.q[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
-        " * (v.q[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))"
-    ).format(d=dim)
+        " ({v}.q[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+        " * ({v}.q[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))"
+    ).format(d=dim, v=f"{p}v")
     parts = [
-        "WITH v AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
+        f"WITH {p}v AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
         " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q"
         " FROM embeddings)",
-        f"c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,"
-        f" q AS cv FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT {k}))",
+        f"{p}c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,"
+        f" q AS cv FROM (SELECT vec_id, q FROM {p}v ORDER BY vec_id LIMIT {k}))",
     ]
     for i in range(1, n_iters + 1):
         parts.append(
-            f"d{i} AS MATERIALIZED (SELECT v.vec_id, c.cl, {sq} AS d"
-            f" FROM v CROSS JOIN c{i-1} c)"
+            f"{p}d{i} AS MATERIALIZED (SELECT {p}v.vec_id, c.cl, {sq} AS d"
+            f" FROM {p}v CROSS JOIN {p}c{i-1} c)"
         )
         parts.append(
-            f"a{i} AS MATERIALIZED (SELECT vec_id, cl, d FROM ("
+            f"{p}a{i} AS MATERIALIZED (SELECT vec_id, cl, d FROM ("
             f"SELECT vec_id, cl, d, row_number() OVER"
-            f" (PARTITION BY vec_id ORDER BY d, cl) AS rk FROM d{i}) WHERE rk = 1)"
+            f" (PARTITION BY vec_id ORDER BY d, cl) AS rk FROM {p}d{i}) WHERE rk = 1)"
         )
         parts.append(
-            f"n{i} AS MATERIALIZED (SELECT cl, list(val ORDER BY dim) AS cv FROM ("
+            f"{p}n{i} AS MATERIALIZED (SELECT cl, list(val ORDER BY dim) AS cv FROM ("
             f"SELECT a.cl, u.i AS dim,"
-            f" CAST(floor(SUM(v.q[CAST(u.i AS INT)]) / CAST(COUNT(*) AS DOUBLE))"
+            f" CAST(floor(SUM({p}v.q[CAST(u.i AS INT)]) / CAST(COUNT(*) AS DOUBLE))"
             f" AS BIGINT) AS val"
-            f" FROM a{i} a JOIN v USING (vec_id),"
+            f" FROM {p}a{i} a JOIN {p}v USING (vec_id),"
             f" unnest(range(1, {dim} + 1)) AS u(i)"
             f" GROUP BY a.cl, u.i) GROUP BY cl)"
         )
         parts.append(
-            f"c{i} AS MATERIALIZED (SELECT cl, cv FROM n{i}"
-            f" UNION ALL SELECT cl, cv FROM c{i-1}"
-            f" WHERE cl NOT IN (SELECT cl FROM n{i}))"
+            f"{p}c{i} AS MATERIALIZED (SELECT cl, cv FROM {p}n{i}"
+            f" UNION ALL SELECT cl, cv FROM {p}c{i-1}"
+            f" WHERE cl NOT IN (SELECT cl FROM {p}n{i}))"
         )
     parts.append(
-        f"df AS (SELECT v.vec_id, c.cl, {sq} AS d FROM v CROSS JOIN c{n_iters} c)"
+        f"{p}df AS (SELECT {p}v.vec_id, c.cl, {sq} AS d"
+        f" FROM {p}v CROSS JOIN {p}c{n_iters} c)"
     )
     parts.append(
-        "af AS (SELECT vec_id, cl, d FROM ("
-        "SELECT vec_id, cl, d, row_number() OVER"
-        " (PARTITION BY vec_id ORDER BY d, cl) AS rk FROM df) WHERE rk = 1)"
+        f"{p}af AS (SELECT vec_id, cl, d FROM ("
+        f"SELECT vec_id, cl, d, row_number() OVER"
+        f" (PARTITION BY vec_id ORDER BY d, cl) AS rk FROM {p}df) WHERE rk = 1)"
     )
+    return parts
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iters: int = 3, dim: int = 64) -> str:
+    parts = _kmeans_ctes(k, n_iters, dim)
     return (
         ",\n".join(parts)
         + "\nSELECT vec_id, CAST(cl AS INT) AS cluster,"
@@ -6335,6 +6384,87 @@ ORACLE_SQL["ann_index_build"] = _ann_index_build_oracle_sql()
 # the artifact round-trip must be invisible to the query result: the
 # reopened-index query path answers the SAME oracle as the inline pq_ann.
 ORACLE_SQL["ann_index_query"] = _pq_oracle_sql()
+
+
+def _ann_index_ivf_oracle_sql(
+    m: int = 8,
+    k: int = 64,
+    n_iters: int = 2,
+    dim: int = 64,
+    n_lists: int = 8,
+    coarse_iters: int = 2,
+    n_probe: int = 3,
+    topk: int = 5,
+    n_q: int = 5,
+    rerank: int = 100,
+) -> str:
+    """IVFPQ replay: the coarse quantizer's integer Lloyd CTEs (prefixed
+    ``g``) compose with the PQ training/encoding CTEs; probes rank
+    (dist, cl) per query; the ADC short-list and exact re-rank are the
+    pq_ann replay RESTRICTED to each query's probed lists — all BIGINT,
+    bit-for-bit."""
+    d_sub = dim // m
+    parts, sq, _ = _pq_train_ctes(m, k, n_iters, dim)
+    gparts = _kmeans_ctes(n_lists, coarse_iters, dim, p="g")
+    # strip the duplicate WITH from the second prefix block
+    parts += [q[5:] if q.startswith("WITH ") else q for q in gparts]
+    parts.append(
+        f"qv AS (SELECT vec_id AS query_id, s, sq FROM sv WHERE vec_id < {n_q})"
+    )
+    # probe selection: n_probe nearest coarse centroids per query, exact
+    # int L2 over the FULL query vector, ties -> lowest list id
+    parts.append(
+        f"qprobe AS MATERIALIZED (SELECT query_id, cl FROM ("
+        f"SELECT gv.vec_id AS query_id, c.cl,"
+        f" list_sum(list_transform(range(1, {dim} + 1), i ->"
+        f" (gv.q[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+        f" * (gv.q[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS d,"
+        f" row_number() OVER (PARTITION BY gv.vec_id"
+        f" ORDER BY list_sum(list_transform(range(1, {dim} + 1), i ->"
+        f" (gv.q[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+        f" * (gv.q[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), c.cl) AS rk"
+        f" FROM gv CROSS JOIN gc{coarse_iters} c WHERE gv.vec_id < {n_q})"
+        f" WHERE rk <= {n_probe})"
+    )
+    parts.append(
+        f"t AS MATERIALIZED (SELECT qv.query_id, qv.s, c.cl,"
+        f" {sq.format(d=d_sub, a='qv')} AS d"
+        f" FROM qv JOIN c{n_iters} c ON qv.s = c.s)"
+    )
+    # ADC over candidates restricted to the query's probed lists (gaf =
+    # each vector's coarse list)
+    parts.append(
+        "adc AS (SELECT t.query_id, af.vec_id, SUM(t.d) AS adist_q"
+        " FROM af JOIN gaf ON gaf.vec_id = af.vec_id"
+        " JOIN qprobe p ON p.cl = gaf.cl"
+        " JOIN t ON t.s = af.s AND t.cl = af.cl AND t.query_id = p.query_id"
+        " GROUP BY t.query_id, af.vec_id)"
+    )
+    parts.append(
+        f"sl AS (SELECT query_id, vec_id FROM ("
+        f"SELECT query_id, vec_id, row_number() OVER"
+        f" (PARTITION BY query_id ORDER BY adist_q, vec_id) AS crk"
+        f" FROM adc WHERE vec_id <> query_id) WHERE crk <= {rerank})"
+    )
+    parts.append(
+        f"ex AS (SELECT sl.query_id, sl.vec_id,"
+        f" list_sum(list_transform(range(1, {dim} + 1), i ->"
+        f" (cv.q[CAST(i AS INT)] - qw.q[CAST(i AS INT)])"
+        f" * (cv.q[CAST(i AS INT)] - qw.q[CAST(i AS INT)]))) AS dist_q"
+        f" FROM sl JOIN v cv ON cv.vec_id = sl.vec_id"
+        f" JOIN v qw ON qw.vec_id = sl.query_id)"
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(query_id AS BIGINT) AS query_id, vec_id,"
+        f" CAST(dist_q AS BIGINT) AS dist_q, CAST(rk AS INT) AS rank FROM ("
+        f"SELECT query_id, vec_id, dist_q, row_number() OVER"
+        f" (PARTITION BY query_id ORDER BY dist_q, vec_id) AS rk"
+        f" FROM ex) WHERE rk <= {topk}"
+    )
+
+
+ORACLE_SQL["ann_index_ivf_query"] = _ann_index_ivf_oracle_sql()
 
 
 def _semdedup_pq_oracle_sql(

@@ -492,16 +492,25 @@ def pq_query(
     *,
     k: int = 5,
     rerank: int = 100,
+    probe_lists: dict | None = None,
 ) -> DataFrame:
     """Query-side half of :func:`pq_topk` over an already-encoded corpus
     (``enc`` = (vec_id, codes, q) from :func:`pq_encode`, in-memory or
     reopened from a persisted index — sources/vecindex.py). Builds the
     per-query ADC tables driver-side, scans CODES ONLY for the short-list,
     then re-ranks the short-list by exact integer L2 against ``q``.
-    Bit-identical to the inline path: same arithmetic, same tie order."""
+    Bit-identical to the inline path: same arithmetic, same tie order.
+
+    ``probe_lists`` ({query_id: [list ids]}, IVF path) restricts each
+    query's candidates to its own probed lists via a broadcast semi-join
+    on (query_id, list_id) — ``enc`` must then carry ``list_id`` and
+    should already be filtered to the probed union so the scan prunes
+    partitions."""
     C = np.asarray(books, dtype=np.int64)  # (m, k, d_sub)
     d_sub = C.shape[2]
-    codes = enc.select("vec_id", "codes")
+    codes = enc.select(
+        "vec_id", "codes", *(["list_id"] if probe_lists is not None else [])
+    )
 
     # bounded probe side -> driver; ADC tables T[j, s, c] = ||q_j,s - c_s,c||^2
     q_rows = queries.select("vec_id", "embedding").orderBy("vec_id").collect()
@@ -539,14 +548,27 @@ def pq_query(
 
     qid_arr = F.array(*[F.lit(q) for q in qids])
     scored = (
-        codes.select("vec_id", F.posexplode(adc("codes")).alias("qi", "adist_q"))
+        codes.select(
+            "vec_id",
+            *(["list_id"] if probe_lists is not None else []),
+            F.posexplode(adc("codes")).alias("qi", "adist_q"),
+        )
         .select(
             F.element_at(qid_arr, F.col("qi") + 1).cast("long").alias("query_id"),
             "vec_id",
+            *(["list_id"] if probe_lists is not None else []),
             "adist_q",
         )
         .where(F.col("vec_id") != F.col("query_id"))
     )
+    if probe_lists is not None:
+        pr = enc.sparkSession.createDataFrame(
+            [(q, l) for q, ls in probe_lists.items() for l in ls],
+            "query_id long, list_id int",
+        )
+        scored = scored.join(
+            F.broadcast(pr), ["query_id", "list_id"]
+        ).drop("list_id")
     w_adc = Window.partitionBy("query_id").orderBy(F.asc("adist_q"), F.asc("vec_id"))
     shortlist = (
         scored.withColumn("crank", F.row_number().over(w_adc))
@@ -823,63 +845,88 @@ def kmeans_assign(
       so the double division is exact and floor matches every engine);
       empty clusters keep their previous centroid
     """
-    q = embeddings.select(
+    q = quantize_embeddings(embeddings)
+    from pyspark import StorageLevel
+
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    cents = kmeans_train(q, k=k, n_iters=n_iters)
+    a = _kmeans_assign_udf(cents)(F.col("q")).alias("a")
+    out = q.select("vec_id", a).select(
+        "vec_id", F.col("a.cluster").alias("cluster"), F.col("a.dist_q").alias("dist_q")
+    )
+    return out
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, q: array<bigint>) — the shared micro-unit quantization
+    every integer-exact vector operator starts from."""
+    return embeddings.select(
         "vec_id",
         F.transform(
             F.col("embedding"),
             lambda x: F.floor(x.cast("double") * F.lit(KMEANS_QUANT)).cast("long"),
         ).alias("q"),
     )
-    from pyspark import StorageLevel
 
-    q = q.persist(StorageLevel.MEMORY_AND_DISK)
-    seed_rows = q.orderBy("vec_id").limit(k).collect()
-    if not seed_rows:
-        raise ValueError("kmeans_assign: embeddings table is empty")
-    cents = [list(r["q"]) for r in seed_rows]
-    dim = len(cents[0])
 
-    def _assign_col():
-        # Arrow-batched int64 assignment. The Column-algebra form (k
-        # aggregate(zip_with(...)) expressions over literal centroid
-        # arrays) is interpreted per element and re-analyzed per pass —
-        # measured 70 s for 2000x64 at k=8; this kernel does the same
-        # arithmetic in one numpy pass per batch (~100x). Exactness is
-        # unchanged: ||q-c||^2 = q.q - 2 q.c + c.c in int64, and integer
-        # addition is associative, so any batch size / partitioning /
-        # numpy reduction order gives bit-identical distances (bounds:
-        # |coord| <= ~2^22 => per-term < 2^46, dim-sums < 2^52 — no
-        # overflow). argmin takes the FIRST minimum -> lowest cluster
-        # index wins ties, matching the oracle's replay.
-        from pyspark.sql.functions import pandas_udf
+def _kmeans_assign_udf(cents):
+    """Arrow-batched int64 assignment against literal centroids. The
+    Column-algebra form (k aggregate(zip_with(...)) expressions over
+    literal centroid arrays) is interpreted per element and re-analyzed
+    per pass — measured 70 s for 2000x64 at k=8; this kernel does the
+    same arithmetic in one numpy pass per batch (~100x). Exactness is
+    unchanged: ||q-c||^2 = q.q - 2 q.c + c.c in int64, and integer
+    addition is associative, so any batch size / partitioning / numpy
+    reduction order gives bit-identical distances (bounds: |q| <= ~2^22
+    coords => per-term < 2^46, dim-sums < 2^52 — no overflow). argmin
+    takes the FIRST minimum -> lowest cluster index wins ties, matching
+    the oracle's replay."""
+    from pyspark.sql.functions import pandas_udf
 
-        C = np.asarray(cents, dtype=np.int64)  # (k, dim)
-        c2 = (C * C).sum(axis=1)  # (k,)
+    C = np.asarray(cents, dtype=np.int64)  # (k, dim)
+    c2 = (C * C).sum(axis=1)  # (k,)
 
-        @pandas_udf("struct<cluster:int, dist_q:long>")
-        def assign(qs: pd.Series) -> pd.DataFrame:
-            if len(qs) == 0:
-                return pd.DataFrame(
-                    {
-                        "cluster": pd.Series([], dtype="int32"),
-                        "dist_q": pd.Series([], dtype="int64"),
-                    }
-                )
-            M = np.array([np.asarray(v, dtype=np.int64) for v in qs])  # (n, dim)
-            d = (M * M).sum(axis=1)[:, None] - 2 * (M @ C.T) + c2[None, :]
-            cl = d.argmin(axis=1)
+    @pandas_udf("struct<cluster:int, dist_q:long>")
+    def assign(qs: pd.Series) -> pd.DataFrame:
+        if len(qs) == 0:
             return pd.DataFrame(
                 {
-                    "cluster": cl.astype("int32"),
-                    "dist_q": d[np.arange(len(M)), cl].astype("int64"),
+                    "cluster": pd.Series([], dtype="int32"),
+                    "dist_q": pd.Series([], dtype="int64"),
                 }
             )
+        M = np.array([np.asarray(v, dtype=np.int64) for v in qs])  # (n, dim)
+        d = (M * M).sum(axis=1)[:, None] - 2 * (M @ C.T) + c2[None, :]
+        cl = d.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": cl.astype("int32"),
+                "dist_q": d[np.arange(len(M)), cl].astype("int64"),
+            }
+        )
 
-        return assign(F.col("q"))
+    return assign
 
+
+def kmeans_train(q: DataFrame, *, k: int = 8, n_iters: int = 3) -> list:
+    """The training loop of :func:`kmeans_assign` over an already-
+    quantized (vec_id, q) table -> the final centroid lists (k*dim
+    longs). Shared by the IVF coarse quantizer of the persisted vector
+    index (sources/vecindex.py), which needs the centroids themselves to
+    assign probe lists at query time."""
+    seed_rows = q.orderBy("vec_id").limit(k).collect()
+    if not seed_rows:
+        raise ValueError("kmeans_train: embeddings table is empty")
+    cents = [list(r["q"]) for r in seed_rows]
+    dim = len(cents[0])
     for _ in range(n_iters):
         sums = (
-            q.select(_assign_col().getField("cluster").alias("cluster"), F.posexplode("q").alias("dim", "v"))
+            q.select(
+                _kmeans_assign_udf(cents)(F.col("q"))
+                .getField("cluster")
+                .alias("cluster"),
+                F.posexplode("q").alias("dim", "v"),
+            )
             .groupBy("cluster", "dim")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
@@ -896,12 +943,7 @@ def kmeans_assign(
             ]
             for c in range(k)
         ]
-
-    a = _assign_col().alias("a")
-    out = q.select("vec_id", a).select(
-        "vec_id", F.col("a.cluster").alias("cluster"), F.col("a.dist_q").alias("dist_q")
-    )
-    return out
+    return cents
 
 
 def embed_centroids(embeddings: DataFrame) -> DataFrame:

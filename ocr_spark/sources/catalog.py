@@ -65,16 +65,24 @@ class ManifestTable:
             c: [row[f"__min_{c}"], row[f"__max_{c}"]] for c in stats_cols
         }
 
-    def append(self, df, commit_id: int | None = None, *, stats_cols=()) -> int:
+    def append(
+        self, df, commit_id: int | None = None, *, stats_cols=(), partition_by=()
+    ) -> int:
         """Write df as one atomic-ish commit; manifest updated last (a crash
         mid-write leaves an unreferenced directory, never a torn snapshot).
         ``stats_cols`` records commit-level min/max zone maps in the
-        manifest for :meth:`read_pruned` data skipping."""
+        manifest for :meth:`read_pruned` data skipping. ``partition_by``
+        hive-partitions the commit's files on the given columns (Iceberg
+        partition-spec analog) — a reader filtering on them prunes whole
+        directories at the scan (the vecindex IVF-list layout)."""
         if commit_id is None:
             commit_id = self.next_commit_id()
         path = os.path.join(self.data_dir, f"commit={commit_id}")
         stats = self._column_stats(df, stats_cols)
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         # the data write above is an overwrite; the manifest entry must be
         # too, or a retry of the same commit id would list the path twice
         # and read() would duplicate every row of the commit

@@ -41,7 +41,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from .catalog import ManifestTable
 
@@ -65,18 +65,56 @@ class VectorIndex:
         return self.table.read(spark)
 
     def topk(
-        self, spark, queries: DataFrame, *, k: int = 5, rerank: int = 100
+        self,
+        spark,
+        queries: DataFrame,
+        *,
+        k: int = 5,
+        rerank: int = 100,
+        n_probe: int | None = None,
     ) -> DataFrame:
         """ADC short-list + exact re-rank over the STORED codes, using the
         STORED codebooks — no training job on the query path (test-pinned:
         tests/test_vecindex.py monkeypatches pq_train to raise).
 
-        Output (query_id, vec_id, dist_q, rank) — bit-identical to the
-        inline ``pq_topk`` on the same corpus/params, because encode+query
-        arithmetic is shared and integer-exact."""
+        Output (query_id, vec_id, dist_q, rank). Without ``n_probe`` (or
+        on a flat-PQ index) this is bit-identical to the inline
+        ``pq_topk``: encode+query arithmetic is shared and integer-exact.
+        With ``n_probe`` on an IVF index, each query's candidate set is
+        restricted to its ``n_probe`` nearest coarse lists (exact int L2
+        to the stored centroids, ties -> lowest list id), and BOTH the
+        ADC scan and the re-rank read only the probed lists' hive
+        partitions — the scan prunes (L - p)/L of the corpus files
+        (plan-asserted in tests/test_vecindex.py)."""
         from ..operators.similarity import pq_query
 
-        return pq_query(self.codes(spark), queries, self.books, k=k, rerank=rerank)
+        enc = self.codes(spark)
+        probe_lists = None
+        if n_probe and self.meta.get("n_lists"):
+            probe_lists = self.probe_lists(queries, n_probe)
+            probed_union = sorted({l for ls in probe_lists.values() for l in ls})
+            enc = enc.where(F.col("list_id").isin(probed_union))
+        return pq_query(
+            enc, queries, self.books, k=k, rerank=rerank, probe_lists=probe_lists
+        )
+
+    def probe_lists(self, queries: DataFrame, n_probe: int) -> dict:
+        """{query_id: the n_probe nearest list ids} by exact integer
+        squared L2 against the stored coarse centroids — driver-side over
+        the bounded probe side, stable ties to the lowest list id (the
+        same (dist, cl) order the coarse assignment and the DuckDB replay
+        use)."""
+        C = np.asarray(self.meta["coarse_cents"], dtype=np.int64)
+        quant = self.meta["quant"]
+        out = {}
+        for r in queries.select("vec_id", "embedding").orderBy("vec_id").collect():
+            qv = np.floor(
+                np.asarray(r["embedding"], dtype=np.float64) * quant
+            ).astype(np.int64)
+            d = ((C - qv) ** 2).sum(axis=1)
+            order = np.argsort(d, kind="stable")  # ties -> lowest list id
+            out[int(r["vec_id"])] = [int(x) for x in order[:n_probe]]
+        return out
 
     def reconstruct(self, spark) -> DataFrame:
         """Decode codes -> (vec_id, rec: array<bigint>): each subvector is
@@ -118,11 +156,28 @@ def build_vector_index(
     m: int = 8,
     n_codes: int = 64,
     n_iters: int = 2,
+    n_lists: int = 0,
+    coarse_iters: int = 2,
 ) -> VectorIndex:
     """Train + encode + persist. Overwrites any existing artifact at
     ``root`` atomically-enough for the sandbox (meta written last, so a
-    torn build is invisible to ``open_vector_index``)."""
-    from ..operators.similarity import KMEANS_QUANT, pq_encode, pq_train
+    torn build is invisible to ``open_vector_index``).
+
+    ``n_lists > 0`` adds the IVF layer (FAISS ``IVF<n>,PQ<m>``): a coarse
+    quantizer trained with the integer-exact Lloyd recipe
+    (``kmeans_train`` — the same bit-replayable arithmetic as the kmeans
+    contract query), every vector assigned to its nearest list, and the
+    codes table HIVE-PARTITIONED on ``list_id`` — a query probing p of L
+    lists prunes (L - p)/L of the files at the scan, which is what makes
+    a 10^12-vector index answer from a handful of directory reads."""
+    from ..operators.similarity import (
+        KMEANS_QUANT,
+        _kmeans_assign_udf,
+        kmeans_train,
+        pq_encode,
+        pq_train,
+        quantize_embeddings,
+    )
 
     books = pq_train(embeddings, m=m, k=n_codes, n_iters=n_iters)
     os.makedirs(root, exist_ok=True)
@@ -137,15 +192,29 @@ def build_vector_index(
 
         shutil.rmtree(codes_root)
     table = ManifestTable(codes_root)
-    table.append(pq_encode(embeddings, books), stats_cols=("vec_id",))
+    enc = pq_encode(embeddings, books)
+    cents = None
+    if n_lists > 0:
+        cents = kmeans_train(
+            quantize_embeddings(embeddings), k=n_lists, n_iters=coarse_iters
+        )
+        enc = enc.withColumn(
+            "list_id",
+            _kmeans_assign_udf(cents)(F.col("q")).getField("cluster"),
+        )
+        table.append(enc, stats_cols=("vec_id",), partition_by=("list_id",))
+    else:
+        table.append(enc, stats_cols=("vec_id",))
     meta = {
-        "format": "pq",
+        "format": "ivfpq" if n_lists else "pq",
         "m": m,
         "n_codes": n_codes,
         "n_iters": n_iters,
         "quant": KMEANS_QUANT,
         "d_sub": len(books[0][0]),
         "books": books,
+        "n_lists": n_lists,
+        "coarse_cents": cents,
     }
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:

@@ -158,3 +158,46 @@ def test_identical_vectors_dedup_to_lowest_id(spark, tmp_path):
         for r in sim.semdedup_pq(idx.reconstruct(spark), dim=16).collect()
     }
     assert out[900] and not out[901]
+
+
+def test_ivf_index_partition_pruning_and_consistency(spark, tmp_path, monkeypatch):
+    """IVFPQ layout: codes hive-partitioned by list_id; a probed query's
+    scan must show a PartitionFilters entry (files of unprobed lists are
+    never opened), the query path must not retrain, and probing ALL
+    lists must equal the flat-PQ answer exactly."""
+    root = str(tmp_path / "ivf")
+    e = _emb(spark, n=64, dim=16, seed=3)
+    idx = build_vector_index(
+        e, root, m=4, n_codes=8, n_iters=2, n_lists=4, coarse_iters=2
+    )
+    assert idx.meta["format"] == "ivfpq" and len(idx.meta["coarse_cents"]) == 4
+
+    q = e.where(F.col("vec_id") < 3)
+    monkeypatch.setattr(sim, "pq_train", lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("ivf query path retrained")
+    ))
+    idx = open_vector_index(root)
+
+    # partition pruning is visible in the executed plan of the probed scan
+    probes = idx.probe_lists(q, 2)
+    assert all(len(v) == 2 for v in probes.values())
+    union = sorted({l for ls in probes.values() for l in ls})
+    plan = (
+        idx.codes(spark)
+        .where(F.col("list_id").isin(union))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    got = idx.topk(spark, q, k=3, n_probe=2)
+    assert got.count() == 9
+
+    # probing every list == the flat answer (restriction is the ONLY
+    # difference between the paths)
+    full = idx.topk(spark, q, k=3)
+    all_probed = idx.topk(spark, q, k=3, n_probe=4)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, all_probed.collect())
+    )
