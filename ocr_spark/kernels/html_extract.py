@@ -248,9 +248,12 @@ def fast_parse_dom(html: str) -> _Node:
             text = html[pos : m.start()]
             stack[-1].children.append(_html.unescape(text) if "&" in text else text)
         pos = m.end()
-        if m.group("comment") is not None or m.group("decl") is not None:
+        # one group probe instead of three: comments and declarations are
+        # exactly the alternatives with no captured tag name
+        raw_name = m.group("name")
+        if raw_name is None:
             continue
-        name = m.group("name").lower()
+        name = raw_name.lower()
         if m.group("close"):
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].name == name:
@@ -353,6 +356,38 @@ def _link_char_count(node) -> int:
     return total
 
 
+_EXIT_A = object()  # traversal sentinel: an <a> subtree just closed
+
+
+def _subtree_text_stats(node) -> tuple[str, int]:
+    """(collapsed subtree text, link char count) in ONE walk — the fused
+    form of collapse_whitespace(_raw_text(node).strip()) plus
+    _link_char_count(node), which each re-walked the same subtree (and
+    _extract_text walked it a third time). Nested <a> inside <a> counts
+    its text once per enclosing anchor, exactly as the per-<a>
+    _raw_text sum does; per-<a> strip+collapse happens at its close
+    sentinel, byte-identical to the unfused path (digest-pinned)."""
+    parts: list[str] = []
+    link_total = 0
+    open_accs: list[list[str]] = []
+    todo = node.children[::-1]
+    while todo:
+        child = todo.pop()
+        if child is _EXIT_A:
+            acc = open_accs.pop()
+            link_total += len(collapse_whitespace("".join(acc).strip()))
+        elif isinstance(child, str):
+            parts.append(child)
+            for acc in open_accs:
+                acc.append(child)
+        else:
+            if child.name == "a":
+                open_accs.append([])
+                todo.append(_EXIT_A)
+            todo.extend(child.children[::-1])
+    return collapse_whitespace("".join(parts).strip()), link_total
+
+
 def _parse_table(node):
     """thead/th else first-row td headers; constant columns dropped
     (html_parser.py:183-207)."""
@@ -421,8 +456,8 @@ def extract_paragraphs(html: str, *, title: str = "html", skip_table: bool = Fal
         if nested:
             continue
 
-        raw_len = len(collapse_whitespace(_raw_text(tag).strip()))
-        link_len = _link_char_count(tag)
+        collapsed, link_len = _subtree_text_stats(tag)
+        raw_len = len(collapsed)
         density = {
             "text_len": raw_len,
             "link_density": (link_len / raw_len) if raw_len else 0.0,
@@ -439,7 +474,12 @@ def extract_paragraphs(html: str, *, title: str = "html", skip_table: bool = Fal
         elif tag.name[0] == "h" and tag.name[1].isdigit():
             titles = _parse_title_stack(tag, titles)
         else:
-            text = _extract_text(tag)
+            # the fused walk already produced collapse(raw.strip()) ==
+            # _extract_text's main case; only the empty-text title-attr
+            # fallback still needs a walk
+            text = collapsed or " ".join(
+                n.attrs["title"] for n in _iter_nodes(tag) if n.attrs.get("title")
+            )
             if text:
                 parsed.append({"type": "text", "section": list(titles), "text": text, **density})
 
