@@ -222,3 +222,51 @@ def test_inert_content_stripped():
     assert "enable javascript" not in joined
     assert "inert row template" not in joined
     assert "chart label" not in joined
+
+
+def test_fused_walk_matches_unfused_helpers():
+    """_subtree_text_stats (one walk) must equal the three-walk form it
+    replaced — collapse(raw.strip()), per-<a> link chars (nested <a>
+    counted per enclosing anchor), on adversarial nesting."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_spark.kernels.html_extract import (
+        _link_char_count,
+        _raw_text,
+        _subtree_text_stats,
+        collapse_whitespace,
+        parse_dom,
+    )
+
+    tag = st.sampled_from(["p", "div", "a", "span", "li", "b"])
+    texts = st.text(
+        alphabet=" \t\nabcdef<>&;", min_size=0, max_size=12
+    ).map(lambda s: s.replace("<", " ").replace(">", " "))
+
+    @st.composite
+    def markup(draw, depth=0):
+        if depth >= 4:
+            return draw(texts)
+        n = draw(st.integers(0, 3))
+        parts = []
+        for _ in range(n):
+            if draw(st.booleans()):
+                t = draw(tag)
+                parts.append(f"<{t}>{draw(markup(depth + 1))}</{t}>")
+            else:
+                parts.append(draw(texts))
+        return "".join(parts)
+
+    @settings(max_examples=120, deadline=None)
+    @given(markup())
+    def check(body):
+        root = parse_dom(f"<html><body><div id=t>{body}</div></body></html>")
+        target = next(
+            n for n in root.children[0].children[0].children if n.name == "div"
+        )
+        collapsed, link_len = _subtree_text_stats(target)
+        assert collapsed == collapse_whitespace(_raw_text(target).strip())
+        assert link_len == _link_char_count(target)
+
+    check()
