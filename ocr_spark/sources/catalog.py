@@ -90,6 +90,8 @@ class ManifestTable:
             s for s in self._load_manifest() if s["commit_id"] != commit_id
         ]
         entry = {"commit_id": commit_id, "path": path, "ts": time.time(), "op": "append"}
+        if partition_by:
+            entry["partitioned"] = list(partition_by)
         if stats:
             entry["stats"] = stats
         manifest.append(entry)
@@ -156,9 +158,24 @@ class ManifestTable:
         vis = self._visible(self._load_manifest(), as_of)
         if not vis:
             return None
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[s["path"] for s in vis]
-        )
+        paths = [s["path"] for s in vis]
+        if len(paths) > 1 and any(s.get("partitioned") for s in vis):
+            # hive-partitioned commits (partition_by appends): multi-root
+            # partition discovery rejects sibling commit dirs as
+            # "conflicting structures" — read per commit with its own
+            # basePath and union (schemas already merged additively)
+            from functools import reduce
+
+            from pyspark.sql import DataFrame as _DF
+
+            dfs = [
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", p)
+                .parquet(p)
+                for p in paths
+            ]
+            return reduce(_DF.unionByName, dfs)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def compact(self, spark, target_partitions: int = 1) -> int | None:
         """Rewrite the current view as ONE new commit (Iceberg

@@ -141,12 +141,23 @@ class VectorIndex:
     def extend(self, new_embeddings: DataFrame) -> int:
         """Append new vectors encoded against the FROZEN codebooks (one
         Arrow pass, one manifest commit) — corpus growth without
-        retraining, the add()-after-train contract of a persisted index."""
-        from ..operators.similarity import pq_encode
+        retraining, the add()-after-train contract of a persisted index.
+        On an IVF index the new vectors are assigned to their coarse list
+        with the FROZEN centroids and land in the same hive layout."""
+        from ..operators.similarity import _kmeans_assign_udf, pq_encode
 
-        return self.table.append(
-            pq_encode(new_embeddings, self.books), stats_cols=("vec_id",)
-        )
+        enc = pq_encode(new_embeddings, self.books)
+        if self.meta.get("n_lists"):
+            enc = enc.withColumn(
+                "list_id",
+                _kmeans_assign_udf(self.meta["coarse_cents"])(F.col("q")).getField(
+                    "cluster"
+                ),
+            )
+            return self.table.append(
+                enc, stats_cols=("vec_id",), partition_by=("list_id",)
+            )
+        return self.table.append(enc, stats_cols=("vec_id",))
 
 
 def build_vector_index(
@@ -229,3 +240,39 @@ def open_vector_index(root: str) -> VectorIndex:
     with open(os.path.join(root, INDEX_META)) as f:
         meta = json.load(f)
     return VectorIndex(root, meta)
+
+
+def text_embeddings(
+    df: DataFrame, *, id_col: str = "url", text_col: str = "text", dim: int = 32
+) -> DataFrame:
+    """(vec_id, embedding: array<float>) for an extracted-documents table —
+    the signed feature-hash bag-of-words of
+    ``corpus_filters.hash_embedding`` (Weinberger et al. 2009), normalized
+    by token count so every coordinate lands in [-1, 1] and the index's
+    micro-unit quantization stays far inside int64 L2 bounds.
+
+    vec_id = xxhash64(id_col) — stable across runs and partitionings.
+    Entirely per-row JVM Column work: no shuffle, no Python."""
+    from ..operators.corpus_filters import _poly_hash, _tokens
+
+    toks = _tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: _poly_hash(t))
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: (
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(
+                    h % dim == b.cast("long"),
+                    F.when(h % (2 * dim) < dim, 1).otherwise(-1),
+                )
+                .otherwise(0)
+                .cast("long"),
+            ).cast("double")
+            / n
+        ).cast("float"),
+    )
+    return df.select(F.xxhash64(F.col(id_col)).alias("vec_id"), emb.alias("embedding"))

@@ -114,6 +114,15 @@ def main():
         "content-addressed) — the reference's ImageSaver callback",
     )
     ap.add_argument(
+        "--export-vecindex",
+        metavar="DIR",
+        help="after the commit, build the persisted IVFPQ vector index "
+        "over the extracted documents (signed feature-hash text "
+        "embeddings -> PQ codes hive-partitioned by coarse list) into "
+        "DIR — build once here, reopen and query forever without "
+        "retraining (sources/vecindex.py)",
+    )
+    ap.add_argument(
         "--delete-where",
         metavar="SQL_PRED",
         help="maintenance mode: copy-on-write DELETE from the extracted AND "
@@ -220,6 +229,18 @@ def main():
                 f"annotated files={len(manifest)} "
                 f"boxes={sum(r.n_boxes for r in manifest)}"
             )
+        if args.export_vecindex:
+            from ocr_spark.sources.vecindex import build_vector_index, text_embeddings
+
+            extracted = ManifestTable(os.path.join(args.output, "extracted")).read(
+                spark
+            )
+            emb = text_embeddings(extracted)
+            idx = build_vector_index(
+                emb, args.export_vecindex, m=8, n_codes=64, n_iters=2, n_lists=8
+            )
+            n_vec = idx.codes(spark).count()
+            print(f"vecindex vectors={n_vec} lists={idx.meta['n_lists']}")
         if args.export_cdx:
             from ocr_spark.sources.cdx import export_cdxj
 

@@ -201,3 +201,37 @@ def test_ivf_index_partition_pruning_and_consistency(spark, tmp_path, monkeypatc
     assert sorted(map(tuple, full.collect())) == sorted(
         map(tuple, all_probed.collect())
     )
+
+
+def test_text_embeddings_and_cli_export_shape(spark, tmp_path):
+    """The production wiring (--export-vecindex): extracted docs ->
+    normalized feature-hash embeddings -> IVFPQ artifact; reopen and
+    query without retraining."""
+    from ocr_spark.sources.vecindex import text_embeddings
+
+    docs = spark.createDataFrame(
+        [(f"https://h{i % 7}.example/p{i}", f"alpha beta doc {i} " * (i % 5 + 1))
+         for i in range(40)],
+        "url string, text string",
+    )
+    emb = text_embeddings(docs)
+    rows = emb.collect()
+    assert len(rows) == 40 and len(set(r["vec_id"] for r in rows)) == 40
+    assert all(len(r["embedding"]) == 32 for r in rows)
+    assert all(abs(v) <= 1.0 for r in rows for v in r["embedding"])
+
+    root = str(tmp_path / "cli_idx")
+    idx = build_vector_index(emb, root, m=8, n_codes=8, n_iters=1, n_lists=4)
+    re = open_vector_index(root)
+    q = emb.limit(3)
+    got = re.topk(spark, q, k=2, n_probe=2)
+    assert got.count() == 6
+    # extend keeps the hive layout and the new vectors are queryable
+    more = text_embeddings(
+        spark.createDataFrame(
+            [("https://new.example/x", "gamma delta fresh text")],
+            "url string, text string",
+        )
+    )
+    re.extend(more)
+    assert re.codes(spark).count() == 41
