@@ -188,6 +188,11 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # probe the host BEFORE the query loop too: a co-tenant burst that
+    # subsides before a single end-of-run probe would otherwise stamp a
+    # loaded window as clean (the round-3 2-3x swing methodology)
+    hw_before = hw_calibration()
+
     spark = get_spark("ocr_spark_bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -295,8 +300,11 @@ def main():
         "n_docs": n_docs,
         "n_extracted": n_out,
         "docs_per_sec": round(n_out / t_extract, 1) if t_extract else None,
-        # same-window tenancy probe (see IDLE_CALIBRATION_SEC)
-        "hw_calibration_sec": hw_calibration(),
+        # same-window tenancy probes, before and after the query loop
+        # (see IDLE_CALIBRATION_SEC); the WORST of the two stamps the
+        # window
+        "hw_calibration_sec": max(hw_before, hw_calibration()),
+        "hw_calibration_before_sec": hw_before,
     }
 
     # anti-scaling gate (VERDICT r02 item 4): when SPARK_GRAFT_PAIR_JSON

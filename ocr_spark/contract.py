@@ -3420,29 +3420,43 @@ def q_pq_ann(spark, sf):  # product-quantization ANN (Jegou et al. 2011)
     return pq_topk(e, e.where(F.col("vec_id") < 5), k=5)
 
 
-def _vec_index(spark, sf):
-    """Build-once-per-(sf, params) persisted PQ index (sources/vecindex.py).
+def _cached_vec_index(spark, sf, suffix: str, **build_kwargs):
+    """Build-once-per-(corpus, params) persisted index (sources/vecindex.py).
 
-    The artifact path is keyed by the sanitized sf dir AND the build params
-    (the soak.py cache-key lesson: row count alone silently aliases
-    different corpora), so ann_index_build / ann_index_query / semdedup_pq
-    share one build in any execution order while distinct corpora never
-    collide. A valid existing artifact is REOPENED, not rebuilt — that is
-    the artifact's contract."""
+    The artifact path is keyed by the sanitized sf dir, the build-params
+    suffix, AND a filesystem fingerprint (size + mtime) of the source
+    embeddings parquet — the soak.py cache-key lesson extended: a
+    regenerated corpus under the SAME path must invalidate the artifact,
+    or stale codes would hash-mismatch the oracle's fresh replay. The
+    fingerprint is a driver-side stat call, no Spark job. A valid
+    existing artifact is REOPENED, not rebuilt — the artifact's
+    contract."""
     import tempfile
 
     from .sources.vecindex import build_vector_index, open_vector_index
 
     key = sf.strip("/").replace("/", "_").replace(".", "_")
+    src = _os.path.join(sf, "embeddings.parquet")
+    try:
+        st = _os.stat(src)
+        fp = f"{st.st_size}_{st.st_mtime_ns // 1_000_000}"
+    except OSError:
+        fp = "nofp"
     root = _os.path.join(
-        tempfile.gettempdir(), f"ocr_spark_vecindex_{key}_m8c64i2_v1"
+        tempfile.gettempdir(), f"ocr_spark_vecindex_{key}_{suffix}_{fp}"
     )
     try:
         return open_vector_index(root)
     except (OSError, ValueError, KeyError):
         return build_vector_index(
-            _t(spark, sf, "embeddings"), root, m=8, n_codes=64, n_iters=2
+            _t(spark, sf, "embeddings"), root, **build_kwargs
         )
+
+
+def _vec_index(spark, sf):
+    return _cached_vec_index(
+        spark, sf, "m8c64i2_v1", m=8, n_codes=64, n_iters=2
+    )
 
 
 def q_ann_index_build(spark, sf):  # persisted PQ index: build artifact
@@ -3474,26 +3488,16 @@ def _vec_index_ivf(spark, sf):
     """IVFPQ variant of the persisted index: 8 coarse lists (integer
     Lloyd, 2 iters), codes hive-partitioned by list_id. Same build-once
     cache policy as _vec_index, separate artifact dir."""
-    import tempfile
-
-    from .sources.vecindex import build_vector_index, open_vector_index
-
-    key = sf.strip("/").replace("/", "_").replace(".", "_")
-    root = _os.path.join(
-        tempfile.gettempdir(), f"ocr_spark_vecindex_{key}_m8c64i2_L8_v1"
+    return _cached_vec_index(
+        spark,
+        sf,
+        "m8c64i2_L8_v1",
+        m=8,
+        n_codes=64,
+        n_iters=2,
+        n_lists=8,
+        coarse_iters=2,
     )
-    try:
-        return open_vector_index(root)
-    except (OSError, ValueError, KeyError):
-        return build_vector_index(
-            _t(spark, sf, "embeddings"),
-            root,
-            m=8,
-            n_codes=64,
-            n_iters=2,
-            n_lists=8,
-            coarse_iters=2,
-        )
 
 
 def q_ann_index_ivf_query(spark, sf):  # IVFPQ persisted index: probed query

@@ -237,7 +237,9 @@ def lr_train(
         w, upd, errs = _newton_loop(feats, w, dim, max_iters)
     info["full_passes"] += upd + 1
     TRAIN_INFO.update(info)
-    return w, upd, errs
+    # the returned pass count matches TRAIN_INFO["full_passes"] on every
+    # path (the docstring's n_full_passes contract)
+    return w, info["full_passes"], errs
 
 
 _MAX_OUTER = 6

@@ -365,9 +365,16 @@ def run_streaming_mirror_extract_to_catalog(
     tbl = ManifestTable(table_root)
 
     def commit_batch(batch_df, batch_id: int):
-        if batch_df.isEmpty():
-            return
-        tbl.append(batch_df, commit_id=int(batch_id))
+        # pin the micro-batch before inspecting it: unlike the replayable
+        # file source, a live-camera batch plan re-fetches over HTTP per
+        # evaluation, so isEmpty + append on the raw plan would hit the
+        # cameras twice and could commit different frames than it checked
+        batch_df = batch_df.persist()
+        try:
+            if not batch_df.isEmpty():
+                tbl.append(batch_df, commit_id=int(batch_id))
+        finally:
+            batch_df.unpersist()
 
     frames = (
         spark.readStream.format("httpmirror")

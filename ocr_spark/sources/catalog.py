@@ -98,6 +98,30 @@ class ManifestTable:
         self._save_manifest(manifest)
         return commit_id
 
+    @staticmethod
+    def _read_entries(spark, entries):
+        """Merged read over manifest entries, safe for hive-partitioned
+        commits: multi-root partition discovery rejects sibling commit
+        dirs as "conflicting structures", so when any entry is
+        partitioned each commit reads under its own basePath and the
+        union runs allowMissingColumns — additive schema evolution and
+        partitioned/plain mixes both surface missing columns as NULL,
+        matching the single-root mergeSchema behavior."""
+        paths = [s["path"] for s in entries]
+        if len(paths) > 1 and any(s.get("partitioned") for s in entries):
+            from functools import reduce
+
+            dfs = [
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", p)
+                .parquet(p)
+                for p in paths
+            ]
+            return reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+            )
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
     def read_pruned(self, spark, col: str, lo, hi, *, as_of: int | None = None):
         """Zone-map scan (Iceberg manifest pruning): read only the commits
         whose recorded [min, max] of ``col`` can overlap [lo, hi], then
@@ -118,10 +142,10 @@ class ManifestTable:
                 return True  # no zone map -> cannot prove disjoint
             return not (rng[1] < lo or rng[0] > hi)
 
-        paths = [s["path"] for s in vis if may_match(s)]
-        if not paths:
+        hits = [s for s in vis if may_match(s)]
+        if not hits:
             return None
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self._read_entries(spark, hits)
         return df.where((F.col(col) >= lo) & (F.col(col) <= hi))
 
     def rollback(self, commit_id: int):
@@ -158,24 +182,7 @@ class ManifestTable:
         vis = self._visible(self._load_manifest(), as_of)
         if not vis:
             return None
-        paths = [s["path"] for s in vis]
-        if len(paths) > 1 and any(s.get("partitioned") for s in vis):
-            # hive-partitioned commits (partition_by appends): multi-root
-            # partition discovery rejects sibling commit dirs as
-            # "conflicting structures" — read per commit with its own
-            # basePath and union (schemas already merged additively)
-            from functools import reduce
-
-            from pyspark.sql import DataFrame as _DF
-
-            dfs = [
-                spark.read.option("mergeSchema", "true")
-                .option("basePath", p)
-                .parquet(p)
-                for p in paths
-            ]
-            return reduce(_DF.unionByName, dfs)
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._read_entries(spark, vis)
 
     def compact(self, spark, target_partitions: int = 1) -> int | None:
         """Rewrite the current view as ONE new commit (Iceberg
@@ -192,10 +199,11 @@ class ManifestTable:
             return None
         cid = self.next_commit_id()
         # mergeSchema: compaction of a schema-evolved table must keep the
-        # UNION schema, or the rewrite would silently drop added columns
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[s["path"] for s in vis]
-        )
+        # UNION schema, or the rewrite would silently drop added columns.
+        # A hive-partitioned table compacts to a PLAIN commit (the
+        # partition column becomes a data column — Iceberg's
+        # rewrite-with-new-spec shape); readers see identical rows.
+        df = self._read_entries(spark, vis)
         path = os.path.join(self.data_dir, f"commit={cid}")
         df.coalesce(target_partitions).write.mode("overwrite").parquet(path)
         manifest.append(
@@ -317,11 +325,7 @@ class ManifestTable:
         if not affected:
             return None
         cid = self.next_commit_id()
-        survivors = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[s["path"] for s in affected])
-            .where(~hit)
-        )
+        survivors = self._read_entries(spark, affected).where(~hit)
         path = os.path.join(self.data_dir, f"commit={cid}")
         survivors.write.mode("overwrite").parquet(path)
         manifest.append(

@@ -206,9 +206,15 @@ def build_vector_index(
     enc = pq_encode(embeddings, books)
     cents = None
     if n_lists > 0:
-        cents = kmeans_train(
-            quantize_embeddings(embeddings), k=n_lists, n_iters=coarse_iters
-        )
+        # persist the quantized table across the coarse Lloyd iterations:
+        # kmeans_train runs a seed collect + one aggregation job per iter,
+        # and an unpersisted plan would re-scan + re-quantize the full
+        # corpus each time (kmeans_assign persists for the same reason)
+        q = quantize_embeddings(embeddings).persist()
+        try:
+            cents = kmeans_train(q, k=n_lists, n_iters=coarse_iters)
+        finally:
+            q.unpersist()
         enc = enc.withColumn(
             "list_id",
             _kmeans_assign_udf(cents)(F.col("q")).getField("cluster"),
