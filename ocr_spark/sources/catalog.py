@@ -363,13 +363,13 @@ class ManifestTable:
             if s["commit_id"] > since
             and (until is None or s["commit_id"] <= until)
         ]
-        paths = []
+        entries = []
         for s in window:
             # legacy entries (pre-"op") carry no marker: entries that
             # replace others are rewrites, plain entries are appends
             op = s.get("op", "merge" if s.get("replaces") else "append")
             if op == "append":
-                paths.append(s["path"])
+                entries.append(s)
             elif op in ("merge", "delete"):
                 raise ValueError(
                     f"read_changes: commit {s['commit_id']} is an overwrite "
@@ -377,9 +377,9 @@ class ManifestTable:
                     "snapshot — consume overwrites via read(as_of=...) diffs"
                 )
             # op == "compact": rewrite only, skip
-        if not paths:
+        if not entries:
             return None
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._read_entries(spark, entries)
 
     def expire(self) -> list[int]:
         """Iceberg expire_snapshots: physically delete every data directory

@@ -235,3 +235,20 @@ def test_text_embeddings_and_cli_export_shape(spark, tmp_path):
     )
     re.extend(more)
     assert re.codes(spark).count() == 41
+
+
+def test_extended_ivf_table_survives_all_catalog_reads(spark, tmp_path):
+    """After extend() an IVF table has TWO hive-partitioned sibling
+    commits — read, read_pruned, read_changes, and compact must all work
+    (the multi-root partition-discovery trap)."""
+    root = str(tmp_path / "ivf_multi")
+    e = _emb(spark, n=32, dim=16, seed=3)
+    idx = build_vector_index(e, root, m=4, n_codes=8, n_iters=1, n_lists=4)
+    idx.extend(_emb(spark, n=8, seed=9, start_id=1000))
+    assert idx.codes(spark).count() == 40
+    pruned = idx.table.read_pruned(spark, "vec_id", 1000, 2000)
+    assert pruned is not None and pruned.count() == 8
+    changes = idx.table.read_changes(spark, since=0)
+    assert changes.count() == 8
+    cid = idx.table.compact(spark)
+    assert cid is not None and idx.codes(spark).count() == 40
