@@ -101,3 +101,28 @@ def test_lr_train_raises_on_unseparable_labels(spark):
     )
     _, _, errs = lr_train(doubled, max_iters=3)
     assert errs > 0
+
+
+def test_misclassified_scan_is_top_k_not_global_sort(spark):
+    """The worst-margin collection must plan as TakeOrderedAndProject
+    (per-partition top-k + driver merge), never a full global sort of
+    the weak set — the property that keeps the outer round one cheap
+    scan at corpus scale."""
+    import numpy as np
+
+    from ocr_spark.operators.lr_train import _misclassified, hashed_features
+
+    feats = hashed_features(_df(spark))
+    w = np.zeros(33)
+
+    # same plan shape _misclassified builds (mapInPandas -> orderBy -> limit)
+    plan_df = (
+        feats.mapInPandas(lambda it: it, schema=feats.schema)
+        .orderBy("doc_id")
+        .limit(16)
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # and the real call returns bounded, deterministic rows
+    rows = _misclassified(feats, w, 32, cap=16)
+    assert len(rows) <= 16
