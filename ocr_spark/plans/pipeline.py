@@ -307,9 +307,16 @@ def run_streaming_extract_to_catalog(
     tbl = ManifestTable(table_root)
 
     def commit_batch(batch_df, batch_id: int):
-        if batch_df.isEmpty():
-            return
-        tbl.append(batch_df, commit_id=int(batch_id))
+        # pin before inspecting: the batch plan contains the extraction
+        # python stage, and isEmpty + append would otherwise run it twice
+        # per micro-batch (correct for this replayable source, but double
+        # the work)
+        batch_df = batch_df.persist()
+        try:
+            if not batch_df.isEmpty():
+                tbl.append(batch_df, commit_id=int(batch_id))
+        finally:
+            batch_df.unpersist()
 
     reader = spark.readStream.schema(PAGES_SCHEMA)
     if max_files_per_trigger:
