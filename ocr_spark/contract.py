@@ -3844,14 +3844,67 @@ def q_split_text(spark, sf):  # F7 recursive chunking via mapInPandas
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
     # DRIVER-WINDOW ROTATION: the driver's correctness gate hashes the
-    # FIRST 50 entries of this dict at sf0.01. Rounds 1-3 hard-checked 103
-    # of the 177 queries; the 74 never-driver-checked remainder now leads.
-    # Round-4 window = entries 1-50 below; the next 24 (marked 'round-5
-    # head') plus any queries added this round form round 5's window,
-    # which completes the 177-query sweep. Demote freshly-verified
-    # entries to the tail each round.
+    # FIRST 50 entries of this dict at sf0.01. Round-5 window = the 28
+    # queries never driver-checked in rounds 1-4 (24 carryover + the 4
+    # round-4 additions), then backfill with the 22 OLDEST driver rows
+    # (r1/r2) — this completes the 181-query cumulative driver sweep.
+    # New round-5 queries are inserted after the never-checked block so
+    # they get a driver row in this same window.
     # ------------------------------------------------------------------
-    # -- round-4 driver window (50, never driver-checked before) --
+    # -- round-5 driver window: never driver-checked before (28) --
+    "domain_split": q_domain_split,
+    "domain_prior": q_domain_prior,
+    "unimax": q_unimax,
+    "bloom_prefilter": q_bloom_prefilter,
+    "bitext": q_bitext,
+    "ccnet_buckets": q_ccnet_buckets,
+    "gopher_rules": q_gopher_rules,
+    "mojibake": q_mojibake,
+    "seed_distance": q_seed_distance,
+    "dsir_resample": q_dsir_resample,
+    "microdata": q_microdata,
+    "markdown_export": q_markdown_export,
+    "bitext_align": q_bitext_align,
+    "audio_dups": q_audio_dups,
+    "video_dups": q_video_dups,
+    "cdc_chunks": q_cdc_chunks,
+    "unigram_segment": q_unigram_segment,
+    "wordpiece": q_wordpiece,
+    "readability": q_readability,
+    "blocklist": q_blocklist,
+    "shuffle_shards": q_shuffle_shards,
+    "training_pipeline_v2": q_training_pipeline_v2,
+    "url_canon": q_url_canon,
+    "url_features": q_url_features,
+    "ann_index_build": q_ann_index_build,
+    "ann_index_query": q_ann_index_query,
+    "ann_index_ivf_query": q_ann_index_ivf_query,
+    "semdedup_pq": q_semdedup_pq,
+    # -- new round-5 queries insert here (inside the 50-slot window) --
+    # -- backfill: oldest driver-checked rows (r1/r2) (22) --
+    "multimodal_meta": q_multimodal_meta,
+    "training_pipeline": q_training_pipeline,
+    "multimodal_frames": q_multimodal_frames,
+    "chunk_extracted": q_chunk_extracted,
+    "size_filter": q_size_filter,
+    "region_filter": q_region_filter,
+    "union_agg": q_union_agg,
+    "median_threshold": q_median_threshold,
+    "window_topk": q_window_topk,
+    "anti_join": q_anti_join,
+    "order_weight": q_order_weight,
+    "sessionize": q_sessionize,
+    "clean_text": q_clean_text,
+    "levenshtein": q_levenshtein,
+    "group_concat": q_group_concat,
+    "dedup_exact": q_dedup_exact,
+    "line_dedup": q_line_dedup,
+    "fingerprint": q_fingerprint,
+    "token_count": q_token_count,
+    "quality": q_quality,
+    "langid": q_langid,
+    "repetition": q_repetition,
+    # -- driver-verified green in r3/r4 (tail, outside the window) --
     "frontier_plan": q_frontier_plan,
     "sitemap_gap": q_sitemap_gap,
     "crawl_overlap": q_crawl_overlap,
@@ -3902,37 +3955,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vtt_cues": q_vtt_cues,
     "registrable_domain": q_registrable_domain,
     "meta_robots": q_meta_robots,
-    # -- round-5 head: remaining never-driver-checked (24) --
-    "domain_split": q_domain_split,
-    "domain_prior": q_domain_prior,
-    "unimax": q_unimax,
-    "bloom_prefilter": q_bloom_prefilter,
-    "bitext": q_bitext,
-    "ccnet_buckets": q_ccnet_buckets,
-    "gopher_rules": q_gopher_rules,
-    "mojibake": q_mojibake,
-    "seed_distance": q_seed_distance,
-    "dsir_resample": q_dsir_resample,
-    "microdata": q_microdata,
-    "markdown_export": q_markdown_export,
-    "bitext_align": q_bitext_align,
-    "audio_dups": q_audio_dups,
-    "video_dups": q_video_dups,
-    "cdc_chunks": q_cdc_chunks,
-    "unigram_segment": q_unigram_segment,
-    "wordpiece": q_wordpiece,
-    "readability": q_readability,
-    "blocklist": q_blocklist,
-    "shuffle_shards": q_shuffle_shards,
-    "training_pipeline_v2": q_training_pipeline_v2,
-    "url_canon": q_url_canon,
-    "url_features": q_url_features,
-    # -- new round-4 queries join here (round-5 window) --
-    "ann_index_build": q_ann_index_build,
-    "ann_index_query": q_ann_index_query,
-    "ann_index_ivf_query": q_ann_index_ivf_query,
-    "semdedup_pq": q_semdedup_pq,
-    # -- driver-verified green in CORRECTNESS_r01-r03 (tail) --
     "embed_centroids": q_embed_centroids,
     "flagship_extract": q_flagship_extract,
     "pdf_extract": q_pdf_extract,
@@ -3983,28 +4005,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_urls": q_sitemap_urls,
     "feed_entries": q_feed_entries,
     "politeness": q_politeness,
-    "multimodal_meta": q_multimodal_meta,
-    "training_pipeline": q_training_pipeline,
-    "multimodal_frames": q_multimodal_frames,
-    "chunk_extracted": q_chunk_extracted,
-    "size_filter": q_size_filter,
-    "region_filter": q_region_filter,
-    "union_agg": q_union_agg,
-    "median_threshold": q_median_threshold,
-    "window_topk": q_window_topk,
-    "anti_join": q_anti_join,
-    "order_weight": q_order_weight,
-    "sessionize": q_sessionize,
-    "clean_text": q_clean_text,
-    "levenshtein": q_levenshtein,
-    "group_concat": q_group_concat,
-    "dedup_exact": q_dedup_exact,
-    "line_dedup": q_line_dedup,
-    "fingerprint": q_fingerprint,
-    "token_count": q_token_count,
-    "quality": q_quality,
-    "langid": q_langid,
-    "repetition": q_repetition,
     "jaccard_pairs": q_jaccard_pairs,
     "containment": q_containment,
     "url_templates": q_url_templates,
