@@ -3437,20 +3437,28 @@ def _cached_vec_index(spark, sf, suffix: str, **build_kwargs):
 
     key = sf.strip("/").replace("/", "_").replace(".", "_")
     src = _os.path.join(sf, "embeddings.parquet")
+    # ADVICE r4: a failed stat must be a CACHE MISS, not a stable "nofp"
+    # key — a stale /tmp artifact from an older corpus at the same sf path
+    # would otherwise be reopened without invalidation. (If the source is
+    # truly missing, the build below surfaces the real read error.)
+    stat_failed = False
     try:
         st = _os.stat(src)
         fp = f"{st.st_size}_{st.st_mtime_ns // 1_000_000}"
     except OSError:
         fp = "nofp"
+        stat_failed = True
     root = _os.path.join(
         tempfile.gettempdir(), f"ocr_spark_vecindex_{key}_{suffix}_{fp}"
     )
-    try:
-        return open_vector_index(root)
-    except (OSError, ValueError, KeyError):
-        return build_vector_index(
-            _t(spark, sf, "embeddings"), root, **build_kwargs
-        )
+    if not stat_failed:
+        try:
+            return open_vector_index(root)
+        except (OSError, ValueError, KeyError):
+            pass
+    return build_vector_index(
+        _t(spark, sf, "embeddings"), root, **build_kwargs
+    )
 
 
 def _vec_index(spark, sf):

@@ -215,6 +215,15 @@ def lr_train(
         rows = (
             feats.where(F.col("doc_id") % mod == 0).select("feat", "y").collect()
         )
+        # ADVICE r4: Spark's % keeps the dividend's sign, so hashed /
+        # sparse / negative doc_ids can leave the residue-0 sample empty —
+        # an empty X would crash _local_newton's concatenate. Treat an
+        # empty sample as "no sample path" and use the distributed Newton.
+        if not rows:
+            rows = None
+    else:
+        rows = None
+    if rows is not None:
         X = np.array([r["feat"] for r in rows], dtype=np.float64)
         Y = np.array([bool(r["y"]) for r in rows])
         for _round in range(_MAX_OUTER):

@@ -126,3 +126,23 @@ def test_misclassified_scan_is_top_k_not_global_sort(spark):
     # and the real call returns bounded, deterministic rows
     rows = _misclassified(feats, w, 32, cap=16)
     assert len(rows) <= 16
+
+
+def test_empty_sample_falls_back_to_distributed_newton(spark):
+    # ADVICE r4: negative doc_ids (Spark % keeps the dividend's sign) can
+    # leave the residue-0 deterministic sample EMPTY; the empty working
+    # set must fall through to the full-corpus Newton, not crash in
+    # np.concatenate.
+    # 60 docs / sample_target 16 -> mod = 3; ids -(3i+1) have Spark
+    # residue -1, so doc_id % 3 == 0 matches NOTHING -> empty sample
+    rows = [(-(3 * i + 1), TEXTS[i % len(TEXTS)] + f" tail{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    feats = hashed_features(df)
+    assert feats.where("doc_id % 3 == 0").count() == 0
+    # sample_target small enough that mod > 1 engages the sample path
+    w, n_full, errs = lr_train(feats, sample_target=16)
+    assert errs == 0
+    wv = np.concatenate([np.array(w[:DIM]), [w[DIM]]])
+    for r in feats.collect():
+        z = float(np.dot(np.array(r["feat"], dtype=np.float64), wv[:DIM]) + wv[DIM])
+        assert (z > 0) == bool(r["y"])
