@@ -3521,6 +3521,18 @@ def q_ann_index_ivf_query(spark, sf):  # IVFPQ persisted index: probed query
     return idx.topk(spark, e.where(F.col("vec_id") < 5), k=5, n_probe=3)
 
 
+def q_ann_index_batch_query(spark, sf):  # IVFPQ: distributed batch probe
+    """The SAME probed query as ann_index_ivf_query routed through the
+    ZERO-COLLECT batch path (VectorIndex.topk_batch → similarity.
+    pq_query_batch): probe selection, ADC scoring, and re-rank all run as
+    DataFrame stages, so the probe side can be corpus-sized (VERDICT r04
+    #4). Bit-identical to the driver path by construction — the oracle is
+    the ivf query's replay, unchanged."""
+    idx = _vec_index_ivf(spark, sf)
+    e = _t(spark, sf, "embeddings")
+    return idx.topk_batch(spark, e.where(F.col("vec_id") < 5), k=5, n_probe=3)
+
+
 def q_semdedup_pq(spark, sf):  # SemDeDup through the persisted PQ index
     """Semantic dedup driven by the persisted index's RECONSTRUCTED
     vectors (operators/similarity.semdedup_pq): the corpus is scanned as
@@ -3889,6 +3901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_ivf_query": q_ann_index_ivf_query,
     "semdedup_pq": q_semdedup_pq,
     # -- new round-5 queries insert here (inside the 50-slot window) --
+    "ann_index_batch_query": q_ann_index_batch_query,
     # -- backfill: oldest driver-checked rows (r1/r2) (22) --
     "multimodal_meta": q_multimodal_meta,
     "training_pipeline": q_training_pipeline,
@@ -6477,6 +6490,9 @@ def _ann_index_ivf_oracle_sql(
 
 
 ORACLE_SQL["ann_index_ivf_query"] = _ann_index_ivf_oracle_sql()
+# the batch path is bit-identical to the driver probe path by contract —
+# the SAME replay oracle checks it independently
+ORACLE_SQL["ann_index_batch_query"] = _ann_index_ivf_oracle_sql()
 
 
 def _semdedup_pq_oracle_sql(

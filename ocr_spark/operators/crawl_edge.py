@@ -282,7 +282,9 @@ def resolve_redirects(edges_df: DataFrame, max_hops: int = 8) -> DataFrame:
     # that cardinality, not the session's scan-sized partitioning
     from ..plans.session import iteration_shuffle
 
-    with iteration_shuffle(edges_df.sparkSession, nodes.count()):
+    with iteration_shuffle(edges_df.sparkSession, nodes.count()) as it:
+        edges = it.bind(edges)
+        nodes = it.bind(nodes)
         # f_1: one step (or stay put at a terminal)
         f = (
             nodes.join(edges, "node", "left")

@@ -658,8 +658,8 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 25) -> DataFrame:
     # a scan of the checkpoint just built
     from ..plans.session import iteration_shuffle
 
-    with iteration_shuffle(pairs.sparkSession, labels.count()):
-        labels = _propagate_labels(adj, labels, max_iters)
+    with iteration_shuffle(pairs.sparkSession, labels.count()) as it:
+        labels = _propagate_labels(it.bind(adj), it.bind(labels), max_iters)
     return labels
 
 

@@ -384,7 +384,12 @@ def hits_hosts(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
     # scan-sized setting (anti-scaling otherwise — see iteration_shuffle)
     from ..plans.session import iteration_shuffle
 
-    with iteration_shuffle(edges_df.sparkSession, nodes.count()):
+    with iteration_shuffle(edges_df.sparkSession, nodes.count()) as it:
+        # rebase the loop inputs into the clone; _half's closure reads the
+        # reassigned edges/nodes, so every round plans under it.n
+        edges = it.bind(edges)
+        nodes = it.bind(nodes)
+        hubs = it.bind(hubs)
         for _ in range(n_iters):
             auths = _half(hubs, "hub", "src_host", "dst_host", "auth")
             hubs = _half(auths, "auth", "dst_host", "src_host", "hub")
@@ -560,12 +565,16 @@ def hyperball_harmonic(
             )
         )
 
-    ests = [estimates(regs, 0)]
     # register state is <= hosts*m small rows; bound the round shuffles by
     # its cardinality (see iteration_shuffle)
     from ..plans.session import iteration_shuffle
 
-    with iteration_shuffle(edges_df.sparkSession, regs.count()):
+    with iteration_shuffle(edges_df.sparkSession, regs.count()) as it:
+        edges = it.bind(edges)
+        regs = it.bind(regs)
+        # built inside the scope so the whole estimate tail (union +
+        # window + final groupBy over bounded host rows) stays clone-bound
+        ests = [estimates(regs, 0)]
         for t in range(1, rounds + 1):
             shipped = edges.join(regs, edges.src_host == regs.host).select(
                 F.col("dst_host").alias("host"), "register", "max_rho"
@@ -718,8 +727,8 @@ def kcore_hosts(edges_df: DataFrame, *, k: int = 2, rounds: int = 4) -> DataFram
     # its cardinality (see iteration_shuffle)
     from ..plans.session import iteration_shuffle
 
-    with iteration_shuffle(edges_df.sparkSession, n_alive):
-        return _kcore_peel(und, alive, n_alive, k, rounds)
+    with iteration_shuffle(edges_df.sparkSession, n_alive) as it:
+        return _kcore_peel(it.bind(und), it.bind(alive), n_alive, k, rounds)
 
 
 def _kcore_peel(und, alive, n_alive, k, rounds):
@@ -868,8 +877,8 @@ def label_propagation(edges_df: DataFrame, n_iters: int = 4) -> DataFrame:
     # checkpoints inside the scope carry the bounded partitioning
     from ..plans.session import iteration_shuffle
 
-    with iteration_shuffle(edges_df.sparkSession, nodes.count()):
-        labels = _lpa_rounds(und, labels, w, n_iters)
+    with iteration_shuffle(edges_df.sparkSession, nodes.count()) as it:
+        labels = _lpa_rounds(it.bind(und), it.bind(labels), w, n_iters)
     return labels
 
 

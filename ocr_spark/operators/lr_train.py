@@ -242,8 +242,8 @@ def lr_train(
             )
             Y = np.concatenate([Y, np.array([bool(r["y"]) for r in hard])])
     # fallback (and the small-corpus path): full-corpus distributed Newton
-    with iteration_shuffle(feats.sparkSession, (dim + 1) ** 2 + dim + 2):
-        w, upd, errs = _newton_loop(feats, w, dim, max_iters)
+    with iteration_shuffle(feats.sparkSession, (dim + 1) ** 2 + dim + 2) as it:
+        w, upd, errs = _newton_loop(it.bind(feats), w, dim, max_iters)
     info["full_passes"] += upd + 1
     TRAIN_INFO.update(info)
     # the returned pass count matches TRAIN_INFO["full_passes"] on every

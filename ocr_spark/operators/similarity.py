@@ -604,6 +604,157 @@ def pq_query(
     )
 
 
+def _probe_lists_udf(cents, n_probe: int):
+    """Arrow-batched per-query probe-list selection against literal coarse
+    centroids -> array<int> of the ``n_probe`` nearest list ids by exact
+    int64 squared L2, stable ties -> lowest list id — the SAME (dist, cl)
+    order as ``VectorIndex.probe_lists``'s driver argsort, so the two
+    probe paths pick identical lists for identical queries."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.int64)  # (L, dim)
+    c2 = (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def probes(qs: pd.Series) -> pd.Series:
+        if len(qs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array([np.asarray(v, dtype=np.int64) for v in qs])
+        d = (M * M).sum(axis=1)[:, None] - 2 * (M @ C.T) + c2[None, :]
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probes
+
+
+def _recon_l2_udf(books):
+    """(codes, qq) -> int64 squared L2 between the query's quantized
+    vector and the candidate's PQ reconstruction. Per subspace s,
+    ||qq_s - C[s, codes_s]||^2 summed over s — EXACTLY the per-query ADC
+    table entries ``pq_query`` builds driver-side, summed in the same
+    integer arithmetic (association-free int64), so batch and driver ADC
+    scores are bit-identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(books, dtype=np.int64)  # (m, k, d_sub)
+
+    @pandas_udf("bigint")
+    def adist(codes: pd.Series, qq: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="int64")
+        Cd = np.array([np.asarray(c, dtype=np.int64) for c in codes])
+        Q = np.array([np.asarray(v, dtype=np.int64) for v in qq])
+        R = np.concatenate(
+            [C[s][Cd[:, s]] for s in range(C.shape[0])], axis=1
+        )  # (n, dim) reconstruction
+        d = R - Q
+        return pd.Series((d * d).sum(axis=1).astype("int64"))
+
+    return adist
+
+
+def _pair_l2_udf():
+    """(q, qq) -> exact int64 squared L2 between two quantized vectors —
+    the batch-path twin of ``pq_query``'s ``exact_dist`` (which indexes a
+    driver-held query matrix instead of reading the joined column)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def dist(q: pd.Series, qq: pd.Series) -> pd.Series:
+        if len(q) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.array([np.asarray(v, dtype=np.int64) for v in q])
+        B = np.array([np.asarray(v, dtype=np.int64) for v in qq])
+        d = A - B
+        return pd.Series((d * d).sum(axis=1).astype("int64"))
+
+    return dist
+
+
+def pq_query_batch(
+    enc: DataFrame,
+    queries: DataFrame,
+    books: list,
+    coarse_cents: list,
+    *,
+    k: int = 5,
+    rerank: int = 100,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Distributed IVFPQ query path for LARGE query sets (VERDICT r04 #4):
+    zero driver-side collect — the probe side stays a DataFrame end to
+    end, so a 1M-row query batch plans exactly like a 10-row one.
+
+    ``pq_query`` + ``VectorIndex.probe_lists`` collect the probe side and
+    build per-query ADC tables in a UDF closure — the right shape for
+    interactive query sets (bounded driver state, one corpus scan), the
+    wrong one when a batch job probes with millions of queries. Here:
+
+    - coarse probe selection runs through an Arrow kernel against the
+      literal centroids (``_probe_lists_udf`` — same arithmetic and tie
+      order as the driver argsort), exploded to a (query_id, list_id)
+      probe table;
+    - the ADC short-list comes from joining that probe table to the
+      hive-partitioned codes on ``list_id`` (the equi-join gives Spark a
+      dynamic-partition-pruning opportunity on the codes scan; candidates
+      never exceed the probed lists), scoring each pair via the PQ
+      reconstruction L2 (`_recon_l2_udf` — bit-identical to the driver
+      ADC-table sums);
+    - the exact re-rank joins the short-list back to the refine column and
+      the quantized queries — same integer arithmetic, same
+      (dist, vec_id) tie order.
+
+    Output (query_id, vec_id, dist_q, rank) is bit-identical to
+    ``VectorIndex.topk`` with ``n_probe`` for the same inputs
+    (tests/test_vecindex.py pins equality AND the zero-collect plan
+    construction)."""
+    qq = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(KMEANS_QUANT)).cast("long"),
+        ).alias("qq"),
+    )
+    probe = qq.select(
+        "query_id",
+        "qq",
+        F.explode(_probe_lists_udf(coarse_cents, n_probe)(F.col("qq"))).alias(
+            "list_id"
+        ),
+    )
+    pairs = (
+        probe.join(enc.select("list_id", "vec_id", "codes"), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _recon_l2_udf(books)(F.col("codes"), F.col("qq")).alias("adist_q"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adist_q"), F.asc("vec_id"))
+    shortlist = (
+        pairs.withColumn("crank", F.row_number().over(w_adc))
+        .where(F.col("crank") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    reranked = (
+        enc.select("vec_id", "q")
+        .join(shortlist, "vec_id")
+        .join(qq, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _pair_l2_udf()(F.col("q"), F.col("qq")).alias("dist_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("vec_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dist_q", "rank")
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     *,

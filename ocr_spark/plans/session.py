@@ -65,11 +65,62 @@ def get_spark(app: str = "ocr_spark", cpus: int | None = None, **conf) -> SparkS
     return builder.getOrCreate()
 
 
+# session confs the iteration clone must mirror from its parent — these
+# are runtime-settable, so a parent configured after context creation
+# (tests, notebooks) would otherwise diverge from the clone
+_ITER_CONF_KEYS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.execution.arrow.maxRecordsPerBatch",
+    "spark.sql.files.maxPartitionBytes",
+)
+
+_ITER_IDS = iter(range(1, 1 << 62))
+
+
+class IterationScope:
+    """Handle yielded by :func:`iteration_shuffle`: a CLONED SparkSession
+    (shared SparkContext, cache manager, and warehouse; its OWN SQLConf)
+    whose ``spark.sql.shuffle.partitions`` is bound to the loop state's
+    cardinality.  ``bind(df)`` re-roots a parent-session DataFrame into
+    the clone (via a global temp view, dropped on scope exit — the plan
+    is re-analyzed once, cached/persisted subtrees still hit the shared
+    cache), so every transformation DERIVED from a bound frame plans
+    under the bounded partitioning — including lazy tails planned after
+    the ``with`` block, since the clone's conf is permanent to the clone.
+    """
+
+    def __init__(self, parent, clone, n: int):
+        self._parent = parent
+        self.spark = clone
+        self.n = n
+        self._views: list[str] = []
+
+    def bind(self, df):
+        name = f"ocr_spark_iter_{os.getpid()}_{next(_ITER_IDS)}"
+        df.createOrReplaceGlobalTempView(name)
+        self._views.append(name)
+        gdb = self._parent.conf.get("spark.sql.globalTempDatabase", "global_temp")
+        return self.spark.table(f"`{gdb}`.`{name}`")
+
+    def _close(self):
+        for name in self._views:
+            try:
+                self._parent.catalog.dropGlobalTempView(name)
+            except Exception:
+                pass
+        self._views.clear()
+
+
 @contextmanager
 def iteration_shuffle(spark, state_rows: int, rows_per_partition: int = 100_000):
-    """Bound ``spark.sql.shuffle.partitions`` to the ITERATION STATE's own
-    size for the duration of a fixed-point loop, restoring the session
-    value on exit.  Yields the partition count chosen.
+    """Bound a fixed-point loop's shuffle partitioning to the ITERATION
+    STATE's own size.  Yields an :class:`IterationScope`; the loop must
+    run over ``scope.bind(...)``-rebased inputs (every call site does).
 
     Iterative graph/cluster operators (HITS, BFS, pointer jumping,
     redirect doubling) exchange a bounded per-round state — one small row
@@ -88,28 +139,33 @@ def iteration_shuffle(spark, state_rows: int, rows_per_partition: int = 100_000)
     flipping that globally serialized the pointer-jumping CC's real work
     2x — the bound must be per-loop, from the loop's own state size.
 
-    Only effective for loops that run ACTIONS inside the scope (eager
-    localCheckpoint / convergence counts) — lazy builders must
-    materialize their final state inside it.  Correctness is unaffected:
-    every wrapped loop is partitioning-invariant by construction
-    (integral, order-independent updates; partition-invariance tests).
-
-    SINGLE-THREADED-DRIVER ASSUMPTION: this mutates the session-global
-    ``spark.sql.shuffle.partitions`` for the scope's duration, so any
-    query planned CONCURRENTLY on the same SparkSession (driver thread
-    pools, shared Spark Connect sessions) could inherit the loop's small
-    value.  This repo's drivers are single-threaded (bench/contract/jobs
-    run queries sequentially), which is why the conf scope is safe here;
-    a multi-tenant driver should instead pin the loop state with explicit
-    ``repartition(n)`` on each round's state DataFrame.
+    CONF ISOLATION (VERDICT r04 #5): the bound lives in a CLONED session
+    (``spark.newSession()``), never in the caller's — queries planned
+    concurrently on the parent session (driver thread pools, shared Spark
+    Connect sessions) keep their scan-sized partitioning; the threaded
+    no-bleed test pins this.  The clone shares the SparkContext and cache
+    manager, so persisted subtrees referenced by bound frames execute
+    once, and because the clone's conf never changes, lazy tails derived
+    from bound state keep the bounded partitioning even when planned
+    after the scope exits (the r03 kcore/LPA lazy-tail hazard is gone by
+    construction — eager in-scope pinning is now an optimization, not a
+    correctness requirement).  Correctness is unaffected: every wrapped
+    loop is partitioning-invariant by construction (integral,
+    order-independent updates; partition-invariance tests).
     """
     n = max(
         1,
         min(spark.sparkContext.defaultParallelism, -(-state_rows // rows_per_partition)),
     )
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    clone = spark.newSession()
+    for key in _ITER_CONF_KEYS:
+        try:
+            clone.conf.set(key, spark.conf.get(key))
+        except Exception:
+            pass
+    clone.conf.set("spark.sql.shuffle.partitions", str(n))
+    scope = IterationScope(spark, clone, n)
     try:
-        yield n
+        yield scope
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        scope._close()

@@ -252,3 +252,57 @@ def test_extended_ivf_table_survives_all_catalog_reads(spark, tmp_path):
     assert changes.count() == 8
     cid = idx.table.compact(spark)
     assert cid is not None and idx.codes(spark).count() == 40
+
+
+def test_topk_batch_bit_identical_to_driver_path(spark, tmp_path):
+    """VERDICT r04 #4: the distributed batch query path must return
+    exactly what the driver-probe path returns — same probe lists, same
+    ADC scores, same tie order."""
+    root = str(tmp_path / "ivf_batch")
+    e = _emb(spark, n=64, dim=16, seed=3)
+    build_vector_index(e, root, m=4, n_codes=8, n_iters=2, n_lists=4, coarse_iters=2)
+    idx = open_vector_index(root)
+    q = e.where(F.col("vec_id") < 7)
+    driver = sorted(map(tuple, idx.topk(spark, q, k=3, n_probe=2).collect()))
+    batch = sorted(map(tuple, idx.topk_batch(spark, q, k=3, n_probe=2).collect()))
+    assert batch == driver
+    # and at full probe width both equal the flat answer
+    driver_full = sorted(map(tuple, idx.topk(spark, q, k=3, n_probe=4).collect()))
+    batch_full = sorted(map(tuple, idx.topk_batch(spark, q, k=3, n_probe=4).collect()))
+    assert batch_full == driver_full
+
+
+def test_topk_batch_plans_with_zero_collect(spark, tmp_path, monkeypatch):
+    """The batch path's contract at scale: CONSTRUCTING the query plan
+    must launch no driver-side collect of the probe side (the driver path
+    collects by design — poisoning DataFrame.collect during construction
+    distinguishes the two)."""
+    root = str(tmp_path / "ivf_zc")
+    e = _emb(spark, n=64, dim=16, seed=3)
+    build_vector_index(e, root, m=4, n_codes=8, n_iters=2, n_lists=4, coarse_iters=2)
+    idx = open_vector_index(root)
+    q = e.where(F.col("vec_id") < 3)
+
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+    # abstract facade in Spark 4 — patching it never intercepts calls)
+    SparkDF = type(q)
+    real_collect = SparkDF.collect
+
+    def boom(self):  # pragma: no cover - must not run during planning
+        raise AssertionError("batch query path collected the probe side")
+
+    monkeypatch.setattr(SparkDF, "collect", boom)
+    out = idx.topk_batch(spark, q, k=3, n_probe=2)  # plan construction only
+    monkeypatch.setattr(SparkDF, "collect", real_collect)
+    assert len(out.collect()) == 9
+
+    # the driver path DOES collect during construction — the probe is valid
+    monkeypatch.setattr(SparkDF, "collect", boom)
+    with pytest.raises(AssertionError, match="collected the probe side"):
+        idx.topk(spark, q, k=3, n_probe=2)
+
+
+def test_topk_batch_requires_ivf(spark, built):
+    root, e, idx = built
+    with pytest.raises(ValueError, match="IVF"):
+        idx.topk_batch(spark, e.where(F.col("vec_id") < 3), k=3, n_probe=2)
