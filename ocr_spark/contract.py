@@ -2754,6 +2754,72 @@ def q_video_frames(spark, sf):  # REAL AVI container decode -> frame rows
     return video_frames(blobs, every_k=2)
 
 
+def q_video_meta(spark, sf):  # MP4/WebM container metadata probe
+    """MP4 atoms / WebM EBML built from doc_id residues are probed back
+    through the decode-free container walk (kernels/containerprobe.py ->
+    operators/multimodal.video_meta): one row per track with duration /
+    timescale / codec / dimensions. The oracle re-derives every field
+    closed-form from the residues — the metadata half of the reference's
+    ffmpeg reader surface (utils/image/video/ffmpeg_reader.py:1-214)
+    without paying a codec decode (VERDICT r04 #7)."""
+    from .operators.multimodal import video_meta
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        from ocr_spark.kernels.containerprobe import mp4_build, webm_build
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 160 * (1 + did % 4), 90 * (1 + did % 4)
+                tracks = [
+                    {
+                        "track_type": "video",
+                        "codec": (
+                            ("hev1" if did % 3 == 0 else "avc1")
+                            if did % 2 == 0
+                            else ("V_VP8" if did % 3 == 0 else "V_VP9")
+                        ),
+                        "width": w,
+                        "height": h,
+                    }
+                ]
+                if did % 3 == 0:
+                    tracks.append(
+                        {
+                            "track_type": "audio",
+                            "codec": "mp4a" if did % 2 == 0 else "A_OPUS",
+                        }
+                    )
+                if did % 2 == 0:
+                    blobs.append(
+                        mp4_build(
+                            major_brand="mp42" if did % 5 == 0 else "isom",
+                            timescale=600 + 100 * (did % 3),
+                            duration_ticks=600 + 37 * (did % 50),
+                            tracks=tracks,
+                        )
+                    )
+                else:
+                    blobs.append(
+                        webm_build(
+                            timecode_scale=1_000_000,
+                            duration_ticks=1000 + 37 * (did % 50),
+                            tracks=tracks,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = d.mapInPandas(build, schema="blob_id long, blob binary")
+    return video_meta(blobs)
+
+
 def q_vtt_cues(spark, sf):  # WebVTT subtitle parse -> integer-ms cue rows
     """Synthetic .vtt bodies (header, NOTE block, cue ids, multi-line
     payloads — all from doc_id residues) are FORMATTED as real WebVTT text
@@ -3902,6 +3968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_pq": q_semdedup_pq,
     # -- new round-5 queries insert here (inside the 50-slot window) --
     "ann_index_batch_query": q_ann_index_batch_query,
+    "video_meta": q_video_meta,
     # -- backfill: oldest driver-checked rows (r1/r2) (22) --
     "multimodal_meta": q_multimodal_meta,
     "training_pipeline": q_training_pipeline,
@@ -6493,6 +6560,37 @@ ORACLE_SQL["ann_index_ivf_query"] = _ann_index_ivf_oracle_sql()
 # the batch path is bit-identical to the driver probe path by contract —
 # the SAME replay oracle checks it independently
 ORACLE_SQL["ann_index_batch_query"] = _ann_index_ivf_oracle_sql()
+
+ORACLE_SQL["video_meta"] = """
+    WITH base AS (
+        SELECT doc_id AS did,
+               CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,
+               CASE WHEN doc_id % 2 = 0
+                    THEN (CASE WHEN doc_id % 5 = 0 THEN 'mp42' ELSE 'isom' END)
+                    ELSE 'webm' END AS major_brand,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 600 + 100 * (doc_id % 3)
+                         ELSE 1000000 END AS BIGINT) AS timescale,
+               CAST(CASE WHEN doc_id % 2 = 0
+                    THEN ((600 + 37 * (doc_id % 50)) * 1000)
+                         // (600 + 100 * (doc_id % 3))
+                    ELSE 1000 + 37 * (doc_id % 50) END AS BIGINT) AS duration_ms
+        FROM documents)
+    SELECT did AS blob_id, container, major_brand, timescale, duration_ms,
+           CAST(1 AS INTEGER) AS track_no, 'video' AS track_type,
+           CASE WHEN container = 'mp4'
+                THEN (CASE WHEN did % 3 = 0 THEN 'hev1' ELSE 'avc1' END)
+                ELSE (CASE WHEN did % 3 = 0 THEN 'V_VP8' ELSE 'V_VP9' END)
+           END AS codec,
+           CAST(160 * (1 + did % 4) AS INTEGER) AS width,
+           CAST(90 * (1 + did % 4) AS INTEGER) AS height
+    FROM base
+    UNION ALL
+    SELECT did, container, major_brand, timescale, duration_ms,
+           CAST(2 AS INTEGER), 'audio',
+           CASE WHEN container = 'mp4' THEN 'mp4a' ELSE 'A_OPUS' END,
+           CAST(0 AS INTEGER), CAST(0 AS INTEGER)
+    FROM base WHERE did % 3 = 0
+"""
 
 
 def _semdedup_pq_oracle_sql(

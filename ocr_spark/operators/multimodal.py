@@ -26,6 +26,11 @@ META_SCHEMA = (
     "width int, height int, n_frames int"
 )
 FEATURE_SCHEMA = "blob_id long, feature array<float>, feat_norm double"
+VIDEO_META_SCHEMA = (
+    "blob_id long, container string, major_brand string, timescale long, "
+    "duration_ms long, track_no int, track_type string, codec string, "
+    "width int, height int"
+)
 
 
 def decode_image(blob: bytes) -> np.ndarray:
@@ -110,6 +115,76 @@ def blob_metadata(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id"
             yield pd.DataFrame(rows, columns=["blob_id", "n_bytes", "sha256", "kind", "width", "height", "n_frames"])
 
     return df.mapInPandas(gen, schema=META_SCHEMA)
+
+
+def video_meta(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id") -> DataFrame:
+    """MP4/WebM container-metadata probe (VERDICT r04 #7): one row PER
+    TRACK — (blob_id, container, major_brand, timescale, duration_ms,
+    track_no, track_type, codec, width, height). Metadata never pays a
+    frame decode (the blob_metadata discipline: an atom/EBML walk costs
+    microseconds; the codecs behind the samples stay behind the
+    documented NotImplementedError decode boundary). Blobs that are
+    neither MP4 nor EBML emit a single ``container='unknown'`` row with
+    empty fields; trackless-but-valid containers emit one ``track_no=0``
+    row so every blob is accounted for. One zero-exchange Arrow pass
+    (kernels/containerprobe.py does the walking).
+
+    Reference analog: the ffmpeg reader surfaces the same
+    duration/codec/size stream metadata before decoding
+    (/root/reference/utils/image/video/ffmpeg_reader.py:1-214)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.containerprobe import video_container_probe
+
+        cols = [
+            "blob_id", "container", "major_brand", "timescale",
+            "duration_ms", "track_no", "track_type", "codec",
+            "width", "height",
+        ]
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                meta = video_container_probe(b)
+                base = {
+                    "blob_id": int(bid),
+                    "container": "unknown",
+                    "major_brand": "",
+                    "timescale": 0,
+                    "duration_ms": 0,
+                    "track_no": 0,
+                    "track_type": "",
+                    "codec": "",
+                    "width": 0,
+                    "height": 0,
+                }
+                if meta is None:
+                    rows.append(base)
+                    continue
+                base.update(
+                    container=meta["container"],
+                    major_brand=meta["major_brand"],
+                    timescale=int(meta["timescale"]),
+                    duration_ms=int(meta["duration_ms"]),
+                )
+                if not meta["tracks"]:
+                    rows.append(base)
+                    continue
+                for tr in meta["tracks"]:
+                    r = dict(base)
+                    r.update(
+                        track_no=int(tr["track_no"]),
+                        track_type=tr["track_type"],
+                        codec=tr["codec"],
+                        width=int(tr["width"]),
+                        height=int(tr["height"]),
+                    )
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(gen, schema=VIDEO_META_SCHEMA)
 
 
 #: dHash grid: 8 rows x 9 cols of area-mean cells -> 8x8 horizontal
