@@ -2938,6 +2938,50 @@ def q_audio_dups(spark, sf):  # audio near-dup pairs (energy fingerprint)
     )
 
 
+def q_audio_spectral(spark, sf):  # audio near-dup pairs (spectral fingerprint)
+    """The SAME WAV corpus as audio_dups fingerprinted in the FREQUENCY
+    domain (kernels/stft.sfp64 — integer STFT band energies over
+    fixed-point twiddle tables, exact arbitrary-precision squares) and
+    paired through the shared Manku banding. The +500 perturbation of
+    doc_id % 10 == 5 clips touches samples 0-4 only — frame 0 of the
+    8x64 STFT — so the spectral hamming is <= 8 BY CONSTRUCTION (bits
+    0-7); n_blocks=16 keeps the pigeonhole recall guarantee at that
+    radius. The oracle re-derives every PCM sample, twiddle product
+    (the tables are embedded as SQL literals, the _PHASH_COS pattern),
+    band energy, comparison bit, and pair in HUGEINT."""
+    from .operators.dedup import hamming_near_pairs
+    from .operators.multimodal import audio_spectral_fingerprint
+
+    d = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") < 2000)
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocr_spark.kernels.wavcodec import wav_encode
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                src = did - 5 if did % 10 == 5 else did
+                i = np.arange(650, dtype=np.int64)
+                s = ((src + 1) * (i * 17 + 31)) % 2001 - 1000
+                if did % 10 == 5:
+                    s = s.copy()
+                    s[:5] += 500
+                blobs.append(wav_encode(s.astype(np.int32), 8000))
+            yield pd.DataFrame(
+                {"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = d.mapInPandas(build, schema="blob_id long, blob binary")
+    sig = audio_spectral_fingerprint(blobs)
+    return hamming_near_pairs(
+        sig, sig_col="sfp", id_col="blob_id", max_hamming=8, n_blocks=16
+    )
+
+
 def q_video_dups(spark, sf):  # video near-dup pairs (majority-vote frame dHash)
     """7-frame 8x9 grayscale AVIs (raw-DIB frames — exact byte round
     trip through kernels/avicodec.py) built closed-form from doc_id
@@ -3969,6 +4013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new round-5 queries insert here (inside the 50-slot window) --
     "ann_index_batch_query": q_ann_index_batch_query,
     "video_meta": q_video_meta,
+    "audio_spectral": q_audio_spectral,
     # -- backfill: oldest driver-checked rows (r1/r2) (22) --
     "multimodal_meta": q_multimodal_meta,
     "training_pipeline": q_training_pipeline,
@@ -6752,6 +6797,92 @@ ORACLE_SQL["audio_dups"] = f"""
     FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.afp, b.afp)) <= 3
 """
+
+# spectral fingerprint re-derivation: the WAV round trip is exact int16,
+# so the PCM IS the (un-abs'd) residue formula; the fixed-point twiddle
+# tables are embedded as SQL literals (the _PHASH_COS shared-table
+# pattern — numpy matmul in the kernel, per-bin list_sum here), band
+# energies square in HUGEINT, bits pack frame-major MSB-first.
+_SFP_SAMPLE_SQL = (
+    "(((src + 1) * (({i}) * 17 + 31)) % 2001 - 1000"
+    " + CASE WHEN pert AND ({i}) < 5 THEN 500 ELSE 0 END)"
+)
+
+
+def _sfp_oracle_sql() -> str:
+    from .kernels.stft import stft_twiddles
+
+    C, S = stft_twiddles()
+
+    def lit(a):
+        return (
+            "["
+            + ",".join(
+                "[" + ",".join(str(int(x)) for x in row) + "]" for row in a
+            )
+            + "]"
+        )
+
+    # twiddles and PCM are materialized ONCE (tw cross join / sm list) —
+    # inlining the 9x64 literal into the innermost lambda rebuilds it per
+    # element evaluation and runs for minutes instead of seconds
+    half = (
+        "list_sum(list_transform(range(0, 64), n -> "
+        "CAST(s[CAST(f AS INT) * 64 + CAST(n AS INT) + 1] AS HUGEINT)"
+        " * {tbl}[CAST(j AS INT) + 1][CAST(n AS INT) + 1]))"
+    )
+    e_fj = "e[CAST(t // 8 AS INT) + 1][CAST(t % 8 AS INT) + {off}]"
+    energy = (
+        "({p}[1] * {p}[1] + {p}[2] * {p}[2])"
+    )
+    left = energy.format(p=e_fj.format(off=1))
+    right = energy.format(p=e_fj.format(off=2))
+    return f"""
+    WITH ids AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 5 THEN doc_id - 5 ELSE doc_id END AS src,
+               doc_id % 10 = 5 AS pert
+        FROM documents WHERE doc_id < 2000
+    ),
+    tw AS (SELECT {lit(C)} AS tc, {lit(S)} AS ts),
+    sm AS (
+        SELECT doc_id,
+               list_transform(range(0, 512),
+                   i -> {_SFP_SAMPLE_SQL.format(i='i')}) AS s
+        FROM ids
+    ),
+    en AS (
+        SELECT doc_id,
+               list_transform(range(0, 8), f ->
+                   list_transform(range(0, 9), j ->
+                       [{half.format(tbl='tc')},
+                        {half.format(tbl='ts')}])) AS e
+        FROM sm, tw
+    ),
+    raw AS (
+        SELECT doc_id,
+               COALESCE(list_sum(list_transform(range(0, 64), t ->
+                   CASE WHEN {left} > {right}
+                        THEN CAST(1 AS HUGEINT) << CAST(63 - t AS INT)
+                        ELSE CAST(0 AS HUGEINT) END)),
+                   CAST(0 AS HUGEINT)) AS h
+        FROM en
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(h - CASE WHEN h >= (CAST(1 AS HUGEINT) << 63)
+                             THEN (CAST(1 AS HUGEINT) << 64)
+                             ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS sfp
+        FROM raw
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sfp, b.sfp)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sfp, b.sfp)) <= 8
+"""
+
+
+ORACLE_SQL["audio_spectral"] = _sfp_oracle_sql()
 
 # dHash re-derivation: the PNG round trip is lossless, so the decoded gray
 # grid IS the closed-form residue formula; the hash is the MSB-first packing

@@ -1,0 +1,105 @@
+"""Integer short-time Fourier band energies + spectral fingerprint
+(VERDICT r04 #8).
+
+The reference family ships float STFT machinery for audio
+(/root/reference/utils/audio/stft.py — librosa-style frame/window/FFT —
+and noisereducev1.py's spectral gating). A training-data pipeline that
+filters podcast-scale audio wants a SPECTRAL near-dup signal next to the
+time-domain energy contour (operators/multimodal.afp64): two clips with
+the same spectrum but shifted gain/offset collide spectrally while their
+raw PCM differs.
+
+Determinism discipline (the imagecodec/pHash recipe): the DFT twiddles
+are FIXED-POINT INTEGER tables (round(cos/sin * 2**STFT_SHIFT), built
+once, embedded as literals in the DuckDB oracle exactly like
+``_PHASH_COS``), frame sums run in exact int64 (bounds documented below),
+and the band-energy squares are taken in arbitrary-precision Python ints
+— so the fingerprint is a pure function of the PCM bytes: any
+partitioning, batch size, or engine replays it bit-for-bit, at any PCM
+amplitude int32 can hold.
+
+No window function (rectangular): a Hann taper would add another
+fixed-point table for no discriminative gain at fingerprint granularity;
+spectral leakage shifts all compared bands of a frame together.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+#: fixed-point scale of the twiddle tables. 2**13 keeps the frame sums
+#: exact in int64 up to |mono sample| < 2**44 (|re| <= |s| * 2**13 * W);
+#: the SQUARES leave int64 far earlier, which is why they are taken in
+#: Python ints (kernel) / HUGEINT (oracle), never in numpy.
+STFT_SHIFT = 13
+SFP_WINDOW = 64
+SFP_FRAMES = 8
+SFP_BINS = 9  # bins k = 1..9 (DC skipped: near-invariance to DC offset;
+#               positive gain invariance is EXACT — energies scale by g^2
+#               uniformly, so every comparison bit is unchanged)
+
+
+def stft_twiddles(window: int = SFP_WINDOW, n_bins: int = SFP_BINS):
+    """(cos_table, sin_table) as (n_bins, window) int64 arrays for bins
+    k = 1..n_bins: T[j, n] = round(cos/sin(2*pi*(j+1)*n / window) * 2**13).
+    Built once per process; the oracle embeds the SAME values as SQL
+    literals, so libm rounding never crosses an engine boundary."""
+    C = np.empty((n_bins, window), dtype=np.int64)
+    S = np.empty((n_bins, window), dtype=np.int64)
+    for j in range(n_bins):
+        k = j + 1
+        for n in range(window):
+            ang = 2.0 * math.pi * k * n / window
+            C[j, n] = round(math.cos(ang) * (1 << STFT_SHIFT))
+            S[j, n] = round(math.sin(ang) * (1 << STFT_SHIFT))
+    return C, S
+
+
+_C, _S = stft_twiddles()
+
+
+def band_energies(
+    samples: np.ndarray,
+    *,
+    window: int = SFP_WINDOW,
+    frames: int = SFP_FRAMES,
+    n_bins: int = SFP_BINS,
+) -> list[list[int]]:
+    """(frames, n_bins) EXACT band energies E[f][j] = re^2 + im^2 of bin
+    j+1 over frame f (rectangular window, hop = window). Channels sum
+    together; needs >= window*frames samples (extra tail ignored).
+    Returns Python ints — the squares exceed int64 at full 16-bit PCM
+    amplitude."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 2:
+        s = s.sum(axis=1)
+    need = window * frames
+    if s.shape[0] < need:
+        raise ValueError(f"band_energies needs >= {need} samples, got {s.shape[0]}")
+    if window == SFP_WINDOW and n_bins == SFP_BINS:
+        C, S = _C, _S
+    else:
+        C, S = stft_twiddles(window, n_bins)
+    X = s[:need].reshape(frames, window)
+    re = X @ C.T  # (frames, n_bins) exact int64
+    im = X @ S.T
+    return [
+        [int(re[f, j]) ** 2 + int(im[f, j]) ** 2 for j in range(n_bins)]
+        for f in range(frames)
+    ]
+
+
+def sfp64(samples: np.ndarray) -> int:
+    """Spectral fingerprint as a SIGNED 64-bit int: 8 frames x 8
+    band-energy comparisons (bit = E[f][j] > E[f][j+1] over bins 1..9),
+    packed MSB-first frame-major — the spectral twin of the time-domain
+    ``afp64`` contour and the band analog of dHash's cell comparisons."""
+    E = band_energies(samples)
+    v = 0
+    for f in range(SFP_FRAMES):
+        for j in range(SFP_BINS - 1):
+            if E[f][j] > E[f][j + 1]:
+                v |= 1 << (63 - (f * (SFP_BINS - 1) + j))
+    return v - (1 << 64) if v >= (1 << 63) else v

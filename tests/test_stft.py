@@ -1,0 +1,100 @@
+"""Integer STFT band energies + spectral fingerprint (kernels/stft)."""
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels.stft import (
+    SFP_BINS,
+    SFP_FRAMES,
+    SFP_WINDOW,
+    STFT_SHIFT,
+    band_energies,
+    sfp64,
+    stft_twiddles,
+)
+
+
+def _pcm(n=512, seed=11, amp=1000):
+    rng = np.random.RandomState(seed)
+    return rng.randint(-amp, amp + 1, size=n).astype(np.int64)
+
+
+def test_twiddle_values_fixed_point():
+    C, S = stft_twiddles()
+    assert C.shape == S.shape == (SFP_BINS, SFP_WINDOW)
+    assert C[0, 0] == 1 << STFT_SHIFT and S[0, 0] == 0  # cos 0 / sin 0
+    # quarter period of bin 1: cos -> 0, sin -> full scale
+    assert C[0, SFP_WINDOW // 4] == 0
+    assert S[0, SFP_WINDOW // 4] == 1 << STFT_SHIFT
+    # rebuild is bit-identical (pure function of (window, bins))
+    C2, S2 = stft_twiddles()
+    assert np.array_equal(C, C2) and np.array_equal(S, S2)
+
+
+def test_band_energies_match_naive_bigint_dft():
+    s = _pcm()
+    C, S = stft_twiddles()
+    E = band_energies(s)
+    for f in range(SFP_FRAMES):
+        frame = s[f * SFP_WINDOW : (f + 1) * SFP_WINDOW]
+        for j in range(SFP_BINS):
+            re = sum(int(frame[n]) * int(C[j, n]) for n in range(SFP_WINDOW))
+            im = sum(int(frame[n]) * int(S[j, n]) for n in range(SFP_WINDOW))
+            assert E[f][j] == re * re + im * im
+
+
+def test_full_scale_int16_is_exact():
+    # the squares leave int64 at full 16-bit amplitude: the Python-int
+    # path must stay exact where a numpy int64 square would wrap
+    # full-scale square wave at the window fundamental: bin-1 energy is
+    # ~(32767 * 2/pi * 64 * 8192 / 2)^2 — far beyond int64
+    s = np.where(np.arange(512) % SFP_WINDOW < SFP_WINDOW // 2, 32767, -32768).astype(
+        np.int64
+    )
+    C, S = stft_twiddles()
+    E = band_energies(s)
+    frame = s[:SFP_WINDOW]
+    for j in (0, 8):
+        re = sum(int(frame[n]) * int(C[j, n]) for n in range(SFP_WINDOW))
+        im = sum(int(frame[n]) * int(S[j, n]) for n in range(SFP_WINDOW))
+        assert E[0][j] == re * re + im * im
+    assert max(max(row) for row in E) > (1 << 63)  # genuinely beyond int64
+
+
+def test_sfp64_gain_invariant_and_signed():
+    s = _pcm(amp=500)
+    v = sfp64(s)
+    assert -(1 << 63) <= v < (1 << 63)
+    assert sfp64(3 * s) == v  # energies scale by 9 uniformly
+
+
+def test_sfp64_channels_sum():
+    s = _pcm(amp=400)
+    stereo = np.stack([s, s], axis=1)
+    assert sfp64(stereo) == sfp64(2 * s)
+
+
+def test_too_short_raises():
+    with pytest.raises(ValueError):
+        band_energies(_pcm(n=511))
+
+
+def test_spectral_neighbors_closer_than_strangers():
+    base = _pcm(seed=5)
+    pert = base.copy()
+    pert[:5] += 500  # the corpus perturbation: frame 0 only
+    near = bin((sfp64(base) ^ sfp64(pert)) & ((1 << 64) - 1)).count("1")
+    far = bin((sfp64(base) ^ sfp64(_pcm(seed=6))) & ((1 << 64) - 1)).count("1")
+    assert near <= 8 < far
+
+
+def test_operator_nulls_on_undecodable(spark):
+    from ocr_spark.kernels.wavcodec import wav_encode
+    from ocr_spark.operators.multimodal import audio_spectral_fingerprint
+
+    good = wav_encode(_pcm().astype(np.int32), 8000)
+    rows = [(1, good), (2, b"not a wav"), (3, wav_encode(_pcm(n=100).astype(np.int32), 8000))]
+    df = spark.createDataFrame(rows, "blob_id long, blob binary")
+    out = {r["blob_id"]: r["sfp"] for r in audio_spectral_fingerprint(df).collect()}
+    assert out[1] == sfp64(_pcm())
+    assert out[2] is None and out[3] is None  # junk / too short
