@@ -1817,6 +1817,21 @@ def q_crnn_trained(spark, sf):  # R4 with TRAINED weights (round-3 closure)
     return crnn_trained_roundtrip(_t(spark, sf, "part"))
 
 
+def q_crnn_multifont(spark, sf):  # R4 trained on TWO typefaces (r5 closure)
+    """VERDICT r04 #6: half the corpus renders in a second 7x5 font (the
+    smeared-bold glyph set, glyphs.FONT_TEMPLATES) and the SAME
+    distributed least-squares fit learns per-(font, char) banks in one
+    bounded aggregation; every page then decodes through the single
+    combined 72-class conv — proving the R4 training mechanism
+    generalizes across typefaces the way the reference's CRNN does
+    (architectures/crnn_arch.py:306-531). Decode is byte-identical to
+    the sanitize projection for BOTH fonts, so the oracle stays the hard
+    SQL identity with the font column re-derived from key parity."""
+    from .operators.recognize import crnn_multifont_roundtrip
+
+    return crnn_multifont_roundtrip(_t(spark, sf, "part"))
+
+
 def q_east_trained(spark, sf):  # D1 with TRAINED score head (round-3 closure)
     """Fit the EAST-style score-head conv by distributed Newton logistic
     regression (bounded int64 gradient/Hessian fan-in per pass), then run
@@ -4014,6 +4029,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_batch_query": q_ann_index_batch_query,
     "video_meta": q_video_meta,
     "audio_spectral": q_audio_spectral,
+    "crnn_multifont": q_crnn_multifont,
     # -- backfill: oldest driver-checked rows (r1/r2) (22) --
     "multimodal_meta": q_multimodal_meta,
     "training_pipeline": q_training_pipeline,
@@ -4537,6 +4553,20 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # read with TRAINED weights over "name key" text (digits covered by the
     # appended p_partkey): same sanitize projection, different source text
+    "crnn_multifont": """
+        WITH t AS (
+            SELECT p_partkey,
+                   CASE WHEN p_partkey % 2 = 1 THEN 'bold' ELSE 'base' END AS font,
+                   trim(regexp_replace(regexp_replace(
+                        lower(p_name) || ' ' || CAST(p_partkey AS VARCHAR),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS decoded
+            FROM part
+        )
+        SELECT p_partkey, font, decoded,
+               CAST(CASE WHEN decoded = '' THEN 0
+                    ELSE len(string_split(decoded, ' ')) END AS INT) AS n_words
+        FROM t
+    """,
     "crnn_trained": """
         WITH t AS (
             SELECT p_partkey,

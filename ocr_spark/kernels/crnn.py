@@ -68,6 +68,36 @@ def bank_from_templates(templates: dict[str, np.ndarray]) -> tuple[list[str], np
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def bank_from_font_templates(
+    font_templates: dict[str, dict[str, np.ndarray]],
+) -> tuple[list[str], np.ndarray]:
+    """{font: {char: (7, 5) template}} -> (chars, (C, 35) +-1 bank) with
+    one CLASS PER (font, char) in (font, char) sorted order; ``chars``
+    carries the character of each class (decode reports text — the font
+    distinction lives in which filter fired, and cross-font perfect hits
+    are impossible: tests/test_crnn_multifont.py proves the 72-template
+    bank collision-free the test_exhaustive_pairs way). This is how the
+    reference's CRNN reads multiple typefaces with ONE conv stack
+    (architectures/crnn_arch.py:306-531): more filters, same machinery."""
+    classes = [
+        (f, ch)
+        for f in sorted(font_templates)
+        for ch in sorted(font_templates[f])
+    ]
+    chars = [ch for _f, ch in classes]
+    bank = (
+        np.stack(
+            [
+                np.asarray(font_templates[f][ch], dtype=np.int64).ravel()
+                for f, ch in classes
+            ]
+        )
+        * 2
+        - 1
+    )
+    return chars, bank
+
+
 def glyph_noise_mask(key: int, idx: int, rate_milli: int) -> np.ndarray:
     """Deterministic per-glyph-occurrence pixel-flip mask, (35,) bool:
     pixel p flips iff splitmix64(key, idx, p) % 1000 < rate_milli.

@@ -42,11 +42,18 @@ def sanitize_for_font(text: str) -> str:
     return " ".join(out.split())
 
 
-def render_text_image(lines: list[str], *, scale: int = 2) -> np.ndarray:
+def render_text_image(
+    lines: list[str], *, scale: int = 2, font: str = "base"
+) -> np.ndarray:
     """text lines -> (H, W) uint8 grayscale page (ink 0, paper 255).
 
     Every char (including space, which renders blank) occupies one glyph
-    cell at a fixed pitch, so line width = n_chars * pitch - letter_gap."""
+    cell at a fixed pitch, so line width = n_chars * pitch - letter_gap.
+    ``font`` picks a glyph set from glyphs.FONT_GLYPHS (same 7x5 metrics
+    for every font, so pitch/margins/pooling are font-independent)."""
+    from .glyphs import FONT_GLYPHS
+
+    glyph_set = FONT_GLYPHS[font]
     lines = [sanitize_for_font(l) for l in lines]
     pitch = GLYPH_W + _LETTER_GAP
     widths = [max(len(l), 1) * pitch - _LETTER_GAP for l in lines]
@@ -58,7 +65,7 @@ def render_text_image(lines: list[str], *, scale: int = 2) -> np.ndarray:
     for line in lines:
         x = _MARGIN
         for ch in line:
-            img[y : y + GLYPH_H, x : x + GLYPH_W] |= GLYPHS.get(ch, GLYPHS[" "])
+            img[y : y + GLYPH_H, x : x + GLYPH_W] |= glyph_set.get(ch, glyph_set[" "])
             x += pitch
         y += GLYPH_H + _LINE_GAP
     big = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
