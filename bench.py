@@ -158,6 +158,12 @@ BENCH_QUERIES = [
     "ann_index_query",
     "ann_index_ivf_query",
     "semdedup_pq",
+    # round 5: zero-collect batch probe, container metadata, spectral
+    # fingerprint, two-font trained CRNN
+    "ann_index_batch_query",
+    "video_meta",
+    "audio_spectral",
+    "crnn_multifont",
 ]
 
 
