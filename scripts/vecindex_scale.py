@@ -87,7 +87,11 @@ def main():
     shutil.rmtree(out_root, ignore_errors=True)
     for level_mult, n_lists in ((1, 8), (mult, 8 * mult)):
         corpus = emb if level_mult == 1 else replicate(emb, level_mult, stride)
-        corpus = corpus.persist()
+        # the replica explode inherits the 1-row-group scan's single
+        # partition — spread it so build/query measure parallel work
+        corpus = corpus.repartition(
+            spark.sparkContext.defaultParallelism
+        ).persist()
         n = corpus.count()
         root = os.path.join(out_root, f"x{level_mult}")
         _, t_build = timed(
