@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "video_meta",
     "audio_spectral",
     "crnn_multifont",
+    "audio_gate",
 ]
 
 

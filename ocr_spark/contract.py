@@ -2997,6 +2997,44 @@ def q_audio_spectral(spark, sf):  # audio near-dup pairs (spectral fingerprint)
     )
 
 
+def q_audio_gate(spark, sf):  # spectral-gating noise mask (reduce_noise analog)
+    """The same WAV corpus through feature-level spectral gating
+    (kernels/stft.spectral_gate — the reference's
+    utils/audio/noisereducev1.py:175-290 semantics made integer-exact):
+    frames 0-3 calibrate per-band noise statistics, every signal-frame
+    bin reports (energy_q, kept) where kept tests mean + 1.5*std with no
+    sqrt (den^2*d^2 > num^2*(nQ - S^2) on the sign-guarded side). The
+    oracle re-derives PCM, twiddle products, quantized energies, noise
+    stats, and every mask bit in HUGEINT."""
+    from .operators.multimodal import audio_spectral_gate
+
+    d = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") < 2000)
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ocr_spark.kernels.wavcodec import wav_encode
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                src = did - 5 if did % 10 == 5 else did
+                i = np.arange(650, dtype=np.int64)
+                s = ((src + 1) * (i * 17 + 31)) % 2001 - 1000
+                if did % 10 == 5:
+                    s = s.copy()
+                    s[:5] += 500
+                blobs.append(wav_encode(s.astype(np.int32), 8000))
+            yield pd.DataFrame(
+                {"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs}
+            )
+
+    blobs = d.mapInPandas(build, schema="blob_id long, blob binary")
+    return audio_spectral_gate(blobs)
+
+
 def q_video_dups(spark, sf):  # video near-dup pairs (majority-vote frame dHash)
     """7-frame 8x9 grayscale AVIs (raw-DIB frames — exact byte round
     trip through kernels/avicodec.py) built closed-form from doc_id
@@ -4030,6 +4068,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_meta": q_video_meta,
     "audio_spectral": q_audio_spectral,
     "crnn_multifont": q_crnn_multifont,
+    "audio_gate": q_audio_gate,
     # -- backfill: oldest driver-checked rows (r1/r2) (22) --
     "multimodal_meta": q_multimodal_meta,
     "training_pipeline": q_training_pipeline,
@@ -6913,6 +6952,87 @@ def _sfp_oracle_sql() -> str:
 
 
 ORACLE_SQL["audio_spectral"] = _sfp_oracle_sql()
+
+
+def _gate_oracle_sql() -> str:
+    """audio_gate replay: the sfp CTE machinery (materialized twiddles +
+    PCM) down to [re, im] pairs, then quantized energies (// 2^20 —
+    nonnegative, so DuckDB's truncating // equals Python's floor),
+    per-band noise stats over frames 0-3, and the sqrt-free threshold
+    test for every signal-frame bin."""
+    from .kernels.stft import (
+        GATE_K_DEN,
+        GATE_K_NUM,
+        GATE_NOISE_FRAMES,
+        GATE_SHIFT,
+        stft_twiddles,
+    )
+
+    C, S = stft_twiddles()
+
+    def lit(a):
+        return (
+            "["
+            + ",".join(
+                "[" + ",".join(str(int(x)) for x in row) + "]" for row in a
+            )
+            + "]"
+        )
+
+    half = (
+        "list_sum(list_transform(range(0, 64), n -> "
+        "CAST(s[CAST(f AS INT) * 64 + CAST(n AS INT) + 1] AS HUGEINT)"
+        " * {tbl}[CAST(j AS INT) + 1][CAST(n AS INT) + 1]))"
+    )
+    nf = GATE_NOISE_FRAMES
+    num2 = GATE_K_NUM * GATE_K_NUM
+    den2 = GATE_K_DEN * GATE_K_DEN
+    ebin = "(eq[{f}][CAST(j AS INT) + 1])"
+    s_sum = " + ".join(ebin.format(f=f + 1) for f in range(nf))
+    q_sum = " + ".join(
+        f"{ebin.format(f=f + 1)} * {ebin.format(f=f + 1)}" for f in range(nf)
+    )
+    e_sig = "eq[CAST(f AS INT) + 1][CAST(j AS INT) + 1]"
+    return f"""
+    WITH ids AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 5 THEN doc_id - 5 ELSE doc_id END AS src,
+               doc_id % 10 = 5 AS pert
+        FROM documents WHERE doc_id < 2000
+    ),
+    tw AS (SELECT {lit(C)} AS tc, {lit(S)} AS ts),
+    sm AS (
+        SELECT doc_id,
+               list_transform(range(0, 512),
+                   i -> {_SFP_SAMPLE_SQL.format(i='i')}) AS s
+        FROM ids
+    ),
+    eqt AS (
+        SELECT doc_id,
+               list_transform(range(0, 8), f ->
+                   list_transform(range(0, 9), j ->
+                       ({half.format(tbl='tc')} * {half.format(tbl='tc')}
+                        + {half.format(tbl='ts')} * {half.format(tbl='ts')})
+                       // {1 << GATE_SHIFT})) AS eq
+        FROM sm, tw
+    ),
+    gated AS (
+        SELECT doc_id,
+               CAST(f AS INT) AS frame,
+               CAST(j AS INT) AS band,
+               CAST({e_sig} AS BIGINT) AS energy_q,
+               ({nf} * {e_sig} - ({s_sum})) > 0
+               AND {den2} * ({nf} * {e_sig} - ({s_sum}))
+                         * ({nf} * {e_sig} - ({s_sum}))
+                   > {num2} * ({nf} * ({q_sum}) - ({s_sum}) * ({s_sum}))
+               AS kept
+        FROM eqt, range({nf}, 8) tf(f), range(0, 9) tj(j)
+    )
+    SELECT doc_id AS blob_id, frame, band, energy_q, kept FROM gated
+"""
+
+
+ORACLE_SQL["audio_gate"] = _gate_oracle_sql()
 
 # dHash re-derivation: the PNG round trip is lossless, so the decoded gray
 # grid IS the closed-form residue formula; the hash is the MSB-first packing

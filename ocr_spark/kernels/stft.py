@@ -103,3 +103,56 @@ def sfp64(samples: np.ndarray) -> int:
             if E[f][j] > E[f][j + 1]:
                 v |= 1 << (63 - (f * (SFP_BINS - 1) + j))
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+#: spectral-gate quantization: band energies are floor-divided by 2**20
+#: before the noise statistics, so every gate quantity fits comfortably
+#: in int64/HUGEINT ((n*Eq)^2 <= 2**76 at this corpus's amplitudes) and
+#: the DuckDB replay's integer division matches Python's on the
+#: nonnegative energies
+GATE_SHIFT = 20
+GATE_NOISE_FRAMES = 4
+GATE_K_NUM, GATE_K_DEN = 3, 2  # threshold = mean + (3/2) * std
+
+
+def spectral_gate(
+    samples: np.ndarray, *, noise_frames: int = GATE_NOISE_FRAMES
+) -> list[tuple[int, int, int, bool]]:
+    """Feature-level spectral gating (the reference's reduce_noise
+    semantics — utils/audio/noisereducev1.py:175-290: per-frequency noise
+    statistics from a noise profile, bins below mean + k*std treated as
+    noise — re-expressed over the integer band energies; the profile is
+    the clip's first ``noise_frames`` frames, the classic
+    leading-silence calibration).
+
+    Integer-exact threshold test with no sqrt and no floats: for band j
+    with noise stats n = noise_frames, S = sum(Eq), Q = sum(Eq^2) over
+    the profile frames, a signal bin Eq is KEPT (louder than
+    mean + (num/den)*std) iff
+
+        n*Eq - S > 0  AND  den^2 * (n*Eq - S)^2 > num^2 * (n*Q - S^2)
+
+    (multiply through by n^2*den^2; n*Q - S^2 = n^2 * variance >= 0 by
+    Cauchy-Schwarz, so both sides are nonnegative where the sign guard
+    holds). Returns (frame, band, energy_q, kept) for every SIGNAL-frame
+    bin, frame indices absolute."""
+    E = band_energies(samples)
+    frames = len(E)
+    n_bins = len(E[0])
+    if not 0 < noise_frames < frames:
+        raise ValueError("noise_frames must leave at least one signal frame")
+    Eq = [[e >> GATE_SHIFT for e in row] for row in E]
+    out = []
+    n = noise_frames
+    for j in range(n_bins):
+        S = sum(Eq[f][j] for f in range(n))
+        Q = sum(Eq[f][j] * Eq[f][j] for f in range(n))
+        var_term = n * Q - S * S
+        for f in range(n, frames):
+            d = n * Eq[f][j] - S
+            kept = d > 0 and (
+                GATE_K_DEN * GATE_K_DEN * d * d > GATE_K_NUM * GATE_K_NUM * var_term
+            )
+            out.append((f, j, Eq[f][j], kept))
+    out.sort()
+    return out

@@ -410,6 +410,52 @@ def audio_spectral_fingerprint(
     return df.mapInPandas(gen, schema=SFP_SCHEMA)
 
 
+GATE_SCHEMA = "blob_id long, frame int, band int, energy_q long, kept boolean"
+
+
+def audio_spectral_gate(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id"
+) -> DataFrame:
+    """Feature-level spectral gating over REAL WAV decode (kernels/stft.
+    spectral_gate — the reference reduce_noise semantics, integer-exact):
+    the clip's leading frames are the noise profile, every signal-frame
+    band bin reports its quantized energy and whether it clears the
+    per-band mean + 1.5*std noise threshold. One Arrow stage, zero
+    exchanges; undecodable/too-short blobs contribute no rows (the
+    crawl-side no-task-failure contract). The kept mask is what a
+    denoising pipeline multiplies into the spectrogram; downstream
+    filters use kept-bin counts as a voiced-content signal."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.stft import spectral_gate
+        from ..kernels.wavcodec import wav_decode
+
+        cols = ["blob_id", "frame", "band", "energy_q", "kept"]
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    samples, _rate = wav_decode(bytes(blob))
+                    gated = spectral_gate(samples)
+                except Exception:
+                    continue
+                for f, j, eq, kept in gated:
+                    rows.append(
+                        {
+                            "blob_id": int(bid),
+                            "frame": f,
+                            "band": j,
+                            "energy_q": eq,
+                            "kept": kept,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(gen, schema=GATE_SCHEMA)
+
+
 DHASH_SCHEMA = "blob_id long, dhash long"
 
 

@@ -98,3 +98,70 @@ def test_operator_nulls_on_undecodable(spark):
     out = {r["blob_id"]: r["sfp"] for r in audio_spectral_fingerprint(df).collect()}
     assert out[1] == sfp64(_pcm())
     assert out[2] is None and out[3] is None  # junk / too short
+
+
+def test_spectral_gate_detects_injected_tone():
+    """A strong bin-3 tone present only in the signal half must be kept
+    in every signal frame; the pure-noise control keeps (almost) nothing
+    extra — the reduce_noise mask semantics."""
+    rng = np.random.RandomState(3)
+    noise = rng.randint(-80, 81, 512).astype(np.int64)
+    sig = noise.copy()
+    t = np.arange(512)
+    tone = (3000 * np.cos(2 * np.pi * 3 * (t % 64) / 64)).astype(np.int64)
+    sig[256:] += tone[256:]
+    from ocr_spark.kernels.stft import spectral_gate
+
+    rows = spectral_gate(sig)
+    kept = {(f, j) for f, j, e, k in rows if k}
+    # bin k=3 -> index j=2, signal frames 4..7 all kept
+    assert {(f, 2) for f in range(4, 8)} <= kept
+    control = {(f, j) for f, j, e, k in spectral_gate(noise) if k}
+    assert (4, 2) not in control
+
+
+def test_spectral_gate_threshold_matches_float_reference():
+    """The sqrt-free integer test must agree with the naive float
+    mean + 1.5*std comparison wherever the float margin is clear."""
+    from ocr_spark.kernels.stft import (
+        GATE_NOISE_FRAMES,
+        GATE_SHIFT,
+        band_energies,
+        spectral_gate,
+    )
+
+    s = _pcm(n=512, seed=9, amp=700)
+    E = band_energies(s)
+    Eq = [[e >> GATE_SHIFT for e in row] for row in E]
+    got = {(f, j): k for f, j, e, k in spectral_gate(s)}
+    n = GATE_NOISE_FRAMES
+    for j in range(9):
+        col = [Eq[f][j] for f in range(n)]
+        mu = sum(col) / n
+        sd = (sum((x - mu) ** 2 for x in col) / n) ** 0.5
+        for f in range(n, 8):
+            margin = Eq[f][j] - (mu + 1.5 * sd)
+            if abs(margin) > 1e-6 * max(1.0, mu):
+                assert got[(f, j)] == (margin > 0), (f, j)
+
+
+def test_spectral_gate_shapes_and_validation():
+    from ocr_spark.kernels.stft import spectral_gate
+
+    rows = spectral_gate(_pcm())
+    assert len(rows) == 4 * 9 and rows == sorted(rows)
+    assert all(e >= 0 for _f, _j, e, _k in rows)
+    with pytest.raises(ValueError):
+        spectral_gate(_pcm(), noise_frames=8)
+
+
+def test_gate_operator_accounts_only_decodable(spark):
+    from ocr_spark.kernels.wavcodec import wav_encode
+    from ocr_spark.operators.multimodal import audio_spectral_gate
+
+    good = wav_encode(_pcm().astype(np.int32), 8000)
+    df = spark.createDataFrame(
+        [(1, good), (2, b"junk")], "blob_id long, blob binary"
+    )
+    out = audio_spectral_gate(df).collect()
+    assert {r["blob_id"] for r in out} == {1} and len(out) == 36
