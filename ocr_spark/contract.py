@@ -2913,16 +2913,12 @@ def q_audio_features(spark, sf):  # REAL WAV decode -> integer features
     return audio_features(blobs)
 
 
-def q_audio_dups(spark, sf):  # audio near-dup pairs (energy fingerprint)
-    """650-sample 16-bit WAVs with closed-form pseudo-random PCM are
-    encoded/decoded through kernels/wavcodec.py (exact int16 round trip),
-    fingerprinted (operators/multimodal.afp64), and paired via the same
-    Manku banding as text SimHash and image dHash; doc_id % 10 == 5 clips
-    perturb the first 5 samples of doc_id - 5 (<= 2 bits).  The oracle
-    re-derives every energy, hash, and pair from the residue formula."""
-    from .operators.dedup import hamming_near_pairs
-    from .operators.multimodal import audio_fingerprint
-
+def _residue_wav_blobs(spark, sf):
+    """The shared 650-sample WAV corpus of the audio family (audio_dups /
+    audio_spectral / audio_gate — ONE builder so the three queries and
+    the shared _SFP_SAMPLE_SQL / afp oracle formulas can never drift):
+    closed-form pseudo-random PCM from doc_id residues, doc_id % 10 == 5
+    clips perturb the first 5 samples of doc_id - 5 by +500."""
     d = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") < 2000)
 
     def build(batches):
@@ -2946,8 +2942,20 @@ def q_audio_dups(spark, sf):  # audio near-dup pairs (energy fingerprint)
                 {"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs}
             )
 
-    blobs = d.mapInPandas(build, schema="blob_id long, blob binary")
-    sig = audio_fingerprint(blobs)
+    return d.mapInPandas(build, schema="blob_id long, blob binary")
+
+
+def q_audio_dups(spark, sf):  # audio near-dup pairs (energy fingerprint)
+    """650-sample 16-bit WAVs with closed-form pseudo-random PCM are
+    encoded/decoded through kernels/wavcodec.py (exact int16 round trip),
+    fingerprinted (operators/multimodal.afp64), and paired via the same
+    Manku banding as text SimHash and image dHash; doc_id % 10 == 5 clips
+    perturb the first 5 samples of doc_id - 5 (<= 2 bits).  The oracle
+    re-derives every energy, hash, and pair from the residue formula."""
+    from .operators.dedup import hamming_near_pairs
+    from .operators.multimodal import audio_fingerprint
+
+    sig = audio_fingerprint(_residue_wav_blobs(spark, sf))
     return hamming_near_pairs(
         sig, sig_col="afp", id_col="blob_id", max_hamming=3, n_blocks=4
     )
@@ -2967,31 +2975,7 @@ def q_audio_spectral(spark, sf):  # audio near-dup pairs (spectral fingerprint)
     from .operators.dedup import hamming_near_pairs
     from .operators.multimodal import audio_spectral_fingerprint
 
-    d = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") < 2000)
-
-    def build(batches):
-        import numpy as np
-        import pandas as pd
-
-        from ocr_spark.kernels.wavcodec import wav_encode
-
-        for pdf in batches:
-            blobs = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                src = did - 5 if did % 10 == 5 else did
-                i = np.arange(650, dtype=np.int64)
-                s = ((src + 1) * (i * 17 + 31)) % 2001 - 1000
-                if did % 10 == 5:
-                    s = s.copy()
-                    s[:5] += 500
-                blobs.append(wav_encode(s.astype(np.int32), 8000))
-            yield pd.DataFrame(
-                {"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs}
-            )
-
-    blobs = d.mapInPandas(build, schema="blob_id long, blob binary")
-    sig = audio_spectral_fingerprint(blobs)
+    sig = audio_spectral_fingerprint(_residue_wav_blobs(spark, sf))
     return hamming_near_pairs(
         sig, sig_col="sfp", id_col="blob_id", max_hamming=8, n_blocks=16
     )
@@ -3008,31 +2992,7 @@ def q_audio_gate(spark, sf):  # spectral-gating noise mask (reduce_noise analog)
     stats, and every mask bit in HUGEINT."""
     from .operators.multimodal import audio_spectral_gate
 
-    d = _t(spark, sf, "documents").select("doc_id").where(F.col("doc_id") < 2000)
-
-    def build(batches):
-        import numpy as np
-        import pandas as pd
-
-        from ocr_spark.kernels.wavcodec import wav_encode
-
-        for pdf in batches:
-            blobs = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                src = did - 5 if did % 10 == 5 else did
-                i = np.arange(650, dtype=np.int64)
-                s = ((src + 1) * (i * 17 + 31)) % 2001 - 1000
-                if did % 10 == 5:
-                    s = s.copy()
-                    s[:5] += 500
-                blobs.append(wav_encode(s.astype(np.int32), 8000))
-            yield pd.DataFrame(
-                {"blob_id": pdf["doc_id"].astype("int64"), "blob": blobs}
-            )
-
-    blobs = d.mapInPandas(build, schema="blob_id long, blob binary")
-    return audio_spectral_gate(blobs)
+    return audio_spectral_gate(_residue_wav_blobs(spark, sf))
 
 
 def q_video_dups(spark, sf):  # video near-dup pairs (majority-vote frame dHash)
@@ -3600,17 +3560,27 @@ def _cached_vec_index(spark, sf, suffix: str, **build_kwargs):
 
     key = sf.strip("/").replace("/", "_").replace(".", "_")
     src = _os.path.join(sf, "embeddings.parquet")
-    # ADVICE r4: a failed stat must be a CACHE MISS, not a stable "nofp"
-    # key — a stale /tmp artifact from an older corpus at the same sf path
-    # would otherwise be reopened without invalidation. (If the source is
-    # truly missing, the build below surfaces the real read error.)
+    # ADVICE r4: a failed local stat must not become a stable "nofp" key —
+    # a stale /tmp artifact from an older corpus at the same sf path would
+    # be reopened without invalidation. Non-local paths (hdfs://, s3a://)
+    # fall back to a Hadoop-FS stat through the session's JVM so any
+    # Spark-readable source still fingerprints (and caches); only when
+    # BOTH stats fail does the helper rebuild unconditionally, trading
+    # repeated builds for never serving stale codes.
     stat_failed = False
     try:
         st = _os.stat(src)
         fp = f"{st.st_size}_{st.st_mtime_ns // 1_000_000}"
     except OSError:
-        fp = "nofp"
-        stat_failed = True
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(src)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            status = fs.getFileStatus(hpath)
+            fp = f"{status.getLen()}_{status.getModificationTime()}"
+        except Exception:
+            fp = "nofp"
+            stat_failed = True
     root = _os.path.join(
         tempfile.gettempdir(), f"ocr_spark_vecindex_{key}_{suffix}_{fp}"
     )
@@ -4029,10 +3999,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # DRIVER-WINDOW ROTATION: the driver's correctness gate hashes the
     # FIRST 50 entries of this dict at sf0.01. Round-5 window = the 28
     # queries never driver-checked in rounds 1-4 (24 carryover + the 4
-    # round-4 additions), then backfill with the 22 OLDEST driver rows
-    # (r1/r2) — this completes the 181-query cumulative driver sweep.
-    # New round-5 queries are inserted after the never-checked block so
-    # they get a driver row in this same window.
+    # round-4 additions) + the 5 NEW round-5 queries + the 17 oldest
+    # driver rows (r1/r2) as backfill — 28 + 5 + 17 = 50. This completes
+    # the cumulative sweep of the 181 pre-round-5 queries except the 5
+    # r2-checked rows parked right after the window (first in line for
+    # round-6 backfill).
     # ------------------------------------------------------------------
     # -- round-5 driver window: never driver-checked before (28) --
     "domain_split": q_domain_split,
@@ -4069,7 +4040,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_spectral": q_audio_spectral,
     "crnn_multifont": q_crnn_multifont,
     "audio_gate": q_audio_gate,
-    # -- backfill: oldest driver-checked rows (r1/r2) (22) --
+    # -- backfill: oldest driver-checked rows (r1/r2) (17) --
+    # 28 never-checked + 5 new round-5 queries above = 33, so exactly 17
+    # backfill rows fit the 50-slot window; entries below this comment
+    # through "repetition" are IN the window, everything after the tail
+    # marker is not
     "multimodal_meta": q_multimodal_meta,
     "training_pipeline": q_training_pipeline,
     "multimodal_frames": q_multimodal_frames,
@@ -4087,12 +4062,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_concat": q_group_concat,
     "dedup_exact": q_dedup_exact,
     "line_dedup": q_line_dedup,
+    # -- tail: outside the 50-slot window. First the 5 r2-checked rows
+    # that no longer fit (they queue first for the round-6 backfill),
+    # then the r3/r4-verified remainder --
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
     "quality": q_quality,
     "langid": q_langid,
     "repetition": q_repetition,
-    # -- driver-verified green in r3/r4 (tail, outside the window) --
     "frontier_plan": q_frontier_plan,
     "sitemap_gap": q_sitemap_gap,
     "crawl_overlap": q_crawl_overlap,

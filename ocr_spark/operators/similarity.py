@@ -737,8 +737,15 @@ def pq_query_batch(
         .where(F.col("crank") <= rerank)
         .select("query_id", "vec_id")
     )
+    # the re-rank reads the refine column ONLY from the probed lists: the
+    # shortlist's members all come from probed partitions, so the semi-
+    # join against the (distinct, bounded-by-L) probed-list table prunes
+    # the other partitions' files from the q scan instead of scanning the
+    # whole corpus to serve n_q*rerank rows
+    probed = probe.select("list_id").distinct()
     reranked = (
-        enc.select("vec_id", "q")
+        enc.join(F.broadcast(probed), "list_id", "left_semi")
+        .select("vec_id", "q")
         .join(shortlist, "vec_id")
         .join(qq, "query_id")
         .select(

@@ -67,9 +67,14 @@ def get_spark(app: str = "ocr_spark", cpus: int | None = None, **conf) -> SparkS
 
 # session confs the iteration clone must mirror from its parent — these
 # are runtime-settable, so a parent configured after context creation
-# (tests, notebooks) would otherwise diverge from the clone
+# (tests, notebooks) would otherwise diverge from the clone. Includes the
+# SEMANTICS-affecting flags (ANSI arithmetic) and join-strategy knobs,
+# not just the builder defaults — a loop must evaluate under the same
+# rules as the session that launched it.
 _ITER_CONF_KEYS = (
     "spark.sql.session.timeZone",
+    "spark.sql.ansi.enabled",
+    "spark.sql.autoBroadcastJoinThreshold",
     "spark.sql.adaptive.enabled",
     "spark.sql.adaptive.coalescePartitions.enabled",
     "spark.sql.adaptive.skewJoin.enabled",

@@ -59,14 +59,23 @@ def test_views_dropped_on_exit(spark):
     assert not any(n.startswith("ocr_spark_iter_") for n in names)
 
 
-def test_no_bleed_on_exception(spark):
+def test_exception_path_cleans_up(spark):
+    """The finally-block invariant the clone design actually introduced:
+    bound global temp views must be dropped even when the loop body
+    raises (the parent conf can no longer change by construction, but
+    assert it anyway as the no-bleed bound)."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     try:
-        with iteration_shuffle(spark, 1):
+        with iteration_shuffle(spark, 1) as it:
+            it.bind(spark.range(3))
+            names = [v.name for v in spark.catalog.listTables("global_temp")]
+            assert any(n.startswith("ocr_spark_iter_") for n in names)
             raise RuntimeError("boom")
     except RuntimeError:
         pass
+    names = [v.name for v in spark.catalog.listTables("global_temp")]
+    assert not any(n.startswith("ocr_spark_iter_") for n in names)
     assert spark.conf.get(key) == old
 
 
