@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "audio_spectral",
     "crnn_multifont",
     "audio_gate",
+    "srt_align",
 ]
 
 

@@ -2981,6 +2981,55 @@ def q_audio_spectral(spark, sf):  # audio near-dup pairs (spectral fingerprint)
     )
 
 
+def q_srt_align(spark, sf):  # SRT subtitle parse + speaker-join alignments
+    """Synthetic .srt bodies (1-3 PAIRS of cues per doc from doc_id
+    residues; within a pair the 100 ms gap is under the 300 ms join
+    threshold, between pairs the 2.2 s gap is over it) are FORMATTED as
+    real SRT text and parsed back by kernels/srt.parse_srt — the
+    reference's parse_subtitles join/add_time flow
+    (utils/audio/mkv_utils.py:123-180) in integer ms. Gap margins are
+    sized so every alignment is closed-form: start = pair_base - 500,
+    end = pair_base + 2300, text = the two cues joined — the oracle
+    re-derives all of them without replaying the sequential loop."""
+    from .operators.multimodal import srt_alignments
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        def ts(ms):
+            return (
+                f"{ms // 3600000:02d}:{ms // 60000 % 60:02d}:"
+                f"{ms // 1000 % 60:02d},{ms % 1000:03d}"
+            )
+
+        for pdf in batches:
+            bodies = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                off = 7 * (did % 50)
+                lines = []
+                idx = 0
+                for j in range(1 + did % 3):
+                    base = 1000 + 4000 * j + off
+                    for k, (s, e) in enumerate(
+                        ((base, base + 900), (base + 1000, base + 1800))
+                    ):
+                        idx += 1
+                        lines.append(str(idx))
+                        lines.append(f"{ts(s)} --> {ts(e)}")
+                        lines.append(f"cue {2 * j + k} of doc {did}")
+                        lines.append("")
+                bodies.append("\n".join(lines))
+            yield pd.DataFrame(
+                {"blob_id": pdf["doc_id"].astype("int64"), "srt": bodies}
+            )
+
+    srt = d.mapInPandas(build, schema="blob_id long, srt string")
+    return srt_alignments(srt, join_threshold_ms=300, add_time_ms=500)
+
+
 def q_audio_gate(spark, sf):  # spectral-gating noise mask (reduce_noise analog)
     """The same WAV corpus through feature-level spectral gating
     (kernels/stft.spectral_gate — the reference's
@@ -3999,9 +4048,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # DRIVER-WINDOW ROTATION: the driver's correctness gate hashes the
     # FIRST 50 entries of this dict at sf0.01. Round-5 window = the 28
     # queries never driver-checked in rounds 1-4 (24 carryover + the 4
-    # round-4 additions) + the 5 NEW round-5 queries + the 17 oldest
-    # driver rows (r1/r2) as backfill — 28 + 5 + 17 = 50. This completes
-    # the cumulative sweep of the 181 pre-round-5 queries except the 5
+    # round-4 additions) + the 6 NEW round-5 queries + the 16 oldest
+    # driver rows (r1/r2) as backfill — 28 + 6 + 16 = 50. This completes
+    # the cumulative sweep of the 181 pre-round-5 queries except the 6
     # r2-checked rows parked right after the window (first in line for
     # round-6 backfill).
     # ------------------------------------------------------------------
@@ -4040,10 +4089,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_spectral": q_audio_spectral,
     "crnn_multifont": q_crnn_multifont,
     "audio_gate": q_audio_gate,
-    # -- backfill: oldest driver-checked rows (r1/r2) (17) --
-    # 28 never-checked + 5 new round-5 queries above = 33, so exactly 17
+    "srt_align": q_srt_align,
+    # -- backfill: oldest driver-checked rows (r1/r2) (16) --
+    # 28 never-checked + 6 new round-5 queries above = 34, so exactly 16
     # backfill rows fit the 50-slot window; entries below this comment
-    # through "repetition" are IN the window, everything after the tail
+    # through "dedup_exact" are IN the window, everything after the tail
     # marker is not
     "multimodal_meta": q_multimodal_meta,
     "training_pipeline": q_training_pipeline,
@@ -4061,10 +4111,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "levenshtein": q_levenshtein,
     "group_concat": q_group_concat,
     "dedup_exact": q_dedup_exact,
-    "line_dedup": q_line_dedup,
-    # -- tail: outside the 50-slot window. First the 5 r2-checked rows
+    # -- tail: outside the 50-slot window. First the 6 r2-checked rows
     # that no longer fit (they queue first for the round-6 backfill),
     # then the r3/r4-verified remainder --
+    "line_dedup": q_line_dedup,
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -7010,6 +7060,23 @@ def _gate_oracle_sql() -> str:
 
 
 ORACLE_SQL["audio_gate"] = _gate_oracle_sql()
+
+ORACLE_SQL["srt_align"] = """
+    WITH pairs AS (
+        SELECT doc_id AS did, j
+        FROM documents, range(0, 3) t(j)
+        WHERE j < 1 + doc_id % 3
+    )
+    SELECT did AS blob_id, CAST(j AS INT) AS seq,
+           CAST(1000 + 4000 * j + 7 * (did % 50) - 500 AS BIGINT) AS start_ms,
+           CAST(1000 + 4000 * j + 7 * (did % 50) + 2300 AS BIGINT) AS end_ms,
+           CAST(2800 AS BIGINT) AS dur_ms,
+           'cue ' || CAST(2 * j AS VARCHAR) || ' of doc ' || CAST(did AS VARCHAR)
+           || ' cue ' || CAST(2 * j + 1 AS VARCHAR) || ' of doc '
+           || CAST(did AS VARCHAR) AS text
+    FROM pairs
+"""
+
 
 # dHash re-derivation: the PNG round trip is lossless, so the decoded gray
 # grid IS the closed-form residue formula; the hash is the MSB-first packing

@@ -456,6 +456,53 @@ def audio_spectral_gate(
     return df.mapInPandas(gen, schema=GATE_SCHEMA)
 
 
+SRT_SCHEMA = "blob_id long, seq int, start_ms long, end_ms long, dur_ms long, text string"
+
+
+def srt_alignments(
+    df: DataFrame,
+    *,
+    body_col: str = "srt",
+    id_col: str = "blob_id",
+    join_threshold_ms: int = 0,
+    add_time_ms: int = 500,
+) -> DataFrame:
+    """SRT subtitle bodies -> speaker alignments (kernels/srt.parse_srt —
+    the reference's parse_subtitles join/add_time semantics,
+    utils/audio/mkv_utils.py:123-180, in integer ms): consecutive cues
+    closer than the join threshold merge into one alignment, each padded
+    ``add_time_ms`` and clamped at its neighbor. One zero-exchange Arrow
+    pass; unparseable bodies contribute no rows."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.srt import parse_srt
+
+        cols = ["blob_id", "seq", "start_ms", "end_ms", "dur_ms", "text"]
+        for pdf in batches:
+            rows = []
+            for bid, body in zip(pdf[id_col], pdf[body_col]):
+                for a in parse_srt(
+                    str(body or ""),
+                    join_threshold_ms=join_threshold_ms,
+                    add_time_ms=add_time_ms,
+                ):
+                    rows.append(
+                        {
+                            "blob_id": int(bid),
+                            "seq": a["seq"],
+                            "start_ms": a["start_ms"],
+                            "end_ms": a["end_ms"],
+                            "dur_ms": a["dur_ms"],
+                            "text": a["text"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(gen, schema=SRT_SCHEMA)
+
+
 DHASH_SCHEMA = "blob_id long, dhash long"
 
 
