@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "crnn_multifont",
     "audio_gate",
     "srt_align",
+    "audio_mel",
 ]
 
 

@@ -2981,6 +2981,19 @@ def q_audio_spectral(spark, sf):  # audio near-dup pairs (spectral fingerprint)
     )
 
 
+def q_audio_mel(spark, sf):  # integer mel-filterbank energies (MelSTFT analog)
+    """The shared WAV corpus through the integer mel front-end
+    (kernels/stft.mel_energies — the reference MelSTFT surface on the
+    power spectrum): 32-bin STFT, 8 quantized HTK mel triangles, all
+    int64. The oracle re-derives PCM, the 32-bin twiddle products,
+    quantized powers, and every weighted mel sum — both twiddle AND
+    mel-weight tables ride as SQL literals (the shared-table /
+    independent-derivation pattern of _PHASH_COS)."""
+    from .operators.multimodal import audio_mel
+
+    return audio_mel(_residue_wav_blobs(spark, sf))
+
+
 def q_srt_align(spark, sf):  # SRT subtitle parse + speaker-join alignments
     """Synthetic .srt bodies (1-3 PAIRS of cues per doc from doc_id
     residues; within a pair the 100 ms gap is under the 300 ms join
@@ -4048,9 +4061,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # DRIVER-WINDOW ROTATION: the driver's correctness gate hashes the
     # FIRST 50 entries of this dict at sf0.01. Round-5 window = the 28
     # queries never driver-checked in rounds 1-4 (24 carryover + the 4
-    # round-4 additions) + the 6 NEW round-5 queries + the 16 oldest
-    # driver rows (r1/r2) as backfill — 28 + 6 + 16 = 50. This completes
-    # the cumulative sweep of the 181 pre-round-5 queries except the 6
+    # round-4 additions) + the 7 NEW round-5 queries + the 15 oldest
+    # driver rows (r1/r2) as backfill — 28 + 7 + 15 = 50. This completes
+    # the cumulative sweep of the 181 pre-round-5 queries except the 7
     # r2-checked rows parked right after the window (first in line for
     # round-6 backfill).
     # ------------------------------------------------------------------
@@ -4090,10 +4103,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crnn_multifont": q_crnn_multifont,
     "audio_gate": q_audio_gate,
     "srt_align": q_srt_align,
-    # -- backfill: oldest driver-checked rows (r1/r2) (16) --
-    # 28 never-checked + 6 new round-5 queries above = 34, so exactly 16
+    "audio_mel": q_audio_mel,
+    # -- backfill: oldest driver-checked rows (r1/r2) (15) --
+    # 28 never-checked + 7 new round-5 queries above = 35, so exactly 15
     # backfill rows fit the 50-slot window; entries below this comment
-    # through "dedup_exact" are IN the window, everything after the tail
+    # through "group_concat" are IN the window, everything after the tail
     # marker is not
     "multimodal_meta": q_multimodal_meta,
     "training_pipeline": q_training_pipeline,
@@ -4110,10 +4124,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_text": q_clean_text,
     "levenshtein": q_levenshtein,
     "group_concat": q_group_concat,
-    "dedup_exact": q_dedup_exact,
-    # -- tail: outside the 50-slot window. First the 6 r2-checked rows
+    # -- tail: outside the 50-slot window. First the 7 r2-checked rows
     # that no longer fit (they queue first for the round-6 backfill),
     # then the r3/r4-verified remainder --
+    "dedup_exact": q_dedup_exact,
     "line_dedup": q_line_dedup,
     "fingerprint": q_fingerprint,
     "token_count": q_token_count,
@@ -7060,6 +7074,74 @@ def _gate_oracle_sql() -> str:
 
 
 ORACLE_SQL["audio_gate"] = _gate_oracle_sql()
+
+def _mel_oracle_sql() -> str:
+    """audio_mel replay: 32-bin twiddle tables + the 8x32 mel-weight
+    matrix as materialized literals, quantized powers (// 2^20), weighted
+    mel sums (// 2^10) — the corpus rate is 8000 Hz throughout, so one
+    weight table covers every row."""
+    from .kernels.stft import (
+        GATE_SHIFT,
+        MEL_BANDS,
+        MEL_BINS,
+        MEL_WEIGHT_SHIFT,
+        mel_filterbank,
+        stft_twiddles,
+    )
+
+    C, S = stft_twiddles(n_bins=MEL_BINS)
+    W = mel_filterbank(8000)
+
+    def lit(a):
+        return (
+            "["
+            + ",".join(
+                "[" + ",".join(str(int(x)) for x in row) + "]" for row in a
+            )
+            + "]"
+        )
+
+    half = (
+        "list_sum(list_transform(range(0, 64), n -> "
+        "CAST(s[CAST(f AS INT) * 64 + CAST(n AS INT) + 1] AS HUGEINT)"
+        " * {tbl}[CAST(k AS INT) + 1][CAST(n AS INT) + 1]))"
+    )
+    return f"""
+    WITH ids AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 5 THEN doc_id - 5 ELSE doc_id END AS src,
+               doc_id % 10 = 5 AS pert
+        FROM documents WHERE doc_id < 2000
+    ),
+    tw AS (SELECT {lit(C)} AS tc, {lit(S)} AS ts, {lit(W)} AS mw),
+    sm AS (
+        SELECT doc_id,
+               list_transform(range(0, 512),
+                   i -> {_SFP_SAMPLE_SQL.format(i='i')}) AS s
+        FROM ids
+    ),
+    eqt AS (
+        SELECT doc_id, mw,
+               list_transform(range(0, 8), f ->
+                   list_transform(range(0, {MEL_BINS}), k ->
+                       ({half.format(tbl='tc')} * {half.format(tbl='tc')}
+                        + {half.format(tbl='ts')} * {half.format(tbl='ts')})
+                       // {1 << GATE_SHIFT})) AS eq
+        FROM sm, tw
+    )
+    SELECT doc_id AS blob_id,
+           CAST(f AS INT) AS frame,
+           CAST(m AS INT) AS mel,
+           CAST(list_sum(list_transform(range(0, {MEL_BINS}), k ->
+                    mw[CAST(m AS INT) + 1][CAST(k AS INT) + 1]
+                    * eq[CAST(f AS INT) + 1][CAST(k AS INT) + 1]))
+                // {1 << MEL_WEIGHT_SHIFT} AS BIGINT) AS energy_q
+    FROM eqt, range(0, 8) tf(f), range(0, {MEL_BANDS}) tm(m)
+"""
+
+
+ORACLE_SQL["audio_mel"] = _mel_oracle_sql()
+
 
 ORACLE_SQL["srt_align"] = """
     WITH pairs AS (

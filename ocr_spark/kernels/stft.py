@@ -156,3 +156,70 @@ def spectral_gate(
             out.append((f, j, Eq[f][j], kept))
     out.sort()
     return out
+
+
+#: mel filterbank parameters (the reference's MelSTFT surface,
+#: /root/reference/utils/audio/stft.py:23-184, made integer): 8
+#: triangular HTK-mel filters over the 32-bin power spectrum (window 64
+#: covers bins k = 1..32 = Nyquist), weights quantized to 2**10. Mel
+#: energies run on the POWER spectrum (magnitude squares), the
+#: Whisper-style choice — it keeps the whole path sqrt-free.
+MEL_BANDS = 8
+MEL_BINS = 32
+MEL_WEIGHT_SHIFT = 10
+
+
+def _hz_to_mel(f: float) -> float:
+    return 2595.0 * math.log10(1.0 + f / 700.0)
+
+
+def mel_filterbank(
+    rate: int,
+    *,
+    window: int = SFP_WINDOW,
+    n_bins: int = MEL_BINS,
+    n_mels: int = MEL_BANDS,
+) -> list[list[int]]:
+    """(n_mels, n_bins) integer filter weights: triangular in mel space
+    between bin 1's center (rate/window Hz) and Nyquist, rounded to
+    2**MEL_WEIGHT_SHIFT. Pure function of (rate, window, n_bins, n_mels)
+    — the oracle embeds the same values as literals."""
+    f_min = rate / window
+    f_max = rate / 2.0
+    pts = [
+        _hz_to_mel(f_min)
+        + (_hz_to_mel(f_max) - _hz_to_mel(f_min)) * i / (n_mels + 1)
+        for i in range(n_mels + 2)
+    ]
+    out = []
+    for m in range(n_mels):
+        row = []
+        for k in range(1, n_bins + 1):
+            mel = _hz_to_mel(k * rate / window)
+            up = (mel - pts[m]) / (pts[m + 1] - pts[m])
+            down = (pts[m + 2] - mel) / (pts[m + 2] - pts[m + 1])
+            w = max(0.0, min(up, down))
+            row.append(round(w * (1 << MEL_WEIGHT_SHIFT)))
+        out.append(row)
+    return out
+
+
+def mel_energies(samples: np.ndarray, rate: int) -> list[list[int]]:
+    """(SFP_FRAMES, MEL_BANDS) integer mel-band energies: the 32-bin
+    quantized power spectrum (band_energies >> GATE_SHIFT — int64-safe:
+    Eq <= 2**43 even at full int16 amplitude, x 2**10 weights x 32 bins
+    < 2**58) filtered through the quantized mel triangles, each mel sum
+    scaled back by the weight shift."""
+    E = band_energies(samples, n_bins=MEL_BINS)
+    W = mel_filterbank(rate)
+    out = []
+    for row in E:
+        eq = [e >> GATE_SHIFT for e in row]
+        out.append(
+            [
+                sum(W[m][k] * eq[k] for k in range(MEL_BINS))
+                >> MEL_WEIGHT_SHIFT
+                for m in range(MEL_BANDS)
+            ]
+        )
+    return out

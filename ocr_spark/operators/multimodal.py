@@ -456,6 +456,43 @@ def audio_spectral_gate(
     return df.mapInPandas(gen, schema=GATE_SCHEMA)
 
 
+MEL_SCHEMA = "blob_id long, frame int, mel int, energy_q long"
+
+
+def audio_mel(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id") -> DataFrame:
+    """Integer mel-filterbank energies over REAL WAV decode (kernels/
+    stft.mel_energies — the reference MelSTFT surface,
+    utils/audio/stft.py:23-184, on the power spectrum): 8 quantized HTK
+    triangles over the 32-bin STFT per frame, all int64. One Arrow
+    stage, zero exchanges; undecodable/too-short blobs contribute no
+    rows. The rows are the standard ASR/TTS front-end feature — and a
+    speech/music prefilter signal for audio training corpora."""
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..kernels.stft import mel_energies
+        from ..kernels.wavcodec import wav_decode
+
+        cols = ["blob_id", "frame", "mel", "energy_q"]
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    samples, rate = wav_decode(bytes(blob))
+                    M = mel_energies(samples, rate)
+                except Exception:
+                    continue
+                for f, mrow in enumerate(M):
+                    for m, e in enumerate(mrow):
+                        rows.append(
+                            {"blob_id": int(bid), "frame": f, "mel": m, "energy_q": e}
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(gen, schema=MEL_SCHEMA)
+
+
 SRT_SCHEMA = "blob_id long, seq int, start_ms long, end_ms long, dur_ms long, text string"
 
 

@@ -165,3 +165,64 @@ def test_gate_operator_accounts_only_decodable(spark):
     )
     out = audio_spectral_gate(df).collect()
     assert {r["blob_id"] for r in out} == {1} and len(out) == 36
+
+
+def test_mel_filterbank_shape_and_locality():
+    from ocr_spark.kernels.stft import MEL_BANDS, MEL_BINS, mel_filterbank
+
+    W = np.array(mel_filterbank(8000))
+    assert W.shape == (MEL_BANDS, MEL_BINS) and (W >= 0).all()
+    # triangles: each filter has a contiguous support that moves upward
+    supports = [np.flatnonzero(row) for row in W]
+    assert all(len(s) > 0 for s in supports)
+    centers = [s.mean() for s in supports]
+    assert centers == sorted(centers)
+    # deterministic rebuild
+    assert np.array_equal(W, np.array(mel_filterbank(8000)))
+
+
+def test_mel_energies_match_naive_and_localize_tone():
+    from ocr_spark.kernels.stft import (
+        GATE_SHIFT,
+        MEL_BINS,
+        MEL_WEIGHT_SHIFT,
+        band_energies,
+        mel_energies,
+        mel_filterbank,
+    )
+
+    s = _pcm(n=512, seed=21)
+    M = mel_energies(s, 8000)
+    E = band_energies(s, n_bins=MEL_BINS)
+    W = mel_filterbank(8000)
+    for f in (0, 7):
+        eq = [e >> GATE_SHIFT for e in E[f]]
+        for m in (0, 4, 7):
+            want = sum(W[m][k] * eq[k] for k in range(MEL_BINS)) >> MEL_WEIGHT_SHIFT
+            assert M[f][m] == want
+    # a pure tone at bin 20 (2500 Hz) must dominate in exactly one band
+    t = np.arange(512)
+    tone = (2000 * np.cos(2 * np.pi * 20 * (t % 64) / 64)).astype(np.int64)
+    Mt = mel_energies(tone, 8000)
+    dom = int(np.argmax(Mt[0]))
+    # neighbors share the overlapping triangle edges, so dominance is
+    # strong but not total — measured ~84x here
+    assert Mt[0][dom] > 20 * max(x for i, x in enumerate(Mt[0]) if i != dom)
+
+
+def test_mel_operator_rows(spark):
+    from ocr_spark.kernels.stft import MEL_BANDS, SFP_FRAMES, mel_energies
+    from ocr_spark.kernels.wavcodec import wav_encode
+    from ocr_spark.operators.multimodal import audio_mel
+
+    pcm = _pcm()
+    df = spark.createDataFrame(
+        [(1, wav_encode(pcm.astype(np.int32), 8000)), (2, b"junk")],
+        "blob_id long, blob binary",
+    )
+    out = audio_mel(df).collect()
+    assert {r["blob_id"] for r in out} == {1}
+    assert len(out) == SFP_FRAMES * MEL_BANDS
+    want = mel_energies(pcm, 8000)
+    got = {(r["frame"], r["mel"]): r["energy_q"] for r in out}
+    assert all(got[(f, m)] == want[f][m] for f in range(SFP_FRAMES) for m in range(MEL_BANDS))
